@@ -1,13 +1,118 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator-family conformance query
+  * from SURVEY.md §2 (or a north-star extension); [[oracleSql]] holds
+  * its DuckDB twin over the same parquet tables. Column names/types are
+  * aliased identically on both sides (the driver sorts columns by name
+  * and hashes values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"   -> Relational.pricingSummary _,
+    "q02_ship_priority"     -> Relational.shipPriority _,
+    "q03_brand_volume"      -> Relational.brandVolume _,
+    "q04_semi_join_exists"  -> Relational.ordersWithBigLines _,
+    "q05_anti_join"         -> Relational.customersWithoutOrders _,
+    "q06_outer_join_counts" -> Relational.nationCustomerCounts _,
+    "q07_latest_event_per_user" -> Relational.latestEventPerUser _,
+    "q08_top3_orders_per_customer" -> Relational.top3OrdersPerCustomer _,
+    "q09_boolean_gates"     -> Relational.booleanGates _,
+    "q10_per_source_counts" -> Relational.perSourceCounts _,
+    "q11_sources_per_lang"  -> Relational.sourcesPerLang _,
+    "q12_union_distinct"    -> Relational.unionDistinctKeys _,
+    "q13_try_cast_props"    -> Relational.tryCastProps _,
+    "q14_rollup_orders"     -> Relational.rollupOrders _,
+  )
+
+  /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
+    * ORDER BY, explicit casts so dtypes line up (see Relational docs). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_disc_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q02_ship_priority" ->
+      """SELECT l_orderkey, o_orderpriority,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY l_orderkey, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q03_brand_volume" ->
+      """SELECT p_brand,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         count(*) AS n_lines
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q04_semi_join_exists" ->
+      """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec
+         FROM orders WHERE EXISTS (
+           SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+         ORDER BY o_orderkey""",
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer WHERE NOT EXISTS (
+           SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q06_outer_join_counts" ->
+      """SELECT n_nationkey, n_name, count(c_custkey) AS n_customers
+         FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+         GROUP BY n_nationkey, n_name ORDER BY n_nationkey""",
+    "q07_latest_event_per_user" ->
+      """SELECT user_id, event_id, event_type, CAST(value AS DECIMAL(18,2)) AS value_dec
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) t
+         WHERE rn = 1 ORDER BY user_id""",
+    "q08_top3_orders_per_customer" ->
+      """SELECT o_custkey, rnk, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                      row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+               FROM orders) t
+         WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
+    "q09_boolean_gates" ->
+      """SELECT o_custkey,
+         bool_and(o_orderstatus = 'F') AS all_finished,
+         bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+         count(*) AS n_orders
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q10_per_source_counts" ->
+      """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM documents GROUP BY source, lang ORDER BY source, lang""",
+    "q11_sources_per_lang" ->
+      """SELECT lang, list_sort(list(DISTINCT source)) AS sources, count(*) AS n_docs
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q12_union_distinct" ->
+      """SELECT DISTINCT custkey FROM (
+           SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           UNION ALL
+           SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000) t
+         ORDER BY custkey""",
+    "q13_try_cast_props" ->
+      """SELECT event_id,
+         json_extract_string(props, '$.k') AS k_str,
+         TRY_CAST(json_extract_string(props, '$.k') AS DECIMAL(38,0)) AS k_num,
+         TRY_CAST(event_type AS DECIMAL(38,0)) AS not_a_number
+         FROM events ORDER BY event_id""",
+    "q14_rollup_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+  )
 }

@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Relational conformance queries over the TPC-H-ish driver tables.
+  *
+  * Re-expresses the reference's relational surface
+  * (SURVEY.md §2.2-§2.7: predicates P6-P11, joins J1-J5 classes,
+  * aggregations A1-A7, window W1, sorts/set-ops O1-O4) as
+  * declarative Spark plans that Catalyst can push down / broadcast.
+  *
+  * Determinism rules for the DuckDB-oracle gate:
+  *  - never `sum` raw doubles (order-dependent FP); cast to
+  *    decimal first — exact, order-independent;
+  *  - derived doubles only via identical expression trees on both
+  *    sides (cast-of-exact-decimal, division of identical doubles);
+  *  - every query globally ordered by its full key.
+  */
+object Relational {
+
+  /** Exact decimal view of a double column (order-independent sums). */
+  private def dec(c: Column, scale: Int = 2): Column =
+    c.cast(DecimalType(18, scale))
+
+  /** Q1-style pricing summary: scan → filter → hash agg.
+    * Aggregates in decimal so the result is independent of partial-agg
+    * order; the scan should show PushedFilters on l_shipdate.
+    * (SURVEY §2.4; reference has only set-union aggs — this is the
+    * numeric extension exercised by the warehouse SQL surface.) */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") < lit("1998-09-01").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+          .cast(DecimalType(38, 4)).as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Q3-style shipping priority: 3-way join + agg + top-k.
+    * orders/customer filter pushes below the join; lineitem is the
+    * probe side. Top-10 via global sort+limit (driver-safe: k rows). */
+  def shipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, dir)
+    val li   = Tables.lineitem(spark, dir)
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+        .cast(DecimalType(38, 4)).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Broadcast equi-join (J1 class): fact ⋈ small dim. `broadcast`
+    * hint pins BroadcastHashJoin regardless of stats. */
+  def brandVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pt = Tables.part(spark, dir)
+    li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
+        count(lit(1)).as("n_lines")
+      )
+      .orderBy(col("p_brand"))
+  }
+
+  /** Left-semi join (J4 class, EXISTS): orders with at least one
+    * high-quantity line. Semi join short-circuits on first match. */
+  def ordersWithBigLines(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val big = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey"))
+    ord.join(big, ord("o_orderkey") === big("l_orderkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"), dec(col("o_totalprice")).as("total_dec"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no URGENT order. The
+    * complement branch of the reference's J2 caller classification. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord  = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-outer join + conditional count: nations with customer counts
+    * (0 preserved). Exercises outer-join null semantics. */
+  def nationCustomerCounts(spark: SparkSession, dir: String): DataFrame = {
+    val nat  = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    nat.join(cust, nat("n_nationkey") === cust("c_nationkey"), "left_outer")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(col("c_custkey")).as("n_customers"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** W1 conformance — latest event per user, LAST write wins
+    * (pr-review-flow.yml:100-109 Map.set semantics). row_number over
+    * (user) ordered by ts desc with event_id as the deterministic
+    * tie-break (event_id is the arrival sequence). */
+  def latestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w  = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        dec(col("value")).as("value_dec"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Window ranking beyond W1: top-3 orders per customer by price,
+    * rank ties broken by key. */
+  def top3OrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk").cast(LongType).as("rnk"), col("o_orderkey"),
+        dec(col("o_totalprice")).as("price_dec"))
+      .orderBy(col("o_custkey"), col("rnk"))
+  }
+
+  /** A4/A5 conformance — ALL-teams / ANY-member boolean gates
+    * (pr-review-flow.yml:195-211) re-expressed: per customer, did
+    * EVERY order complete ('F') and did ANY order ship urgent? */
+  def booleanGates(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    ord.groupBy(col("o_custkey"))
+      .agg(
+        every(col("o_orderstatus") === "F").as("all_finished"),
+        bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+        count(lit(1)).as("n_orders")
+      )
+      .orderBy(col("o_custkey"))
+  }
+
+  /** A6 conformance — per-source counts (per-dir file counts,
+    * scan_dependencies.py:83-84) over documents. */
+  def perSourceCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"), col("lang"))
+
+  /** A1-A3/O1 conformance — sorted distinct set collection per group
+    * (`collect_set` + `sort_array` = the reference's
+    * sorted(used_in_files), scan_dependencies.py:23-24). */
+  def sourcesPerLang(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(sort_array(collect_set(col("source"))).as("sources"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  /** O3/O4 conformance — union + distinct across two branch scans
+    * (multi-dir corpus union, scan_dependencies.py:85). */
+  def unionDistinctKeys(spark: SparkSession, dir: String): DataFrame = {
+    val fromOrders = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey"))
+    val fromCust = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("custkey"))
+    fromOrders.union(fromCust).distinct().orderBy(col("custkey"))
+  }
+
+  /** P11/F11 conformance — TRY_CAST to DECIMAL(38,0) + JSON props
+    * extraction (DIM_MFO_FD_WEB_CHANNEL.sql:5 `TRY_CAST(UTM_CONTENT
+    * AS NUMBER(38,0))`; events.props hosts the dynamic field). */
+  def tryCastProps(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    ev.select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").try_cast(DecimalType(38, 0)).as("k_num"),
+        col("event_type").try_cast(DecimalType(38, 0)).as("not_a_number")
+      )
+      .orderBy(col("event_id"))
+  }
+
+  /** Grouping sets / rollup — engine-completeness beyond the
+    * reference (none there, SURVEY §2.4); partial-agg friendly. */
+  def rollupOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    ord.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+}
