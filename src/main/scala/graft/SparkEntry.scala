@@ -33,6 +33,10 @@ object SparkEntry {
     "q12_union_distinct"    -> Relational.unionDistinctKeys _,
     "q13_try_cast_props"    -> Relational.tryCastProps _,
     "q14_rollup_orders"     -> Relational.rollupOrders _,
+    "q15_dep_scan_docs"     -> RefAnalog.depScanDocs _,
+    "q16_owners_glob_join"  -> RefAnalog.ownersDocs _,
+    "q17_review_gate"       -> RefAnalog.reviewGateEvents _,
+    "q18_utm_attribution"   -> RefAnalog.utmAttribution _,
   )
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -114,5 +118,65 @@ object SparkEntry {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q15_dep_scan_docs" ->
+      """WITH words AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         wordsf AS (SELECT * FROM words WHERE length(word) > 0),
+         cat AS (
+           SELECT split_part(text, ' ', 1) AS word, min(doc_id) AS def_doc
+           FROM documents WHERE doc_id % 25 = 0 AND length(split_part(text, ' ', 1)) > 0
+           GROUP BY 1),
+         edges AS (
+           SELECT w.word, c.def_doc, w.doc_id
+           FROM wordsf w JOIN cat c USING (word)
+           WHERE w.doc_id <> c.def_doc)
+         SELECT word, def_doc, list_sort(list(DISTINCT doc_id)) AS used_in, count(*) AS n_uses
+         FROM edges GROUP BY word, def_doc ORDER BY word""",
+    "q16_owners_glob_join" ->
+      """WITH owners(regex, teams) AS (VALUES
+           ('^src1[^/]*$', ['team_alpha','team_beta']),
+           ('^src2[^/]$',  ['team_gamma']),
+           ('^.*$',        ['team_all']),
+           ('^src[^/]*3$', ['team_x'])),
+         m AS (
+           SELECT d.lang, o.teams FROM documents d
+           JOIN owners o ON regexp_matches(d.source, o.regex))
+         SELECT lang, list_sort(list_distinct(flatten(list(teams)))) AS teams, count(*) AS n_matches
+         FROM m GROUP BY lang ORDER BY lang""",
+    "q17_review_gate" ->
+      """WITH base AS (
+           SELECT event_id % 97 AS pr, user_id, event_type, ts, event_id FROM events),
+         latest AS (
+           SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY pr, user_id ORDER BY ts DESC, event_id DESC) AS rn
+             FROM base) t WHERE rn = 1),
+         approved AS (SELECT * FROM latest WHERE event_type = 'purchase'),
+         ateams AS (
+           SELECT pr, list(team) AS teams FROM (
+             SELECT DISTINCT pr, team FROM (
+               SELECT pr, unnest([user_id % 5, 5 + user_id % 7]) AS team FROM approved) t1) t2
+           GROUP BY pr),
+         napp AS (SELECT pr, count(*) AS n_approvers FROM approved GROUP BY pr)
+         SELECT p.pr,
+           coalesce(list_contains(a.teams, p.pr % 5) AND list_contains(a.teams, 5 + p.pr % 7), false) AS all_approved,
+           coalesce(n.n_approvers, 0) AS n_approvers
+         FROM (SELECT DISTINCT pr FROM base) p
+         LEFT JOIN ateams a USING (pr) LEFT JOIN napp n USING (pr)
+         ORDER BY p.pr""",
+    "q18_utm_attribution" ->
+      """SELECT event_id, campaign, product,
+           CASE WHEN product = 'Страхование имущества' THEN 'ИФЛ' ELSE 'Прочее' END AS segment
+         FROM (
+           SELECT event_id, campaign,
+             CASE WHEN campaign LIKE '%insurance%' OR campaign LIKE '%strah%' THEN 'Страхование имущества'
+                  WHEN campaign LIKE '%micro%' OR campaign LIKE '%mfo%' OR campaign LIKE '%loan%' THEN 'Микрокредиты'
+                  ELSE 'Прочее' END AS product
+           FROM (
+             SELECT event_id,
+               CASE event_type WHEN 'purchase' THEN 'fb_micro_loans'
+                               WHEN 'signup' THEN 'gg_insurance_home'
+                               ELSE 'organic_generic' END AS campaign
+             FROM events) t1) t2
+         WHERE product <> 'Прочее' ORDER BY event_id""",
   )
 }

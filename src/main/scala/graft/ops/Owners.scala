@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ownership resolution (reference E2,
+  * `.github/scripts/generate_codefacilitators.py` + the embedded-JS
+  * twin in `pr-review-flow.yml:117-176` — semantics only).
+  *
+  * Owners files are CODEOWNERS-format text: `glob-pattern team…`,
+  * `#` comments, blank lines. Files are tiny config — they broadcast;
+  * the dependent-file side is the big relation at scale, so the theta
+  * join is a broadcast nested-loop with the regex on the small side.
+  */
+object Owners {
+
+  /** Glob→regex translation (F3). The two reference implementations
+    * diverge (generate_codefacilitators.py:28-30 vs
+    * pr-review-flow.yml:127-147); we adopt the JS superset, verified
+    * against both test surfaces:
+    *  - `*`  → `[^/]*` (no `/` crossing)
+    *  - `?`  → `[^/]`  (JS-only; Python leaves `?` = regex-optional)
+    *  - bare `*` pattern → match-all (JS special case)
+    *  - `/`  → `\/`
+    *  - `.` is left as regex-any in BOTH references — preserved as
+    *    documented conformance behavior (a glob `.` therefore matches
+    *    any character, exactly like the reference).
+    * Anchored `^…$` (both references use full match). */
+  def globToRegex(glob: String): String =
+    if (glob == "*") "^.*$"
+    else "^" + glob
+      .replace("/", "\\/")
+      .replace("*", "[^/]*")
+      .replace("?", "[^/]") + "$"
+
+  /** Column form of [[globToRegex]] for pattern-from-column joins.
+    * Pure string ops — stays inside codegen, no UDF. */
+  def globToRegexCol(glob: Column): Column = {
+    val translated = concat(lit("^"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(glob, "/", "\\\\/"),
+          "\\*", "[^/]*"),
+        "\\?", "[^/]"),
+      lit("$"))
+    when(glob === "*", "^.*$").otherwise(translated)
+  }
+
+  /** Parse owners lines (S5/P5/F4-F6): DataFrame(value: string) →
+    * (pattern: string, teams: array<string>). Team handles keep their
+    * `@org/…` form; strip with [[stripHandle]] where the reference
+    * does (pr-review-flow.yml:149). */
+  def parseOwners(lines: DataFrame): DataFrame =
+    lines
+      .select(trim(col("value")).as("line"))
+      .filter(col("line") =!= "" && !col("line").startsWith("#"))
+      .select(split(col("line"), "\\s+").as("toks"))
+      .select(col("toks").getItem(0).as("pattern"),
+        slice(col("toks"), 2, size(col("toks")) - 1).as("teams"))
+
+  def stripHandle(team: Column): Column = regexp_replace(team, "^@", "")
+
+  /** File × pattern theta join (J3): which patterns match each path.
+    * `paths` may be arbitrarily large; `owners` broadcasts. */
+  def matchingTeams(paths: DataFrame, owners: DataFrame, pathCol: String = "path"): DataFrame = {
+    val pats = owners.select(
+      globToRegexCol(col("pattern")).as("regex"), col("teams"))
+    paths.join(broadcast(pats), regexp_like(col(pathCol), col("regex")), "inner")
+  }
+
+  /** Facilitator resolution (E2, A3): per function, the sorted distinct
+    * union of teams across all patterns matched by any dependent file.
+    * Functions with no matching team are dropped
+    * (generate_codefacilitators.py:40-41). */
+  def facilitators(flatDeps: DataFrame, owners: DataFrame): DataFrame = {
+    val files = flatDeps.select(col("function"), col("path"),
+      explode(col("used_in_files")).as("dep_file"))
+    matchingTeams(files, owners, "dep_file")
+      .groupBy(col("function"), col("path"))
+      .agg(array_sort(array_distinct(flatten(collect_list(col("teams"))))).as("teams"))
+      .filter(size(col("teams")) > 0)
+  }
+
+  /** CODEFACILITATORS rows (K2): `path team…` sorted by function
+    * (generate_codefacilitators.py:44-49). */
+  def facilitatorLines(facs: DataFrame): DataFrame =
+    facs.orderBy(col("function"))
+      .select(concat_ws(" ", col("path"), concat_ws(" ", col("teams"))).as("value"))
+}
