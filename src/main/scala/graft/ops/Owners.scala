@@ -57,7 +57,7 @@ object Owners {
       .filter(col("line") =!= "" && !col("line").startsWith("#"))
       .select(split(col("line"), "\\s+").as("toks"))
       .select(col("toks").getItem(0).as("pattern"),
-        slice(col("toks"), 2, size(col("toks")) - 1).as("teams"))
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("teams"))
 
   def stripHandle(team: Column): Column = regexp_replace(team, "^@", "")
 

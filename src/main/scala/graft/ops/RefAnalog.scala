@@ -31,7 +31,10 @@ object RefAnalog {
       .select(element_at(split(col("text"), " "), 1).as("word"), col("doc_id"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(min(col("doc_id")).as("def_doc"))
-    words.join(broadcast(cat), Seq("word"))
+    // No broadcast hint: `cat` grows with the data (~1/25th of docs),
+    // so a forced broadcast OOMs at scale. AQE picks broadcast when the
+    // build side is actually small.
+    words.join(cat, Seq("word"))
       .filter(col("doc_id") =!= col("def_doc"))
       .groupBy(col("word"), col("def_doc"))
       .agg(sort_array(collect_set(col("doc_id"))).as("used_in"),
