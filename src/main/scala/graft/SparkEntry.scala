@@ -37,6 +37,9 @@ object SparkEntry {
     "q16_owners_glob_join"  -> RefAnalog.ownersDocs _,
     "q17_review_gate"       -> RefAnalog.reviewGateEvents _,
     "q18_utm_attribution"   -> RefAnalog.utmAttribution _,
+    "q19_exact_dedup"       -> LlmOps.exactDedup _,
+    "q20_jaccard_pairs"     -> ((s, d) => LlmOps.jaccardPairs(s, d)),
+    "q21_minhash_lsh_pairs" -> LlmOps.lshCandidatePairs _,
   )
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -178,5 +181,44 @@ object SparkEntry {
                                ELSE 'organic_generic' END AS campaign
              FROM events) t1) t2
          WHERE product <> 'Прочее' ORDER BY event_id""",
+    "q19_exact_dedup" ->
+      """SELECT sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+         min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY content_hash""",
+    "q20_jaccard_pairs" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+                FROM words, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+                CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS jaccard
+         FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.2
+         ORDER BY d1, d2""",
+    "q21_minhash_lsh_pairs" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+                FROM words, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         mh AS (SELECT doc_id, s,
+                  min(CAST(('0x' || substr(md5(s || ':' || shingle), 1, 15)) AS BIGINT)) AS v
+                FROM sh, (SELECT unnest(generate_series(0, 15)) AS s) seeds
+                GROUP BY 1, 2),
+         sig AS (SELECT doc_id, list(v ORDER BY s) AS sig FROM mh GROUP BY 1),
+         bands AS (SELECT doc_id, b,
+                     md5(sig[b*4+1] || ',' || sig[b*4+2] || ',' || sig[b*4+3] || ',' || sig[b*4+4]) AS bhash
+                   FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bs),
+         cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                  FROM bands x JOIN bands y
+                    ON x.b = y.b AND x.bhash = y.bhash AND x.doc_id < y.doc_id),
+         eq AS (SELECT d1, d2,
+                  CAST(sum(CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END) AS INT) AS n_equal
+                FROM cand JOIN sig s1 ON d1 = s1.doc_id JOIN sig s2 ON d2 = s2.doc_id,
+                     (SELECT unnest(generate_series(1, 16)) AS i) idx
+                GROUP BY 1, 2)
+         SELECT d1, d2, n_equal, CAST(n_equal AS DOUBLE)/16.0 AS est_sim
+         FROM eq ORDER BY d1, d2""",
   )
 }

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the `documents` table:
+  * exact + near deduplication (north-star extension of the reference's
+  * set-dedup semantics, SURVEY §2.5/§7 step 6).
+  *
+  * Scale design (100 TB):
+  *  - exact dedup = one hash-shuffle on a 32-byte key with map-side
+  *    partial aggregation — the cheapest possible full-corpus dedup.
+  *  - near-dedup NEVER goes all-pairs: candidate generation is a
+  *    shuffle-join on shingle (q20) or on LSH band key (q21), so cost
+  *    is proportional to actual collisions, and AQE skew-join handles
+  *    hot shingles/buckets. A full crossJoin never appears in any plan.
+  *  - MinHash uses pinned md5-seeded hashes so the DuckDB oracle can
+  *    reproduce signatures bit-for-bit. At production scale you'd swap
+  *    [[portableHash64]] for `xxhash64(seed, shingle)` (same plan
+  *    shape, ~10× cheaper per hash); the oracle pins the md5 variant.
+  */
+object LlmOps {
+
+  /** Text normalization for content-hash dedup: lowercase, trim,
+    * collapse internal whitespace. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Portable 60-bit hash: first 15 hex chars of md5 as a long.
+    * Identical in DuckDB via `CAST(('0x' || substr(md5(s),1,15)) AS
+    * BIGINT)` — the oracle-parity primitive for all near-dup ops. */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** q19 — exact dedup: group by sha256 of normalized text, keep the
+    * lowest doc_id per content hash (deterministic survivor, mirroring
+    * the reference's min-wins dict semantics in its catalog build). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(sha2(normText(col("text")), 256).as("content_hash"), col("doc_id"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("content_hash"))
+
+  /** Distinct word n-gram shingles per doc: (doc_id, shingle).
+    * Short docs (< n words) yield no shingles and drop out of the
+    * near-dup surface, matching standard practice. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val idx = when(size(col("ws")) >= n, sequence(lit(1), size(col("ws")) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), explode(idx).as("i"), col("ws"))
+      .select(col("doc_id"), concat_ws(" ", slice(col("ws"), col("i"), lit(n))).as("shingle"))
+      .distinct()
+  }
+
+  /** q20 — n-gram Jaccard near-dup pairs. Candidates = pairs sharing
+    * at least one shingle (bucket join on shingle — the shuffle key is
+    * the shingle, never all-pairs); exact Jaccard from distinct-shingle
+    * counts; threshold keeps true near-dups. */
+  def jaccardPairs(spark: SparkSession, dir: String,
+                   n: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir), n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n_shingles", "n1"), "d1")
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n_shingles", "n2"), "d2")
+      .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"), col("jaccard"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val MinhashK = 16
+
+  /** One pinned MinHash function: min over shingles of the portable
+    * hash of `"<seed>:<shingle>"`. */
+  private def minhashAgg(seed: Int): Column =
+    min(portableHash64(concat_ws(":", lit(seed), col("shingle")))).as(f"mh$seed%02d")
+
+  /** q21 part 1 — MinHash signatures: (doc_id, sig: array<long>[16]).
+    * One shuffle by doc_id; all 16 mins fold map-side. */
+  def minhashSignatures(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir), n)
+    val aggs = (0 until MinhashK).map(minhashAgg)
+    sh.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashK).map(i => col(f"mh$i%02d")): _*).as("sig"))
+  }
+
+  /** q21 — LSH banding over the MinHash signatures: 4 bands × 4 rows;
+    * docs sharing any band hash become candidate pairs; est_sim =
+    * fraction of equal signature positions. The join key is the band
+    * hash — collision-proportional cost, AQE skew-join for hot buckets
+    * (e.g. boilerplate-heavy corpora). */
+  def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir)
+    val bandKey = (b: Int) =>
+      md5(concat_ws(",", (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*))
+    val bands = sig.select(col("doc_id") +: (0 until 4).map(b => bandKey(b).as(s"band$b")): _*)
+      .select(col("doc_id"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("b"), col(s"band$b").as("h"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.b").as("band"), col("bk.h").as("bhash"))
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bhash") === col("y.bhash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(sig.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
+      .withColumn("n_equal",
+        aggregate(zip_with(col("sig1"), col("sig2"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, v) => acc + v))
+      .withColumn("est_sim", col("n_equal") / lit(MinhashK.toDouble))
+      .select(col("d1"), col("d2"), col("n_equal"), col("est_sim"))
+      .orderBy(col("d1"), col("d2"))
+  }
+}

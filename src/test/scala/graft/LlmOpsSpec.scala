@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.LlmOps
+import org.apache.spark.sql.functions._
+
+/** Dedup-family semantics on inline corpora: survivor choice, shingle
+  * construction, Jaccard math, MinHash signature invariants, and the
+  * LSH-catches-near-dups / rejects-unrelated property. */
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normText collapses whitespace and case before hashing") {
+    val got = Seq("  Foo   BAR baz ", "foo bar baz").toDF("text")
+      .select(LlmOps.normText(col("text"))).as[String].collect()
+    assert(got(0) === got(1))
+  }
+
+  test("shingles: 3-grams, distinct, none for short docs") {
+    val docs = Seq(
+      (1L, "a b c d"),   // 2 shingles
+      (2L, "a b"),       // too short → none
+      (3L, "x y z x y z x y z") // repeated shingles collapse
+    ).toDF("doc_id", "text")
+    val sh = LlmOps.shingles(docs).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sh.filter(_._1 == 1L).map(_._2).sorted === Seq("a b c", "b c d"))
+    assert(!sh.exists(_._1 == 2L))
+    // 9 tokens → 7 positions but only 3 distinct shingles
+    assert(sh.filter(_._1 == 3L).map(_._2).sorted === Seq("x y z", "y z x", "z x y"))
+  }
+
+  test("jaccard pairs: identical docs hit 1.0, disjoint docs absent") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely here now")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", lit(0L))
+    val dir = writeDocsFixture(docs)
+    val pairs = LlmOps.jaccardPairs(spark, dir).collect()
+    assert(pairs.length === 1)
+    assert(pairs(0).getLong(0) === 1L && pairs(0).getLong(1) === 2L)
+    assert(pairs(0).getDouble(5) === 1.0)
+  }
+
+  test("minhash: identical shingle sets → identical signatures; LSH pairs them") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", lit(0L))
+    val dir = writeDocsFixture(docs)
+    val sigs = LlmOps.minhashSignatures(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(3L))
+    assert(sigs(1L).length === LlmOps.MinhashK)
+    val cand = LlmOps.lshCandidatePairs(spark, dir).collect()
+    assert(cand.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(cand(0).getInt(2) === LlmOps.MinhashK) // all positions equal
+    assert(cand(0).getDouble(3) === 1.0)
+  }
+
+  test("exact dedup keeps the minimum doc_id per content hash") {
+    val docs = Seq(
+      (7L, "Same   Text"), (3L, "same text"), (9L, "other text")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", lit(0L))
+    val dir = writeDocsFixture(docs)
+    val got = LlmOps.exactDedup(spark, dir).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got === Map(3L -> 2L, 9L -> 1L))
+  }
+
+  /** LlmOps loads via Tables.documents(dir) — materialize the fixture
+    * as a one-file parquet table like the driver testdata. */
+  private def writeDocsFixture(df: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("llmops").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+}
