@@ -40,6 +40,11 @@ object SparkEntry {
     "q19_exact_dedup"       -> LlmOps.exactDedup _,
     "q20_jaccard_pairs"     -> ((s, d) => LlmOps.jaccardPairs(s, d)),
     "q21_minhash_lsh_pairs" -> LlmOps.lshCandidatePairs _,
+    "q22_simhash"           -> TextOps.simhash _,
+    "q23_text_stats"        -> TextOps.textStats _,
+    "q24_lang_id"           -> TextOps.langId _,
+    "q25_token_counts"      -> TextOps.tokenCounts _,
+    "q26_winnow_fingerprint" -> ((s, d) => TextOps.winnowFingerprint(s, d)),
   )
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -220,5 +225,73 @@ object SparkEntry {
                 GROUP BY 1, 2)
          SELECT d1, d2, n_equal, CAST(n_equal AS DOUBLE)/16.0 AS est_sim
          FROM eq ORDER BY d1, d2""",
+    "q22_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id, tok, count(*) AS cnt FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+           WHERE length(tok) > 0 GROUP BY 1, 2),
+         hashed AS (
+           SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h, cnt FROM toks),
+         bits AS (
+           SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+           FROM hashed, (SELECT unnest(generate_series(0, 59)) AS b) bs GROUP BY 1, 2)
+         SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "q23_text_stats" ->
+      """SELECT doc_id, n_tokens, n_distinct_tokens,
+           CAST(sum_tok_len AS DOUBLE)/n_tokens AS avg_token_len,
+           CAST(n_stop AS DOUBLE)/n_tokens AS stopword_ratio,
+           CAST(length(text) - length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / length(text) AS alnum_ratio
+         FROM (
+           SELECT doc_id, text,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_tokens,
+             CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_tok_len,
+             CAST(len(list_filter(ws, x -> list_contains(['the','a','of','to','and','in','is','on'], x))) AS BIGINT) AS n_stop
+           FROM (SELECT doc_id, text,
+                   list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+                 FROM documents) t) t2
+         ORDER BY doc_id""",
+    "q24_lang_id" ->
+      """WITH docs AS (
+           SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+           FROM documents),
+         scored AS (
+           SELECT doc_id, lang, 'de' AS cand,
+             CAST(len(list_filter(ws, x -> list_contains(['der','die','das','und'], x))) AS BIGINT) AS score FROM docs
+           UNION ALL SELECT doc_id, lang, 'en',
+             CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and'], x))) AS BIGINT) FROM docs
+           UNION ALL SELECT doc_id, lang, 'es',
+             CAST(len(list_filter(ws, x -> list_contains(['el','la','de','los'], x))) AS BIGINT) FROM docs
+           UNION ALL SELECT doc_id, lang, 'fr',
+             CAST(len(list_filter(ws, x -> list_contains(['le','la','et','les'], x))) AS BIGINT) FROM docs),
+         ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+           FROM scored)
+         SELECT lang, CASE WHEN score > 0 THEN cand ELSE 'unknown' END AS pred,
+           count(*) AS n_docs
+         FROM ranked WHERE rn = 1 GROUP BY 1, 2 ORDER BY lang, pred""",
+    "q25_token_counts" ->
+      """SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+         FROM documents ORDER BY doc_id""",
+    "q26_winnow_fingerprint" ->
+      """WITH grams AS (
+           SELECT doc_id, i,
+             CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT) AS h
+           FROM documents, unnest(generate_series(1, length(text)-7)) AS t(i)
+           WHERE length(text) >= 8),
+         wmins AS (
+           SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+           FROM grams)
+         SELECT doc_id, list_sort(list(DISTINCT wmin)) AS fingerprint, count(*) AS n_grams
+         FROM wmins GROUP BY doc_id ORDER BY doc_id""",
   )
 }

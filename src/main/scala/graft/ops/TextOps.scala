@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-analysis operators for training-data curation over `documents`:
+  * SimHash fingerprints, quality stats, heuristic language ID, token
+  * counting, and winnowing document fingerprints.
+  *
+  * Scale design: every operator is a single scan + at most one shuffle
+  * keyed by doc_id (SimHash folds 60 bit-sums map-side exactly like a
+  * partial agg; winnowing's window is per-doc). Hashes reuse
+  * [[LlmOps.portableHash64]] so each query has a bit-exact DuckDB twin;
+  * swap for xxhash64 at production scale (same plan shape).
+  */
+object TextOps {
+
+  val SimhashBits = 60
+
+  /** q22 — 60-bit SimHash over whitespace tokens weighted by count.
+    * Bit b of the fingerprint is 1 iff the count-weighted sum of
+    * (±1 per token, + if the token hash has bit b set) is > 0.
+    * One shuffle: groupBy(doc_id, token) folds counts map-side, the
+    * 60 bit-sums fold map-side in the second (tiny) agg. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", LlmOps.portableHash64(col("tok")))
+    val bitSums = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(f"s$b%02d")
+    }
+    val fingerprint = (0 until SimhashBits)
+      .map(b => when(col(f"s$b%02d") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pinned stopword list for quality ratios (the testdata vocabulary
+    * is English-ish word soup; list chosen from it deliberately). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "on")
+
+  /** q23 — per-doc quality stats: token counts, average token length,
+    * stopword ratio, non-alphanumeric character ratio. Pure per-row
+    * expressions — no shuffle at all, scales linearly with the scan. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(Stopwords.map(lit): _*)
+    Tables.documents(spark, dir)
+      .withColumn("ws", filter(split(col("text"), " "), x => length(x) > 0))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("n_distinct_tokens", size(array_distinct(col("ws"))).cast("long"))
+      .withColumn("sum_tok_len",
+        aggregate(col("ws"), lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("n_stop",
+        size(filter(col("ws"), x => array_contains(stopArr, x))).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("n_distinct_tokens"),
+        (col("sum_tok_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+        (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+        ((length(col("text")) - length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")))
+          .cast("double") / length(col("text"))).as("alnum_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Pinned per-language marker tokens for the n-gram heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "los"),
+    "fr" -> Seq("le", "la", "et", "les"))
+
+  /** q24 — heuristic language ID: score each doc against each marker
+    * list (count of marker-token occurrences), predict the best-scoring
+    * language (ties → lexicographically first), `unknown` when no
+    * marker hits; aggregate to a (label, predicted) confusion table.
+    * Plan: scan → per-row scores → explode(4) → window rank → count:
+    * one shuffle by doc, one by (lang, pred). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("ws", filter(split(col("text"), " "), x => length(x) > 0))
+    val scored = docs.select(col("doc_id"), col("lang"), explode(array(
+      LangMarkers.map { case (l, marks) =>
+        val mArr = array(marks.map(lit): _*)
+        struct(lit(l).as("cand"),
+          size(filter(col("ws"), x => array_contains(mArr, x))).cast("long").as("score"))
+      }: _*)).as("s"))
+      .select(col("doc_id"), col("lang"), col("s.cand"), col("s.score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"),
+        when(col("score") > 0, col("cand")).otherwise("unknown").as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  /** BPE-ish token regex: letter runs, digit runs, or single
+    * non-alphanumeric marks — a deterministic stand-in for a real BPE
+    * vocabulary with the same plan shape (regex over the scan). */
+  val BpeTokenRe = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** q25 — token counting: whitespace tokens vs BPE-ish regex tokens
+    * per doc. No shuffle; linear in the scan. */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(filter(split(col("text"), " "), x => length(x) > 0)).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")), lit(BpeTokenRe), lit(0)))
+          .cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** q26 — winnowing document fingerprint (MOSS-style): hash every
+    * char k-gram, keep the minimum hash of each sliding window of w
+    * positions, fingerprint = sorted distinct minima. Robust to small
+    * edits; the standard near-dup/plagiarism sketch. Plan: explode
+    * positions → per-doc window min (one shuffle by doc_id) → collect.
+    * (Window-frame min, not a self-join; at 100 TB the explode factor
+    * is ~n_chars, the same cost class as tokenization.) */
+  def winnowFingerprint(spark: SparkSession, dir: String,
+                        k: Int = 8, w: Int = 4): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hashed = docs
+      .select(col("doc_id"),
+        explode(when(length(col("text")) >= k,
+          sequence(lit(1), length(col("text")) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("i"),
+        LlmOps.portableHash64(expr(s"substring(text, i, $k)")).as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(0, w - 1)
+    hashed
+      .select(col("doc_id"), min(col("h")).over(win).as("wmin"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("wmin"))).as("fingerprint"),
+        count(lit(1)).as("n_grams"))
+      .orderBy(col("doc_id"))
+  }
+}
