@@ -1,34 +1,49 @@
 #!/usr/bin/env python3
 """Local mimic of the driver's t2 correctness gate.
 
-Runs graft.Verify output (parquet per query + oracle_sql.json) against
-DuckDB over the same testdata parquet tables, sorts columns by name,
-and compares row-by-row values. Dev tool only — the engine itself is
-pure Scala/Spark.
+Reads graft.Verify output (parquet per query + oracle_sql.json) the way
+the DRIVER does — Spark parquet via pyarrow/pandas, oracle via DuckDB's
+.df() — so local green predicts driver green. The round-2 version read
+BOTH sides through DuckDB, which coerced dtypes to match and masked two
+whole classes of driver failures:
+  - DECIMAL output columns: Spark parquet surfaces Python Decimal
+    objects, DuckDB surfaces float64 — equal values, unequal hashes;
+  - ARRAY output columns: pandas sort_values on ndarray cells raises
+    `unhashable type: numpy.ndarray`.
+Both are now hard FAILures here regardless of values.
 
 Usage: python3 scripts/oracle_check.py <verify_out_dir> <sf_dir>
 """
-import sys, os, json, glob, math
+import sys, os, json, glob, math, decimal
 import duckdb
+import pandas as pd
+import numpy as np
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
 def norm(v):
-    import numpy as np
-    if isinstance(v, np.ndarray):
-        return tuple(norm(x) for x in v)
     if isinstance(v, np.integer):
         return int(v)
     if isinstance(v, np.floating):
         v = float(v)
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
+        return "NaN" if math.isnan(v) else v
     return v
+
+
+def check_dtypes(df, name):
+    """Driver-killer dtypes in the SPARK output: fail loudly."""
+    bad = []
+    for c in df.columns:
+        sample = next((v for v in df[c] if v is not None and not (isinstance(v, float) and math.isnan(v))), None)
+        if isinstance(sample, decimal.Decimal):
+            bad.append(f"{c}: Decimal (hashes != DuckDB float64 — cast to DOUBLE on both sides)")
+        if isinstance(sample, (np.ndarray, list)):
+            bad.append(f"{c}: array (driver sort_values crashes — serialize to joined string)")
+    if bad:
+        print(f"FAIL {name}: driver-incompatible output dtypes:\n  " + "\n  ".join(bad))
+    return not bad
 
 
 def main(out_dir, sf_dir):
@@ -41,12 +56,16 @@ def main(out_dir, sf_dir):
     failures = 0
     for name in sorted(oracle):
         qdir = os.path.join(out_dir, name)
-        files = glob.glob(os.path.join(qdir, "*.parquet"))
+        files = sorted(glob.glob(os.path.join(qdir, "*.parquet")))
         if not files:
             print(f"FAIL {name}: no spark output")
             failures += 1
             continue
-        got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+        # the driver's read path: pyarrow -> pandas, NOT duckdb
+        got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
+        if not check_dtypes(got, name):
+            failures += 1
+            continue
         try:
             exp = con.sql(oracle[name]).df()
         except Exception as e:
@@ -58,23 +77,27 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: columns {gcols} vs {ecols}")
             failures += 1
             continue
-        g = [tuple(norm(v) for v in row) for row in got[gcols].itertuples(index=False)]
-        e = [tuple(norm(v) for v in row) for row in exp[ecols].itertuples(index=False)]
+        # the driver sorts rows with pandas sort_values over all columns
+        try:
+            gs = got[gcols].sort_values(by=gcols, ignore_index=True)
+            es = exp[ecols].sort_values(by=ecols, ignore_index=True)
+        except TypeError as e:
+            print(f"FAIL {name}: sort_values raised {e}")
+            failures += 1
+            continue
+        g = [tuple(norm(v) for v in row) for row in gs.itertuples(index=False)]
+        e = [tuple(norm(v) for v in row) for row in es.itertuples(index=False)]
         if len(g) != len(e):
             print(f"FAIL {name}: rows {len(g)} vs {len(e)}")
             failures += 1
             continue
-        # driver may or may not sort rows; require both orders to line up
         mism = [i for i, (a, b) in enumerate(zip(g, e)) if a != b]
         if mism:
             i = mism[0]
             print(f"FAIL {name}: {len(mism)} row mismatches; first at {i}:\n  spark={g[i]}\n  duck ={e[i]}")
             failures += 1
             continue
-        # dtype report (informational)
-        gd, ed = list(got[gcols].dtypes), list(exp[ecols].dtypes)
-        flag = "" if [str(x) for x in gd] == [str(x) for x in ed] else f"  [dtypes differ: {gd} vs {ed}]"
-        print(f"OK   {name}: {len(g)} rows{flag}")
+        print(f"OK   {name}: {len(g)} rows")
     print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
     return 1 if failures else 0
 

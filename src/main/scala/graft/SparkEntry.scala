@@ -52,15 +52,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_disc_price,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q02_ship_priority" ->
       """SELECT l_orderkey, o_orderpriority,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+         CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
@@ -68,12 +68,12 @@ object SparkEntry {
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q03_brand_volume" ->
       """SELECT p_brand,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
          count(*) AS n_lines
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
     "q04_semi_join_exists" ->
-      """SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS total_dec
+      """SELECT o_orderkey, o_orderstatus, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_dec
          FROM orders WHERE EXISTS (
            SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
          ORDER BY o_orderkey""",
@@ -87,12 +87,12 @@ object SparkEntry {
          FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
          GROUP BY n_nationkey, n_name ORDER BY n_nationkey""",
     "q07_latest_event_per_user" ->
-      """SELECT user_id, event_id, event_type, CAST(value AS DECIMAL(18,2)) AS value_dec
+      """SELECT user_id, event_id, event_type, CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value_dec
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
                FROM events) t
          WHERE rn = 1 ORDER BY user_id""",
     "q08_top3_orders_per_customer" ->
-      """SELECT o_custkey, rnk, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+      """SELECT o_custkey, rnk, o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec
          FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                       row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
                FROM orders) t
@@ -107,7 +107,7 @@ object SparkEntry {
       """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM documents GROUP BY source, lang ORDER BY source, lang""",
     "q11_sources_per_lang" ->
-      """SELECT lang, list_sort(list(DISTINCT source)) AS sources, count(*) AS n_docs
+      """SELECT lang, array_to_string(list_sort(list(DISTINCT source)), '|') AS sources, count(*) AS n_docs
          FROM documents GROUP BY lang ORDER BY lang""",
     "q12_union_distinct" ->
       """SELECT DISTINCT custkey FROM (
@@ -118,12 +118,12 @@ object SparkEntry {
     "q13_try_cast_props" ->
       """SELECT event_id,
          json_extract_string(props, '$.k') AS k_str,
-         TRY_CAST(json_extract_string(props, '$.k') AS DECIMAL(38,0)) AS k_num,
-         TRY_CAST(event_type AS DECIMAL(38,0)) AS not_a_number
+         CAST(TRY_CAST(json_extract_string(props, '$.k') AS DECIMAL(38,0)) AS DOUBLE) AS k_num,
+         CAST(TRY_CAST(event_type AS DECIMAL(38,0)) AS DOUBLE) AS not_a_number
          FROM events ORDER BY event_id""",
     "q14_rollup_orders" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price
+         CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
          FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "q15_dep_scan_docs" ->
@@ -138,7 +138,7 @@ object SparkEntry {
            SELECT w.word, c.def_doc, w.doc_id
            FROM wordsf w JOIN cat c USING (word)
            WHERE w.doc_id <> c.def_doc)
-         SELECT word, def_doc, list_sort(list(DISTINCT doc_id)) AS used_in, count(*) AS n_uses
+         SELECT word, def_doc, array_to_string(list_sort(list(DISTINCT doc_id)), '|') AS used_in, count(*) AS n_uses
          FROM edges GROUP BY word, def_doc ORDER BY word""",
     "q16_owners_glob_join" ->
       """WITH owners(regex, teams) AS (VALUES
@@ -149,7 +149,7 @@ object SparkEntry {
          m AS (
            SELECT d.lang, o.teams FROM documents d
            JOIN owners o ON regexp_matches(d.source, o.regex))
-         SELECT lang, list_sort(list_distinct(flatten(list(teams)))) AS teams, count(*) AS n_matches
+         SELECT lang, array_to_string(list_sort(list_distinct(flatten(list(teams)))), '|') AS teams, count(*) AS n_matches
          FROM m GROUP BY lang ORDER BY lang""",
     "q17_review_gate" ->
       """WITH base AS (
@@ -192,8 +192,10 @@ object SparkEntry {
          FROM documents GROUP BY 1 ORDER BY content_hash""",
     "q20_jaccard_pairs" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         sh AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+         sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
                 FROM words, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
+         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -291,7 +293,7 @@ object SparkEntry {
              min(h) OVER (PARTITION BY doc_id ORDER BY i
                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
            FROM grams)
-         SELECT doc_id, list_sort(list(DISTINCT wmin)) AS fingerprint, count(*) AS n_grams
+         SELECT doc_id, array_to_string(list_sort(list(DISTINCT wmin)), '|') AS fingerprint, count(*) AS n_grams
          FROM wmins GROUP BY doc_id ORDER BY doc_id""",
   )
 }

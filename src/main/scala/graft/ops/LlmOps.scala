@@ -58,10 +58,27 @@ object LlmOps {
   /** q20 — n-gram Jaccard near-dup pairs. Candidates = pairs sharing
     * at least one shingle (bucket join on shingle — the shuffle key is
     * the shingle, never all-pairs); exact Jaccard from distinct-shingle
-    * counts; threshold keeps true near-dups. */
+    * counts; threshold keeps true near-dups.
+    *
+    * Scale guards:
+    *  - the shingle table is persisted: it feeds the size table and
+    *    both sides of the self-join, and recomputing the
+    *    scan→split→explode subtree 3× is a full-input tax at 100 TB
+    *    (cache lives for the session; Verify/Bench run each query once);
+    *  - document-frequency cap (`maxDf`): a boilerplate shingle shared
+    *    by k docs makes k(k-1)/2 candidate rows — quadratic in the hot
+    *    key, which AQE skew-join can spread but not shrink. Shingles in
+    *    more than `maxDf` docs carry no near-dup signal (standard
+    *    near-dup practice) and are dropped BEFORE the self-join; the
+    *    hot list is tiny by construction, so it broadcasts. Jaccard is
+    *    then over the capped shingle universe on both sides (the
+    *    oracle applies the identical cap). */
   def jaccardPairs(spark: SparkSession, dir: String,
-                   n: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val sh = shingles(Tables.documents(spark, dir), n)
+                   n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50): DataFrame = {
+    val all = shingles(Tables.documents(spark, dir), n).persist()
+    val hot = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("shingle"))
+    val sh = all.join(broadcast(hot), Seq("shingle"), "left_anti")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -101,7 +118,11 @@ object LlmOps {
     * hash — collision-proportional cost, AQE skew-join for hot buckets
     * (e.g. boilerplate-heavy corpora). */
   def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir)
+    // persist: sig feeds the band explode (self-joined as x AND y) plus
+    // the two signature re-joins — uncached, the shingles→16-way-md5
+    // agg subtree would execute ~5× (the round-2 bench's 109 s defect).
+    // One materialization, four cheap cache scans.
+    val sig = minhashSignatures(spark, dir).persist()
     val bandKey = (b: Int) =>
       md5(concat_ws(",", (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*))
     val bands = sig.select(col("doc_id") +: (0 until 4).map(b => bandKey(b).as(s"band$b")): _*)

@@ -37,7 +37,10 @@ object RefAnalog {
     words.join(cat, Seq("word"))
       .filter(col("doc_id") =!= col("def_doc"))
       .groupBy(col("word"), col("def_doc"))
-      .agg(sort_array(collect_set(col("doc_id"))).as("used_in"),
+      // sorted set serialized to a '|'-joined string: the driver's
+      // pandas comparator cannot sort/hash array cells.
+      .agg(array_join(sort_array(collect_set(col("doc_id"))).cast("array<string>"), "|")
+          .as("used_in"),
         count(lit(1)).as("n_uses"))
       .orderBy(col("word"))
   }
@@ -56,7 +59,8 @@ object RefAnalog {
     ).toDF("pattern", "teams")
     Owners.matchingTeams(docs, owners, "source")
       .groupBy(col("lang"))
-      .agg(array_sort(array_distinct(flatten(collect_list(col("teams"))))).as("teams"),
+      .agg(array_join(array_sort(array_distinct(flatten(collect_list(col("teams"))))), "|")
+          .as("teams"),
         count(lit(1)).as("n_matches"))
       .orderBy(col("lang"))
   }

@@ -25,6 +25,16 @@ object Relational {
   private def dec(c: Column, scale: Int = 2): Column =
     c.cast(DecimalType(18, scale))
 
+  /** Final-projection rule for the driver's pandas comparator: DECIMAL
+    * outputs surface as Python `Decimal` objects on the Spark side but
+    * float64 on the DuckDB side — numerically equal, never hash-equal.
+    * So every query aggregates in exact decimal (order-independent)
+    * and casts the *final* column to DOUBLE on both sides. The cast is
+    * deterministic: the decimal is exact and its unscaled value fits
+    * in 2^53 at bench scale, so decimal→double is a single correctly-
+    * rounded IEEE operation in both engines. */
+  private def dbl(c: Column): Column = c.cast("double")
+
   /** Q1-style pricing summary: scan → filter → hash agg.
     * Aggregates in decimal so the result is independent of partial-agg
     * order; the scan should show PushedFilters on l_shipdate.
@@ -35,10 +45,10 @@ object Relational {
     li.filter(col("l_shipdate") < lit("1998-09-01").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
-        sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 2)).as("sum_base_price"),
-        sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
-          .cast(DecimalType(38, 4)).as("sum_disc_price"),
+        dbl(sum(dec(col("l_quantity"))).cast(DecimalType(38, 2))).as("sum_qty"),
+        dbl(sum(dec(col("l_extendedprice"))).cast(DecimalType(38, 2))).as("sum_base_price"),
+        dbl(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+          .cast(DecimalType(38, 4))).as("sum_disc_price"),
         count(lit(1)).as("count_order")
       )
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -54,8 +64,8 @@ object Relational {
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .join(cust, ord("o_custkey") === cust("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderpriority"))
-      .agg(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
-        .cast(DecimalType(38, 4)).as("revenue"))
+      .agg(dbl(sum(dec(col("l_extendedprice")) * dec(lit(1.0) - col("l_discount")))
+        .cast(DecimalType(38, 4))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -68,7 +78,7 @@ object Relational {
     li.join(broadcast(pt), li("l_partkey") === pt("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        sum(dec(col("l_quantity"))).cast(DecimalType(38, 2)).as("sum_qty"),
+        dbl(sum(dec(col("l_quantity"))).cast(DecimalType(38, 2))).as("sum_qty"),
         count(lit(1)).as("n_lines")
       )
       .orderBy(col("p_brand"))
@@ -81,7 +91,7 @@ object Relational {
     val big = Tables.lineitem(spark, dir).filter(col("l_quantity") >= 48)
       .select(col("l_orderkey"))
     ord.join(big, ord("o_orderkey") === big("l_orderkey"), "left_semi")
-      .select(col("o_orderkey"), col("o_orderstatus"), dec(col("o_totalprice")).as("total_dec"))
+      .select(col("o_orderkey"), col("o_orderstatus"), dbl(dec(col("o_totalprice"))).as("total_dec"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -118,7 +128,7 @@ object Relational {
     ev.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        dec(col("value")).as("value_dec"))
+        dbl(dec(col("value"))).as("value_dec"))
       .orderBy(col("user_id"))
   }
 
@@ -131,7 +141,7 @@ object Relational {
     ord.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("o_custkey"), col("rnk").cast(LongType).as("rnk"), col("o_orderkey"),
-        dec(col("o_totalprice")).as("price_dec"))
+        dbl(dec(col("o_totalprice"))).as("price_dec"))
       .orderBy(col("o_custkey"), col("rnk"))
   }
 
@@ -163,7 +173,10 @@ object Relational {
   def sourcesPerLang(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(col("lang"))
-      .agg(sort_array(collect_set(col("source"))).as("sources"),
+      // array_join: the driver comparator cannot sort/hash ndarray
+      // cells, so sorted-set outputs serialize to a '|'-joined string
+      // (deterministic: the array is already sorted).
+      .agg(array_join(sort_array(collect_set(col("source"))), "|").as("sources"),
         count(lit(1)).as("n_docs"))
       .orderBy(col("lang"))
 
@@ -187,8 +200,8 @@ object Relational {
     ev.select(
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
-        get_json_object(col("props"), "$.k").try_cast(DecimalType(38, 0)).as("k_num"),
-        col("event_type").try_cast(DecimalType(38, 0)).as("not_a_number")
+        dbl(get_json_object(col("props"), "$.k").try_cast(DecimalType(38, 0))).as("k_num"),
+        dbl(col("event_type").try_cast(DecimalType(38, 0))).as("not_a_number")
       )
       .orderBy(col("event_id"))
   }
@@ -199,7 +212,7 @@ object Relational {
     val ord = Tables.orders(spark, dir)
     ord.rollup(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
-        sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2)).as("sum_price"))
+        dbl(sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2))).as("sum_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 }

@@ -143,7 +143,9 @@ object TextOps {
     hashed
       .select(col("doc_id"), min(col("h")).over(win).as("wmin"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("wmin"))).as("fingerprint"),
+      // '|'-joined sorted minima: array cells kill the driver comparator.
+      .agg(array_join(sort_array(collect_set(col("wmin"))).cast("array<string>"), "|")
+          .as("fingerprint"),
         count(lit(1)).as("n_grams"))
       .orderBy(col("doc_id"))
   }
