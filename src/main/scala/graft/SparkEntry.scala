@@ -45,6 +45,7 @@ object SparkEntry {
     "q24_lang_id"           -> TextOps.langId _,
     "q25_token_counts"      -> TextOps.tokenCounts _,
     "q26_winnow_fingerprint" -> ((s, d) => TextOps.winnowFingerprint(s, d)),
+    "q27_ann_topk"          -> ((s, d) => Embeddings.annTopK(s, d)),
   )
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -295,5 +296,35 @@ object SparkEntry {
            FROM grams)
          SELECT doc_id, array_to_string(list_sort(list(DISTINCT wmin)), '|') AS fingerprint, count(*) AS n_grams
          FROM wmins GROUP BY doc_id ORDER BY doc_id""",
+    "q27_ann_topk" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         nrm AS (
+           SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q),
+         hp AS (
+           SELECT s.s, d.d,
+             CASE WHEN CAST(('0x' || substr(md5(s.s || ':' || d.d), 1, 15)) AS BIGINT) & 1 = 1 THEN 1 ELSE -1 END AS r
+           FROM (SELECT unnest(generate_series(0,3)) AS s) s, (SELECT unnest(generate_series(0,63)) AS d) d),
+         sk AS (
+           SELECT n.vec_id, hp.s, sum(hp.r * n.qv[hp.d+1]) AS dot_s
+           FROM nrm n, hp GROUP BY 1,2),
+         bk AS (
+           SELECT vec_id, CAST(sum(CASE WHEN dot_s >= 0 THEN (CAST(1 AS BIGINT) << s) ELSE 0 END) AS BIGINT) AS bucket
+           FROM sk GROUP BY 1),
+         v AS (SELECT n.vec_id, n.qv, n.nrm, b.bucket FROM nrm n JOIN bk b USING (vec_id)),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1,64), i -> q.qv[i]*c.qv[i])) AS BIGINT) AS dot,
+             q.nrm AS qn, c.nrm AS cn
+           FROM v q JOIN v c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+           WHERE q.vec_id % 50 = 0),
+         ranked AS (
+           SELECT q_id, neighbor_id, dot,
+             CAST(dot AS DOUBLE)/sqrt(CAST(qn AS DOUBLE)*CAST(cn AS DOUBLE)) AS cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY CAST(dot AS DOUBLE)/sqrt(CAST(qn AS DOUBLE)*CAST(cn AS DOUBLE)) DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT q_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dot, cosine
+         FROM ranked WHERE rnk <= 5 ORDER BY q_id, rank""",
   )
 }

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (north-star extension;
+  * the reference has no vector surface — BASELINE.json lists this as a
+  * required LLM-pipeline capability).
+  *
+  * Design for 100 TB:
+  *  - NO all-pairs anywhere: candidate generation is an equi-join on a
+  *    random-hyperplane LSH bucket, so cost is collision-proportional
+  *    (sum over buckets of |queries_b| × |candidates_b|), exactly the
+  *    q20/q21 shape. More planes → smaller buckets as N grows.
+  *  - the query side is broadcast (top-k retrieval serves a small query
+  *    set against a huge corpus); the corpus side never shuffles — the
+  *    scan streams through the broadcast hash join.
+  *  - exact arithmetic for the oracle gate: embeddings are quantized to
+  *    integers (`floor(x·1000)`), so dot products and norms are exact
+  *    BIGINTs in both engines and the final cosine is one identical
+  *    IEEE double expression on each side. At production scale you'd
+  *    drop the quantization and take float dot products (same plan).
+  *  - hyperplanes are Rademacher ±1 vectors derived from pinned md5
+  *    seeds (same trick as [[LlmOps]] MinHash): component (s,d) is the
+  *    low bit of md5("s:d"), so DuckDB reproduces the planes bit-for-
+  *    bit without sharing code. They are inlined as plan literals —
+  *    constant-folded, no join against a plane table on the Spark side.
+  */
+object Embeddings {
+
+  val Dim = 64
+  val Planes = 4
+
+  /** Rademacher component r(s, d) ∈ {+1, -1}: low bit of the 60-bit
+    * prefix of md5("s:d") — the Scala twin of the oracle's
+    * `CAST(('0x' || substr(md5(s || ':' || d), 1, 15)) AS BIGINT) & 1`. */
+  private[graft] def rademacher(s: Int, d: Int): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$s:$d".getBytes("UTF-8"))
+    val hex = digest.map("%02x".format(_)).mkString.take(15)
+    if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1L else -1L
+  }
+
+  /** Integer-quantized view of the embeddings: qv = floor(x·1000) per
+    * component (exact in both engines: float→double widen, one double
+    * multiply, floor), plus the exact squared norm. */
+  private def quantized(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * 1000)).as("qv"))
+      .withColumn("nrm", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+
+  /** LSH bucket: bit s of the code = sign of the projection onto
+    * hyperplane s. Plan literal arrays keep this in codegen. */
+  private def bucketCol: Column =
+    (0 until Planes).map { s =>
+      val plane = array((0 until Dim).map(d => lit(rademacher(s, d))): _*)
+      val proj = aggregate(zip_with(col("qv"), plane, (x, r) => x * r), lit(0L), (a, v) => a + v)
+      when(proj >= 0, lit(1L << s)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** q27 — LSH-bucketed cosine top-k: for every query vector (vec_id
+    * divisible by `queryMod`), the `k` nearest same-bucket neighbors by
+    * exact quantized cosine. Candidates come from the bucket equi-join
+    * only — ANN semantics (recall < 1 by design, measured against the
+    * brute-force oracle in EmbeddingsSpec). */
+  def annTopK(spark: SparkSession, dir: String,
+              k: Int = 5, queryMod: Int = 50): DataFrame = {
+    // persisted: feeds both the query side and the candidate side —
+    // without it the scan + quantize + 4 projections run twice.
+    val vecs = quantized(spark, dir).withColumn("bucket", bucketCol).persist()
+    val qs = vecs.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_v"),
+        col("nrm").as("q_n"), col("bucket"))
+    val cands = vecs.select(col("vec_id").as("neighbor_id"), col("qv").as("c_v"),
+      col("nrm").as("c_n"), col("bucket"))
+    val scored = cands.join(broadcast(qs), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("q_v"), col("c_v"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("q_n").cast("double") * col("c_n").cast("double")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dot"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+}

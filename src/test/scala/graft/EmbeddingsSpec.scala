@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.Embeddings
+import org.apache.spark.sql.Row
+
+/** q27 conformance: the LSH-bucketed top-k must agree exactly with an
+  * independently-coded brute-force (computed here in plain Scala over
+  * the collected sf0.001 table — test-only; no crossJoin enters any
+  * production plan). */
+class EmbeddingsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("rademacher components are the pinned md5 low bits") {
+    // expected values pinned from md5 hex prefixes computed externally:
+    // md5("0:0")=3eac1f3c2ef5215… (odd), md5("1:2")=def474a313bffa0… (even),
+    // md5("3:63")=f6f280a379b61c8… (even)
+    assert(Embeddings.rademacher(0, 0) == 1L)
+    assert(Embeddings.rademacher(1, 2) == -1L)
+    assert(Embeddings.rademacher(3, 63) == -1L)
+  }
+
+  /** Plain-Scala model: quantize, bucket, exact within-bucket top-k. */
+  private def model(k: Int, queryMod: Int): Seq[(Long, Long, Long, Long)] = {
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+    val vecs = rows.map { r =>
+      val id = r.getLong(0)
+      val q = r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray
+      (id, q)
+    }
+    val planes = Array.tabulate(Embeddings.Planes, Embeddings.Dim)(Embeddings.rademacher)
+    def bucket(q: Array[Long]): Long =
+      (0 until Embeddings.Planes).map { s =>
+        val proj = (0 until Embeddings.Dim).map(d => planes(s)(d) * q(d)).sum
+        if (proj >= 0) 1L << s else 0L
+      }.sum
+    val withB = vecs.map { case (id, q) => (id, q, q.map(x => x * x).sum, bucket(q)) }
+    withB.filter(_._1 % queryMod == 0).flatMap { case (qid, qv, qn, qb) =>
+      withB.filter(c => c._4 == qb && c._1 != qid)
+        .map { case (cid, cv, cn, _) =>
+          val dot = (0 until Embeddings.Dim).map(d => qv(d) * cv(d)).sum
+          val cos = dot.toDouble / math.sqrt(qn.toDouble * cn.toDouble)
+          (cid, dot, cos)
+        }
+        .sortBy { case (cid, _, cos) => (-cos, cid) }
+        .take(k).zipWithIndex
+        .map { case ((cid, dot, _), i) => (qid, (i + 1).toLong, cid, dot) }
+    }.toSeq.sortBy(t => (t._1, t._2))
+  }
+
+  test("annTopK matches the brute-force within-bucket model exactly") {
+    val got = Embeddings.annTopK(spark, dir).collect().toSeq
+      .map { case Row(q: Long, r: Long, n: Long, d: Long, _) => (q, r, n, d) }
+    val want = model(5, 50)
+    assert(got == want)
+  }
+
+  test("buckets are non-degenerate and candidates never include self") {
+    val out = Embeddings.annTopK(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(2) != r.getLong(0)))
+    // every query doc with any same-bucket peer appears (sf0.001 has 500
+    // vectors in 16 buckets — no bucket can be a singleton in practice)
+    assert(out.map(_.getLong(0)).distinct.length >= 5)
+  }
+}
