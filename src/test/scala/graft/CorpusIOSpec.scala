@@ -1,0 +1,138 @@
+package graft
+
+import graft.io.CorpusIO
+import java.nio.file.{Files, Path, Paths}
+
+/** End-to-end E1/E2 over a REAL directory tree (tmpdir fixture in the
+  * reference's corpus shape, test_scan_dependencies.py:18-64 style):
+  * recursive file scan with non-UTF-8 side channel, dependency graphs,
+  * byte-exact python-`json.dump(indent=2)` artifacts, JSON round-trip,
+  * and the CODEFACILITATORS text artifact. */
+class CorpusIOSpec extends SparkSpec {
+
+  private def write(root: Path, rel: String, content: String): Unit = {
+    val p = root.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.write(p, content.getBytes("UTF-8"))
+    ()
+  }
+
+  private def fixture(): Path = {
+    val root = Files.createTempDirectory("corpus")
+    write(root, "deployer/patch/DWH/kimball/r_1.1_f_base_func.sql",
+      "CREATE OR REPLACE FUNCTION ${kimball}KIMBALL.BASE_FUNC(x VARCHAR) AS 1;")
+    write(root, "deployer/patch/DWH/kimball/r_1.2_f_middle_func.sql",
+      "CREATE OR REPLACE FUNCTION KIMBALL.MIDDLE_FUNC(x VARCHAR) AS KIMBALL.BASE_FUNC(x);")
+    write(root, "superset_objects/datasets/view1.sql",
+      "SELECT ${ENV_PREFIX}KIMBALL.middle_func(UTM_CAMPAIGN) FROM t;")
+    // outside every search dir: its call-sites must not count
+    write(root, "unscanned/elsewhere.sql", "SELECT KIMBALL.base_func(1);")
+    // wrong extension: excluded by the path glob
+    write(root, "superset_objects/datasets/notes.txt", "KIMBALL.base_func(1)")
+    // invalid UTF-8: skipped with a side-channel record, like the
+    // reference's read_text error log
+    Files.write(root.resolve("deployer/patch/bad_encoding.sql"),
+      Array[Byte](0x53, 0x51, 0x4c, 0xFF.toByte, 0xFE.toByte, 0x00))
+    root
+  }
+
+  private val rawGolden =
+    """{
+      |  "base_func": {
+      |    "type": "function",
+      |    "path": "deployer/patch/DWH/kimball/r_1.1_f_base_func.sql",
+      |    "used_in": {
+      |      "files": [],
+      |      "functions": [
+      |        "middle_func"
+      |      ]
+      |    }
+      |  },
+      |  "middle_func": {
+      |    "type": "function",
+      |    "path": "deployer/patch/DWH/kimball/r_1.2_f_middle_func.sql",
+      |    "used_in": {
+      |      "files": [
+      |        "superset_objects/datasets/view1.sql"
+      |      ],
+      |      "functions": []
+      |    }
+      |  }
+      |}""".stripMargin
+
+  private val flatGolden =
+    """{
+      |  "base_func": {
+      |    "type": "function",
+      |    "path": "deployer/patch/DWH/kimball/r_1.1_f_base_func.sql",
+      |    "used_in": {
+      |      "files": [
+      |        "superset_objects/datasets/view1.sql"
+      |      ]
+      |    }
+      |  },
+      |  "middle_func": {
+      |    "type": "function",
+      |    "path": "deployer/patch/DWH/kimball/r_1.2_f_middle_func.sql",
+      |    "used_in": {
+      |      "files": [
+      |        "superset_objects/datasets/view1.sql"
+      |      ]
+      |    }
+      |  }
+      |}""".stripMargin
+
+  test("scanAndSave: real tree -> byte-exact json.dump(indent=2) artifacts + corrupt side channel") {
+    val root = fixture()
+    val out = Files.createTempDirectory("deps").toString
+    val corrupt = CorpusIO.scanAndSave(spark, root.toString, out)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(corrupt.toSeq == Seq(("deployer/patch/bad_encoding.sql", 6L)))
+    assert(Files.readString(Paths.get(s"$out/raw_dependencies.json")) == rawGolden)
+    assert(Files.readString(Paths.get(s"$out/flattened_dependencies.json")) == flatGolden)
+  }
+
+  test("corpus excludes non-sql files and relativizes to posix paths") {
+    val root = fixture()
+    val paths = CorpusIO.corpus(spark, root.toString)
+      .select("path").collect().map(_.getString(0)).sorted.toSeq
+    assert(paths == Seq(
+      "deployer/patch/DWH/kimball/r_1.1_f_base_func.sql",
+      "deployer/patch/DWH/kimball/r_1.2_f_middle_func.sql",
+      "superset_objects/datasets/view1.sql",
+      "unscanned/elsewhere.sql"))
+  }
+
+  test("readFlattenedJson round-trips the K1 artifact (S4)") {
+    val root = fixture()
+    val out = Files.createTempDirectory("deps").toString
+    CorpusIO.scanAndSave(spark, root.toString, out)
+    val back = CorpusIO.readFlattenedJson(spark, s"$out/flattened_dependencies.json")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getSeq[String](2)))
+      .sortBy(_._1).toSeq
+    assert(back == Seq(
+      ("base_func", "deployer/patch/DWH/kimball/r_1.1_f_base_func.sql",
+        Seq("superset_objects/datasets/view1.sql")),
+      ("middle_func", "deployer/patch/DWH/kimball/r_1.2_f_middle_func.sql",
+        Seq("superset_objects/datasets/view1.sql"))))
+  }
+
+  test("generateFacilitators: E2 end-to-end text artifact (K2)") {
+    val root = fixture()
+    val out = Files.createTempDirectory("deps").toString
+    CorpusIO.scanAndSave(spark, root.toString, out)
+    write(root, ".github/MARTOWNERS",
+      """# owners
+        |superset_objects/datasets/* @org/market-facilitators @org/second
+        |nothing/matches/this @org/ghost
+        |""".stripMargin)
+    val outFile = s"$out/CODEFACILITATORS"
+    CorpusIO.generateFacilitators(spark, s"$out/flattened_dependencies.json",
+      root.resolve(".github/MARTOWNERS").toString, outFile)
+    val expected =
+      "# Auto-generated from dependencies\n\n" +
+        "deployer/patch/DWH/kimball/r_1.1_f_base_func.sql @org/market-facilitators @org/second\n" +
+        "deployer/patch/DWH/kimball/r_1.2_f_middle_func.sql @org/market-facilitators @org/second\n"
+    assert(Files.readString(Paths.get(outFile)) == expected)
+  }
+}
