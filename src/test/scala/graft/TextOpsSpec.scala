@@ -1,0 +1,87 @@
+package graft
+
+import graft.ops.{LlmOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** q22-q26 semantics on inline corpora: simhash bit construction and
+  * invariances, quality-stat arithmetic, language-ID markers, token
+  * counting, winnowing window minima. */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String)], lang: String = "en"): String = {
+    val dir = java.nio.file.Files.createTempDirectory("textops").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit(lang)).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("simhash of a single-token doc IS the token hash masked to 60 bits") {
+    // with one token of count 1, bit b's weighted sum is +1 iff bit b of
+    // the token hash is set — so the fingerprint equals the hash itself
+    val dir = writeDocs(Seq((1L, "hello")))
+    val got = TextOps.simhash(spark, dir).collect()(0).getLong(1)
+    val h = Seq("hello").toDF("t")
+      .select(LlmOps.portableHash64(col("t"))).as[Long].collect()(0)
+    assert(got == (h & ((1L << TextOps.SimhashBits) - 1)))
+  }
+
+  test("simhash is token-order invariant and count-sensitive") {
+    val dir = writeDocs(Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),     // same multiset → same bits
+      (3L, "alpha alpha alpha alpha beta gamma delta"))) // weights differ
+    val m = TextOps.simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+  }
+
+  test("textStats arithmetic on a pinned doc") {
+    val dir = writeDocs(Seq((1L, "the cat sat!!")))
+    val r = TextOps.textStats(spark, dir).collect()(0)
+    assert(r.getLong(1) == 3L)                  // n_tokens
+    assert(r.getLong(2) == 3L)                  // distinct
+    assert(r.getDouble(3) == (3 + 3 + 5) / 3.0) // avg token len ("sat!!" is 5)
+    assert(r.getDouble(4) == 1.0 / 3.0)         // stopword ratio ("the")
+    // 13 chars, 2 of them ('!','!') non-[a-zA-Z0-9 ]
+    assert(r.getDouble(5) == 11.0 / 13.0)
+  }
+
+  test("langId: marker tokens decide, no markers → unknown, ties → lexicographic") {
+    val dir = writeDocs(Seq(
+      (1L, "der hund und die katze"),  // de markers
+      (2L, "the house of the dog"),    // en markers
+      (3L, "zzz qqq www"),             // no markers → unknown
+      (4L, "la la la")))               // 'la' is in both es and fr → tie → es
+    val got = TextOps.langId(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("en", "de", 1L), ("en", "en", 1L),
+      ("en", "unknown", 1L), ("en", "es", 1L)))
+  }
+
+  test("tokenCounts: whitespace vs BPE-ish regex tokens") {
+    val dir = writeDocs(Seq((1L, "Hello, world 42")))
+    val r = TextOps.tokenCounts(spark, dir).collect()(0)
+    assert(r.getLong(1) == 3L) // ws tokens
+    assert(r.getLong(2) == 4L) // hello | , | world | 42
+    assert(r.getLong(3) == 15L)
+  }
+
+  test("winnowFingerprint: short docs drop out; identical docs agree; minima come from gram hashes") {
+    val dir = writeDocs(Seq(
+      (1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "short")))
+    val rows = TextOps.winnowFingerprint(spark, dir).collect()
+    val m = rows.map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(!m.contains(3L))            // < k chars → no grams
+    assert(m(1L) == m(2L))             // deterministic per content
+    assert(m(1L)._2 == 3L)             // 10 chars, k=8 → 3 gram positions
+    // every winnow minimum is one of the doc's k-gram hashes
+    val gramHashes = (0 until 3).map(i => "abcdefghij".substring(i, i + 8))
+      .toDF("g").select(LlmOps.portableHash64(col("g"))).as[Long].collect().toSet
+    val fp = m(1L)._1.split('|').map(_.toLong).toSet
+    assert(fp.subsetOf(gramHashes))
+  }
+}
