@@ -46,6 +46,7 @@ object SparkEntry {
     "q25_token_counts"      -> TextOps.tokenCounts _,
     "q26_winnow_fingerprint" -> ((s, d) => TextOps.winnowFingerprint(s, d)),
     "q27_ann_topk"          -> ((s, d) => Embeddings.annTopK(s, d)),
+    "q28_media_meta"        -> Multimodal.mediaMeta _,
   )
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -326,5 +327,22 @@ object SparkEntry {
            FROM scored)
          SELECT q_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dot, cosine
          FROM ranked WHERE rnk <= 5 ORDER BY q_id, rank""",
+    "q28_media_meta" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(text AS BLOB) AS content, text
+           FROM documents),
+         h AS (
+           -- duckdb md5 takes VARCHAR; the blob IS the utf-8 bytes of
+           -- text, so md5(text) hashes the identical byte string
+           SELECT *, CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hv FROM m)
+         SELECT media_id, kind,
+           CAST(octet_length(content) AS BIGINT) AS n_bytes,
+           substr(md5(text), 1, 12) AS content_key,
+           CAST(160 + (hv % 16) * 16 AS BIGINT) AS width,
+           CAST(120 + ((hv // 16) % 16) * 16 AS BIGINT) AS height,
+           CAST(CASE kind WHEN 'video' THEN 1 + hv % 240 WHEN 'audio' THEN 0 ELSE 1 END AS BIGINT) AS n_frames
+         FROM h ORDER BY media_id""",
   )
 }

@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media asset: an opaque binary payload plus typed metadata —
+  * the storage contract for multimodal training data (images/audio/
+  * video ride through the pipeline as `binary` columns; only the
+  * decode step knows the codec). */
+case class MediaRecord(media_id: Long, kind: String, content: Array[Byte])
+
+/** Decoder output: per-asset dimensions and a fixed-width feature
+  * vector (the embedding/thumbnail stand-in). */
+case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                         width: Int, height: Int, n_frames: Int,
+                         feature: Array[Float])
+
+/** Multimodal-column operators (north-star brief): binary payloads
+  * with typed metadata, decode / feature-extract / frame-sample.
+  *
+  * The DECODE STEP IS A STUB — this container has no image/audio
+  * codecs, so [[StubDecoder]] derives deterministic fake dimensions
+  * and features from a hash of the bytes. Everything around it is the
+  * real Spark plumbing a production decoder would drop into:
+  *  - assets are `binary` columns in a columnar table (parquet keeps
+  *    them page-compressed; predicate pushdown still prunes on the
+  *    typed metadata columns);
+  *  - [[extractFeatures]] is batch-shaped `mapPartitions` over a typed
+  *    Dataset — the JVM analog of an Arrow-batched Python UDF: the
+  *    decoder amortizes per-batch setup (model load, codec init)
+  *    across `batchSize` rows and streams, never materializing a
+  *    partition;
+  *  - partitioning: assets shuffle by `media_id` only if the caller
+  *    asks; decode itself is embarrassingly parallel over input
+  *    splits, which is the property that survives 100 TB.
+  */
+object Multimodal {
+
+  /** Pluggable decode seam. A real deployment implements this with an
+    * actual codec (JNI/ffmpeg/ImageIO) — signature and batch shape
+    * stay identical. */
+  trait Decoder extends Serializable {
+    /** Called once per batch (amortize codec/model setup). */
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures]
+  }
+
+  /** Deterministic fake: dimensions and features from the content
+    * hash — stable across runs/engines, no codec needed. */
+  object StubDecoder extends Decoder {
+    private def hash60(bytes: Array[Byte]): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val hex = md5.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { m =>
+      val h = hash60(m.content)
+      val (w, ht) = (160 + (h % 16).toInt * 16, 120 + ((h / 16) % 16).toInt * 16)
+      val frames = m.kind match {
+        case "video" => 1 + (h % 240).toInt
+        case "audio" => 0
+        case _       => 1
+      }
+      val feat = Array.tabulate(8)(i => (((h >> (i * 7)) & 127).toFloat - 64f) / 64f)
+      MediaFeatures(m.media_id, m.kind, m.content.length.toLong, w, ht, frames, feat)
+    }
+  }
+
+  /** Media table synthesized from `documents`: the text bytes play the
+    * opaque payload (the driver testdata has no real media), kind
+    * assigned deterministically. Schema is the production contract:
+    * (media_id, kind, content: binary). */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("content"))
+
+  /** Batch-shaped decode: the mapPartitions seam a real decoder plugs
+    * into. Streams each partition in `batchSize` groups — constant
+    * memory, per-batch decoder amortization. */
+  def extractFeatures(media: Dataset[MediaRecord], decoder: Decoder = StubDecoder,
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(b => decoder.decodeBatch(b.toSeq))
+    }
+  }
+
+  /** Frame sampling for video payloads: every `stride`-th fixed-size
+    * byte window as a (media_id, frame_no, frame) row — the plan shape
+    * of real frame extraction (explode by frame index, then decode
+    * each window). Pure expressions, stays in codegen. */
+  def frameSample(media: DataFrame, frameBytes: Int = 16, stride: Int = 4): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        explode(sequence(lit(0),
+          greatest(floor((length(col("content")) - frameBytes) / stride), lit(0)).cast("int"),
+          lit(1))).as("frame_no"),
+        col("content"))
+      .select(col("media_id"), col("frame_no"),
+        substring(col("content"), col("frame_no") * stride + 1, lit(frameBytes)).as("frame"))
+
+  /** q28 — typed-metadata projection over the binary column, fully
+    * expression-based (no UDF): byte length, a content key from md5,
+    * and the stub decoder's hash-derived dimensions, so the DuckDB
+    * oracle reproduces every value from the same blob bytes. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    val h = LlmOps.portableHash64(col("content"))
+    mediaTable(spark, dir)
+      .select(
+        col("media_id"), col("kind"),
+        length(col("content")).cast("long").as("n_bytes"),
+        substring(md5(col("content")), 1, 12).as("content_key"),
+        (lit(160) + (h % 16) * 16).cast("long").as("width"),
+        // h/16 as integer div = h >> 4 (h is a positive 60-bit hash;
+        // a double `/` would lose low bits past 2^53)
+        (lit(120) + (shiftright(h, 4) % 16) * 16).cast("long").as("height"),
+        when(col("kind") === "video", lit(1) + h % 240)
+          .when(col("kind") === "audio", lit(0))
+          .otherwise(lit(1)).cast("long").as("n_frames"))
+      .orderBy(col("media_id"))
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.ops.{MediaRecord, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: binary payload schema, batch-shaped decode
+  * (results independent of batch/partition boundaries), deterministic
+  * stub features, frame-sampling shape. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val records = Seq(
+    MediaRecord(0L, "image", "a tiny image payload".getBytes("UTF-8")),
+    MediaRecord(1L, "audio", "pcm-ish bytes here".getBytes("UTF-8")),
+    MediaRecord(2L, "video", ("frame" * 20).getBytes("UTF-8")),
+    MediaRecord(3L, "video", ("other-video-bytes" * 3).getBytes("UTF-8")))
+
+  test("extractFeatures: deterministic, batch-size invariant, kind-aware frames") {
+    val ds = records.toDS()
+    val a = Multimodal.extractFeatures(ds, batchSize = 1).collect().sortBy(_.media_id)
+    val b = Multimodal.extractFeatures(ds.repartition(3), batchSize = 64)
+      .collect().sortBy(_.media_id)
+    assert(a.length == 4)
+    // identical regardless of batching/partitioning
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.media_id == y.media_id && x.width == y.width &&
+        x.height == y.height && x.n_frames == y.n_frames &&
+        x.feature.toSeq == y.feature.toSeq)
+    }
+    val byId = a.map(f => f.media_id -> f).toMap
+    assert(byId(1L).n_frames == 0)                   // audio
+    assert(byId(0L).n_frames == 1)                   // image
+    assert(byId(2L).n_frames >= 1)                   // video
+    assert(a.forall(_.feature.length == 8))
+    assert(a.forall(f => f.feature.forall(v => v >= -1f && v <= 1f)))
+    assert(byId(0L).n_bytes == 20L)
+  }
+
+  test("frameSample explodes video payloads into fixed-size windows only") {
+    val media = records.toDS().toDF()
+    val frames = Multimodal.frameSample(media, frameBytes = 16, stride = 4).collect()
+    assert(frames.nonEmpty)
+    // only video rows sampled
+    assert(frames.map(_.getLong(0)).toSet == Set(2L, 3L))
+    // every frame is exactly frameBytes long
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 16))
+    // stride positions: media 2 has 100 bytes → (100-16)/4 + 1 = 22 frames
+    assert(frames.count(_.getLong(0) == 2L) == 22)
+  }
+
+  test("mediaMeta matches the stub decoder's dimensions (expression twin)") {
+    val dir = java.nio.file.Files.createTempDirectory("mm").toString
+    Seq((0L, "abc"), (1L, "defg"), (2L, "hijkl"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val meta = Multimodal.mediaMeta(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val decoded = Multimodal.StubDecoder.decodeBatch(
+      Multimodal.mediaTable(spark, dir).as[MediaRecord].collect().toSeq)
+      .map(f => f.media_id -> f).toMap
+    (0L to 2L).foreach { id =>
+      assert(meta(id).getLong(4) == decoded(id).width.toLong, s"width of $id")
+      assert(meta(id).getLong(5) == decoded(id).height.toLong, s"height of $id")
+      assert(meta(id).getLong(6) == decoded(id).n_frames.toLong, s"frames of $id")
+      assert(meta(id).getLong(2) == decoded(id).n_bytes, s"bytes of $id")
+    }
+  }
+}
