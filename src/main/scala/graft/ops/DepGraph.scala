@@ -111,13 +111,23 @@ object DepGraph {
     * reference's unused recursion helper, scan_dependencies.py:164-171).
     * Driver-side fixpoint of self-joins; each iteration is one Spark
     * job, bounded by the function-graph diameter (tiny vs the corpus,
-    * so this stays cheap even at 100 TB of SQL text). */
+    * so this stays cheap even at 100 TB of SQL text).
+    *
+    * Each iteration is `localCheckpoint`ed: without lineage truncation
+    * the plan doubles per round and a deep graph blows up planning
+    * time/driver memory long before the data does. Throws on
+    * non-convergence within `maxIters` — a truncated closure looks
+    * exactly like a converged one to callers (set union is monotone
+    * and bounded, so even cyclic graphs converge; only a diameter
+    * deeper than `maxIters` can trip this), so silence is not an
+    * option. */
   def transitiveDependencies(raw: DataFrame, maxIters: Int = 50): DataFrame = {
     // edges: G uses F  (F -> G), files(F) must absorb files(G)
     val edges = raw
       .select(col("function"), explode(col("used_in_functions")).as("g"))
       .cache()
-    var flat = raw.select(col("function"), col("path"), col("used_in_files")).cache()
+    var flat = raw.select(col("function"), col("path"), col("used_in_files"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -130,17 +140,20 @@ object DepGraph {
           first(col("used_in_files")),
           coalesce(flatten(collect_list(col("g_files"))), array().cast(ArrayType(StringType)))
         ))).as("used_in_files"))
-        .cache()
+        .localCheckpoint() // truncate lineage: O(1) plan depth per iteration
       val changed = expanded.as("n")
         .join(flat.as("o"), Seq("function"))
         .filter(col("n.used_in_files") =!= col("o.used_in_files"))
         .limit(1).count() > 0
-      flat.unpersist()
       flat = expanded
       converged = !changed
       i += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"transitiveDependencies did not converge in $maxIters iterations — " +
+          "function-graph diameter exceeds maxIters; raise maxIters")
     flat
   }
 }

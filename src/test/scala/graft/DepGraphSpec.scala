@@ -90,6 +90,31 @@ class DepGraphSpec extends SparkSpec {
     assert(raw("real")._2 === Seq())
   }
 
+  test("filename regex anchoring: trailing junk rejected, 3-part version accepted") {
+    // the reference uses re.match (prefix-anchored only), but its S1
+    // glob('*.sql') guarantees the name ends at '.sql' — so our full
+    // ^…$ anchor is observationally identical; pin that here
+    val c = corpus(
+      "deployer/patch/DWH/kimball/r_1.1_f_foo.sql.bak" -> "not globbed by *.sql",
+      "deployer/patch/DWH/kimball/r_1.2.3_f_tri.sql" -> "def (optional third number)",
+      "replicator/source/v.sql" -> "SELECT KIMBALL.foo(1), KIMBALL.tri(2);")
+    val raw = rawMap(DepGraph.rawDependencies(c))
+    assert(!raw.contains("foo"))
+    assert(raw("tri")._1 === Seq("replicator/source/v.sql"))
+  }
+
+  test("transitiveDependencies throws instead of returning a truncated closure") {
+    val c = corpus(
+      "deployer/patch/DWH/kimball/r_1.1_f_a.sql" -> "def a",
+      "deployer/patch/DWH/kimball/r_1.2_f_b.sql" -> "SELECT KIMBALL.a(1);",
+      "deployer/patch/DWH/kimball/r_1.3_f_c.sql" -> "SELECT KIMBALL.b(1);",
+      "replicator/source/view.sql" -> "SELECT KIMBALL.c(1);")
+    val raw = DepGraph.rawDependencies(c)
+    intercept[IllegalStateException] {
+      DepGraph.transitiveDependencies(raw, maxIters = 1)
+    }
+  }
+
   test("corpus outside the four search dirs is not scanned") {
     val c = corpus(
       "deployer/patch/DWH/kimball/r_1.2_f_real.sql" -> "def",
