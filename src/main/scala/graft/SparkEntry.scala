@@ -47,6 +47,7 @@ object SparkEntry {
     "q26_winnow_fingerprint" -> ((s, d) => TextOps.winnowFingerprint(s, d)),
     "q27_ann_topk"          -> ((s, d) => Embeddings.annTopK(s, d)),
     "q28_media_meta"        -> Multimodal.mediaMeta _,
+    "q29_embedding_neardup" -> ((s, d) => Embeddings.cosineNearDupPairs(s, d)),
   )
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -344,5 +345,32 @@ object SparkEntry {
            CAST(120 + ((hv // 16) % 16) * 16 AS BIGINT) AS height,
            CAST(CASE kind WHEN 'video' THEN 1 + hv % 240 WHEN 'audio' THEN 0 ELSE 1 END AS BIGINT) AS n_frames
          FROM h ORDER BY media_id""",
+    "q29_embedding_neardup" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         nrm AS (
+           SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q),
+         hp AS (
+           SELECT s.s, d.d,
+             CASE WHEN CAST(('0x' || substr(md5(s.s || ':' || d.d), 1, 15)) AS BIGINT) & 1 = 1 THEN 1 ELSE -1 END AS r
+           FROM (SELECT unnest(generate_series(0,3)) AS s) s, (SELECT unnest(generate_series(0,63)) AS d) d),
+         sk AS (
+           SELECT n.vec_id, hp.s, sum(hp.r * n.qv[hp.d+1]) AS dot_s
+           FROM nrm n, hp GROUP BY 1,2),
+         bk AS (
+           SELECT vec_id, CAST(sum(CASE WHEN dot_s >= 0 THEN (CAST(1 AS BIGINT) << s) ELSE 0 END) AS BIGINT) AS bucket
+           FROM sk GROUP BY 1),
+         v AS (SELECT n.vec_id, n.qv, n.nrm, b.bucket FROM nrm n JOIN bk b USING (vec_id)),
+         pairs AS (
+           SELECT a.vec_id AS d1, c.vec_id AS d2,
+             CAST(list_sum(list_transform(generate_series(1,64), i -> a.qv[i]*c.qv[i])) AS BIGINT) AS dot,
+             a.nrm AS n1, c.nrm AS n2
+           FROM v a JOIN v c ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+         SELECT d1, d2, dot,
+           CAST(dot AS DOUBLE)/sqrt(CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)) AS cosine
+         FROM pairs
+         WHERE CAST(dot AS DOUBLE)/sqrt(CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)) >= 0.35
+         ORDER BY d1, d2""",
   )
 }

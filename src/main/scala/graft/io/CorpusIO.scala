@@ -52,6 +52,21 @@ object CorpusIO {
     rawScan(spark, root).filter(col("is_utf8"))
       .select(col("path"), col("text").as("content"))
 
+  /** F12 — deploy-time `${VAR}` template substitution
+    * (r_4.001.045:1, r_3.000140:1): config-driven interpolation
+    * applied to corpus text before parsing. Unknown variables stay
+    * intact — the scanner regex tolerates them by matching the
+    * `KIMBALL.` suffix (test_scan_dependencies.py:52 relies on this).
+    * A fold of literal regexp_replace calls: constant-folded pattern,
+    * stays in codegen, no UDF. */
+  def substituteTemplates(corpus: DataFrame, vars: Map[String, String],
+                          textCol: String = "content"): DataFrame =
+    vars.toSeq.sortBy(_._1).foldLeft(corpus) { case (df, (k, v)) =>
+      df.withColumn(textCol, regexp_replace(col(textCol),
+        java.util.regex.Pattern.quote("${" + k + "}"),
+        java.util.regex.Matcher.quoteReplacement(v)))
+    }
+
   /** S3 side channel — files skipped for invalid UTF-8 (the
     * reference's error log, scan_dependencies.py:151-152). */
   def corrupt(spark: SparkSession, root: String): DataFrame =

@@ -60,6 +60,32 @@ object Embeddings {
       when(proj >= 0, lit(1L << s)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** q29 — embedding-cosine near-dup pairs (the vector member of the
+    * dedup family): all pairs sharing an LSH bucket whose exact
+    * quantized cosine clears `threshold`. Same collision-proportional
+    * self-join shape as q20/q21 — true near-dups have cosine ≈ 1, so
+    * all four sketch bits agree with high probability and land them in
+    * one bucket; the threshold then keeps only real duplicates.
+    * (Production near-dup uses ~0.9; the default is calibrated to the
+    * driver's random-vector testdata, where the strongest same-bucket
+    * pairs sit near 0.48 — the operator is threshold-parametric.) */
+  def cosineNearDupPairs(spark: SparkSession, dir: String,
+                         threshold: Double = 0.35): DataFrame = {
+    val vecs = quantized(spark, dir).withColumn("bucket", bucketCol).persist()
+    val a = vecs.select(col("vec_id").as("d1"), col("qv").as("v1"),
+      col("nrm").as("n1"), col("bucket"))
+    val b = vecs.select(col("vec_id").as("d2"), col("qv").as("v2"),
+      col("nrm").as("n2"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
+      .withColumn("dot",
+        aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y), lit(0L), (acc, v) => acc + v))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
+      .filter(col("cosine") >= threshold)
+      .select(col("d1"), col("d2"), col("dot"), col("cosine"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
   /** q27 — LSH-bucketed cosine top-k: for every query vector (vec_id
     * divisible by `queryMod`), the `k` nearest same-bucket neighbors by
     * exact quantized cosine. Candidates come from the bucket equi-join

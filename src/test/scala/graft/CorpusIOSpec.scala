@@ -117,6 +117,17 @@ class CorpusIOSpec extends SparkSpec {
         Seq("superset_objects/datasets/view1.sql"))))
   }
 
+  test("substituteTemplates: known vars replaced, unknown left intact (F12)") {
+    val s = spark
+    import s.implicits._
+    val c = Seq("SELECT ${ENV_PREFIX}KIMBALL.f(${kimball}.x) FROM ${UNKNOWN}t")
+      .toDF("content")
+    val got = CorpusIO.substituteTemplates(c,
+      Map("ENV_PREFIX" -> "DWH.", "kimball" -> "KIMBALL"))
+      .collect()(0).getString(0)
+    assert(got == "SELECT DWH.KIMBALL.f(KIMBALL.x) FROM ${UNKNOWN}t")
+  }
+
   test("generateFacilitators: E2 end-to-end text artifact (K2)") {
     val root = fixture()
     val out = Files.createTempDirectory("deps").toString

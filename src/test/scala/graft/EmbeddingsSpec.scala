@@ -56,6 +56,26 @@ class EmbeddingsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("cosineNearDupPairs: within-bucket pairs over threshold, symmetric-free (d1<d2)") {
+    val got = Embeddings.cosineNearDupPairs(spark, dir, threshold = 0.35).collect()
+    assert(got.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(got.forall(_.getDouble(3) >= 0.35))
+    // cross-check each reported pair against the plain-Scala model's
+    // cosine (exact integer dot/norms → identical double)
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+      .toMap
+    got.foreach { r =>
+      val (v1, v2) = (rows(r.getLong(0)), rows(r.getLong(1)))
+      val dot = (0 until Embeddings.Dim).map(d => v1(d) * v2(d)).sum
+      val cos = dot.toDouble /
+        math.sqrt(v1.map(x => x * x).sum.toDouble * v2.map(x => x * x).sum.toDouble)
+      assert(r.getLong(2) == dot && r.getDouble(3) == cos)
+    }
+  }
+
   test("buckets are non-degenerate and candidates never include self") {
     val out = Embeddings.annTopK(spark, dir).collect()
     assert(out.nonEmpty)
