@@ -57,7 +57,34 @@ object ReviewGate {
         when(col("facilitators_approved"), lit("facilitators-approved")),
         when(col("tech_approved"), lit("tech-approved"))
       ), c => c.isNotNull)).as("label"))
-    val managed = Seq("codeowners-approved", "facilitators-approved", "tech-approved")
+    labelDiff(desired, currentLabels,
+      Seq("codeowners-approved", "facilitators-approved", "tech-approved"))
+  }
+
+  /** K4, reference-faithful variant — the STAGED labels the reference
+    * actually manages (pr-review-flow.yml:242-288):
+    * `ready-for-facilitators-review` while codeowners are done but
+    * facilitators aren't; `ready-for-tech-review` while facilitators
+    * are done but tech isn't; nothing once all three stages pass.
+    * Expressed as desired-state + diff instead of the reference's
+    * imperative add/remove ladder — which also REMOVES a stage label
+    * when an approval is rolled back, fixing the documented
+    * "labels are not restored on review rollback" gap
+    * (README.md:111-123). */
+  def stagedLabelOps(status: DataFrame, currentLabels: DataFrame): DataFrame = {
+    val desired = status.select(col("pr"),
+      explode(filter(array(
+        when(col("codeowners_approved") && !col("facilitators_approved"),
+          lit("ready-for-facilitators-review")),
+        when(col("codeowners_approved") && col("facilitators_approved") &&
+          !col("tech_approved"), lit("ready-for-tech-review"))
+      ), c => c.isNotNull)).as("label"))
+    labelDiff(desired, currentLabels,
+      Seq("ready-for-facilitators-review", "ready-for-tech-review"))
+  }
+
+  private def labelDiff(desired: DataFrame, currentLabels: DataFrame,
+                        managed: Seq[String]): DataFrame = {
     val current = currentLabels.filter(col("label").isin(managed: _*))
     val adds = desired.join(current, Seq("pr", "label"), "left_anti")
       .withColumn("op", lit("add"))
@@ -65,4 +92,19 @@ object ReviewGate {
       .withColumn("op", lit("remove"))
     adds.unionByName(removes).select(col("pr"), col("op"), col("label"))
   }
+
+  /** K5 — reviewer-request fan-out (pr-review-flow.yml:290-324): when
+    * a PR enters the facilitators stage, request the facilitator
+    * groups (the external CODEFACILITATORS action); when it enters the
+    * tech stage, request `tech-team`. One (pr, target) row per needed
+    * request — the downstream sink is idempotent like the label store
+    * (re-requesting an already-requested team is a no-op upstream). */
+  def reviewerRequests(status: DataFrame): DataFrame =
+    status.select(col("pr"),
+      explode(filter(array(
+        when(col("codeowners_approved") && !col("facilitators_approved"),
+          lit("facilitators")),
+        when(col("codeowners_approved") && col("facilitators_approved") &&
+          !col("tech_approved"), lit("tech-team"))
+      ), c => c.isNotNull)).as("target"))
 }

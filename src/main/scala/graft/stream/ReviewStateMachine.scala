@@ -130,7 +130,8 @@ object ReviewStateMachine {
   def run(events: Dataset[ReviewEvent],
           requiredCodeowners: DataFrame, requiredFacilitators: DataFrame,
           requiredTech: DataFrame, membership: DataFrame,
-          store: LabelStore, checkpointDir: String): StreamingQuery = {
+          store: LabelStore, checkpointDir: String,
+          requests: LabelStore = new LabelStore): StreamingQuery = {
     val spark = events.sparkSession
     approverUpdates(events).writeStream
       .outputMode("update")
@@ -139,7 +140,7 @@ object ReviewStateMachine {
         val updates = batch.toDF()
         if (!updates.isEmpty) {
           val status = fullStatus(updates, requiredCodeowners,
-            requiredFacilitators, requiredTech, membership)
+            requiredFacilitators, requiredTech, membership).persist()
           // diff only the touched PRs: labelOps treats absence from
           // `desired` as "remove", so the current-label side must be
           // scoped to this batch's PRs or untouched PRs would be wiped.
@@ -149,6 +150,13 @@ object ReviewStateMachine {
           ops.orderBy(col("pr"), col("op"), col("label")).collect().foreach { r =>
             store(r.getLong(0), r.getString(1), r.getString(2))
           }
+          // K5: reviewer-request fan-out for PRs entering a stage
+          // (idempotent add-only target set)
+          ReviewGate.reviewerRequests(status).collect().foreach { r =>
+            requests(r.getLong(0), "add", r.getString(1))
+          }
+          status.unpersist()
+          ()
         }
       }
       .start()

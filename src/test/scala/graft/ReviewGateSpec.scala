@@ -51,6 +51,40 @@ class ReviewGateSpec extends SparkSpec {
     assert(got == Map(1L -> true, 2L -> false))
   }
 
+  test("stagedLabelOps walks the reference's label ladder and cleans up on rollback") {
+    def status(co: Boolean, fac: Boolean, tech: Boolean) =
+      Seq((1L, co, fac, tech)).toDF(
+        "pr", "codeowners_approved", "facilitators_approved", "tech_approved")
+    def ops(st: org.apache.spark.sql.DataFrame, cur: Seq[String]) =
+      ReviewGate.stagedLabelOps(st, cur.map((1L, _)).toDF("pr", "label"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSet
+    // codeowners done → facilitators-review label appears
+    assert(ops(status(true, false, false), Nil) ==
+      Set(("add", "ready-for-facilitators-review")))
+    // facilitators done → ladder advances (old label removed, next added)
+    assert(ops(status(true, true, false), Seq("ready-for-facilitators-review")) ==
+      Set(("remove", "ready-for-facilitators-review"), ("add", "ready-for-tech-review")))
+    // all stages done → nothing desired, tech label removed
+    assert(ops(status(true, true, true), Seq("ready-for-tech-review")) ==
+      Set(("remove", "ready-for-tech-review")))
+    // ROLLBACK: codeowners regress while tech label present — removed
+    // (the reference leaves it dangling; desired-state diff fixes that)
+    assert(ops(status(false, false, false), Seq("ready-for-tech-review")) ==
+      Set(("remove", "ready-for-tech-review")))
+  }
+
+  test("reviewerRequests: facilitators then tech-team as stages open (K5)") {
+    val st = Seq(
+      (1L, true, false, false),  // → facilitators
+      (2L, true, true, false),   // → tech-team
+      (3L, false, false, false), // codeowners pending → nothing
+      (4L, true, true, true)     // done → nothing
+    ).toDF("pr", "codeowners_approved", "facilitators_approved", "tech_approved")
+    val got = ReviewGate.reviewerRequests(st).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "facilitators"), (2L, "tech-team")))
+  }
+
   test("labelOps emits only deltas and re-application is empty (idempotent)") {
     val status = Seq((1L, true, false, true)).toDF(
       "pr", "codeowners_approved", "facilitators_approved", "tech_approved")

@@ -40,41 +40,53 @@ class ReviewStateMachineSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
 
     val reqCode = Seq((1L, "team_a"), (1L, "team_b")).toDF("pr", "team")
-    val reqFac  = Seq((1L, "team_a")).toDF("pr", "team")
+    val reqFac  = Seq((1L, "team_f")).toDF("pr", "team")
     val reqTech = Seq((1L, "team_t")).toDF("pr", "team")
-    val membership = Seq(("team_a", "alice"), ("team_b", "bob"), ("team_t", "tina"))
-      .toDF("team", "user")
+    val membership = Seq(("team_a", "alice"), ("team_b", "bob"),
+      ("team_f", "frank"), ("team_t", "tina")).toDF("team", "user")
 
     val events = MemoryStream[ReviewEvent]
     val store = new ReviewStateMachine.LabelStore
+    val requests = new ReviewStateMachine.LabelStore
     val ckpt = java.nio.file.Files.createTempDirectory("rsm-ckpt").toString
     val q = ReviewStateMachine.run(events.toDS(), reqCode, reqFac, reqTech,
-      membership, store, ckpt)
+      membership, store, ckpt, requests)
     try {
-      // alice approves: facilitators (team_a) gated green, codeowners
-      // still needs team_b, tech needs team_t
+      // alice alone: codeowners still needs team_b → no stage green yet
       events.addData(ReviewEvent(1, "alice", "APPROVED", 1),
         ReviewEvent(1, "bob", "COMMENTED", 2))
       q.processAllAvailable()
-      assert(store.current == Set((1L, "facilitators-approved")))
+      assert(store.current.isEmpty && requests.current.isEmpty)
 
-      // bob + tina approve: all three stages green
-      events.addData(ReviewEvent(1, "bob", "APPROVED", 3),
-        ReviewEvent(1, "tina", "APPROVED", 4))
+      // bob approves: codeowners green → facilitators stage opens (K5)
+      events.addData(ReviewEvent(1, "bob", "APPROVED", 3))
+      q.processAllAvailable()
+      assert(store.current == Set((1L, "codeowners-approved")))
+      assert(requests.current == Set((1L, "facilitators")))
+
+      // frank (facilitator) approves → tech stage opens
+      events.addData(ReviewEvent(1, "frank", "APPROVED", 4))
+      q.processAllAvailable()
+      assert(store.current == Set((1L, "codeowners-approved"),
+        (1L, "facilitators-approved")))
+      assert(requests.current == Set((1L, "facilitators"), (1L, "tech-team")))
+
+      // tina (tech) approves: all three stages green
+      events.addData(ReviewEvent(1, "tina", "APPROVED", 5))
       q.processAllAvailable()
       assert(store.current == Set((1L, "codeowners-approved"),
         (1L, "facilitators-approved"), (1L, "tech-approved")))
 
-      // ROLLBACK: alice requests changes — codeowners and facilitators
-      // labels are removed (the reference's documented gap, fixed here)
-      events.addData(ReviewEvent(1, "alice", "CHANGES_REQUESTED", 5))
+      // ROLLBACK: alice requests changes — codeowners label removed
+      // (the reference's documented gap, fixed here)
+      events.addData(ReviewEvent(1, "alice", "CHANGES_REQUESTED", 6))
       q.processAllAvailable()
-      assert(store.current == Set((1L, "tech-approved")))
+      assert(store.current == Set((1L, "facilitators-approved"), (1L, "tech-approved")))
 
       // stale duplicate of the old approval: no state change, no ops
       events.addData(ReviewEvent(1, "alice", "APPROVED", 1))
       q.processAllAvailable()
-      assert(store.current == Set((1L, "tech-approved")))
+      assert(store.current == Set((1L, "facilitators-approved"), (1L, "tech-approved")))
     } finally q.stop()
   }
 
