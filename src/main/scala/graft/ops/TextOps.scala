@@ -24,24 +24,20 @@ object TextOps {
     * occurrence-summing is identical to the textbook count-weighted
     * form, just without materializing the counts.
     *
-    * ZERO-SHUFFLE plan: tokens are hashed once per row into an array
-    * (higher-order `transform`), then the 60 bit-sums fold per-row
-    * with `aggregate` — no explode, no groupBy. The round-2 version
-    * shuffled 1.5M exploded token rows twice; this one is a pure map
-    * stage that scales with the scan (docs with no tokens drop out,
-    * matching the exploded version's semantics). */
+    * ZERO-SHUFFLE, ZERO-INTERPRETATION plan: the whole sketch runs in
+    * the custom codegen expression [[graft.functions.SimHash60]] —
+    * one md5 digest + primitive counter array per row, one static
+    * call from generated code. The round-2 version shuffled 1.5M
+    * exploded token rows twice; an intermediate version avoided the
+    * shuffle but paid 60 interpreted `aggregate` lambdas per row
+    * (docs with no tokens drop out, matching the exploded
+    * semantics). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.SimHash60.register(spark)
     val ws = filter(split(col("text"), " "), x => length(x) > 0)
-    val bitSum = (b: Int) =>
-      aggregate(col("hs"), lit(0L), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
-    val fingerprint = (0 until SimhashBits)
-      .map(b => when(bitSum(b) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce(_ + _)
     Tables.documents(spark, dir)
       .withColumn("ws", ws).filter(size(col("ws")) > 0)
-      .withColumn("hs", transform(col("ws"), t => LlmOps.portableHash64(t)))
-      .select(col("doc_id"), fingerprint.as("simhash"))
+      .select(col("doc_id"), expr("simhash60(ws)").as("simhash"))
       .orderBy(col("doc_id"))
   }
 
@@ -128,29 +124,23 @@ object TextOps {
     * array cells kill the driver comparator). Robust to small edits;
     * the standard near-dup/plagiarism sketch.
     *
-    * ZERO-SHUFFLE plan: the k-gram hash array and its per-window
-    * minima are built per-row with higher-order functions (trailing
-    * windows shrink via slice truncation, matching a rowsBetween
-    * 0..w-1 frame) — the round-2 version exploded ~n_chars rows per
-    * doc through a window shuffle; this is a pure map stage.
-    * Trade-off, measured: HOFs evaluate interpreted (outside
-    * whole-stage codegen), costing ~1.7× more CPU locally — but the
-    * old plan shipped a ~(n_chars−k)× row amplification through the
-    * exchange, which is the bottleneck that actually matters on a
-    * 1000-executor cluster. Scan-proportional beats shuffle-
-    * proportional at 100 TB. */
+    * ZERO-SHUFFLE, ZERO-INTERPRETATION plan: the per-row k-gram
+    * hashing + window minima run inside the custom codegen expression
+    * [[graft.functions.WinnowMinima]] (one static call per row from
+    * generated code). The round-2 version exploded ~n_chars rows per
+    * doc through a window shuffle — a row amplification through the
+    * exchange that is the real bottleneck on a 1000-executor cluster;
+    * an intermediate higher-order-function version avoided the shuffle
+    * but paid ~1.7× interpreted-lambda CPU. This keeps both wins. */
   def winnowFingerprint(spark: SparkSession, dir: String,
-                        k: Int = 8, w: Int = 4): DataFrame =
+                        k: Int = 8, w: Int = 4): DataFrame = {
+    graft.functions.WinnowMinima.register(spark)
     Tables.documents(spark, dir)
       .filter(length(col("text")) >= k)
-      .withColumn("hs", expr(
-        s"transform(sequence(1, length(text) - ${k - 1}), " +
-          s"i -> cast(conv(substring(md5(substring(text, i, $k)), 1, 15), 16, 10) as bigint))"))
-      .withColumn("wmins", expr(
-        s"transform(sequence(1, size(hs)), i -> array_min(slice(hs, i, $w)))"))
       .select(col("doc_id"),
-        array_join(array_sort(array_distinct(col("wmins"))).cast("array<string>"), "|")
-          .as("fingerprint"),
-        size(col("hs")).cast("long").as("n_grams"))
+        array_join(array_sort(array_distinct(expr(s"winnow_minima(text, $k, $w)")))
+          .cast("array<string>"), "|").as("fingerprint"),
+        (length(col("text")) - (k - 1)).cast("long").as("n_grams"))
       .orderBy(col("doc_id"))
+  }
 }

@@ -70,6 +70,25 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getLong(3) == 15L)
   }
 
+  test("WinnowMinima expression == the md5/conv SQL formulation, interpreted and codegen'd") {
+    val texts = Seq((1L, "abcdefghijklmnop"), (2L, "the quick brown fox!"), (3L, "ABCDEFGH"))
+    val df = texts.toDF("doc_id", "text")
+    val viaSql = df.selectExpr("doc_id",
+      "transform(sequence(1, length(text) - 7), " +
+        "i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) as bigint)) AS hs")
+      .selectExpr("doc_id", "transform(sequence(1, size(hs)), i -> array_min(slice(hs, i, 4))) AS wm")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaExpr = {
+      graft.functions.WinnowMinima.register(spark)
+      df.select(col("doc_id"), expr("winnow_minima(text, 8, 4)").as("wm"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    }
+    assert(viaExpr == viaSql)
+    // direct (interpreted nullSafeEval path) agrees too
+    val direct = graft.functions.WinnowMinima.compute("abcdefghijklmnop", 8, 4).toLongArray().toSeq
+    assert(direct == viaExpr(1L))
+  }
+
   test("winnowFingerprint: short docs drop out; identical docs agree; minima come from gram hashes") {
     val dir = writeDocs(Seq(
       (1L, "abcdefghij"), (2L, "abcdefghij"), (3L, "short")))
