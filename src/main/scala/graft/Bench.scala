@@ -12,6 +12,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: scheduler/codegen-framework/session bring-up is
+    // JVM overhead, not query cost — without this the first query in
+    // (unordered) map iteration absorbs ~5-7 s of init and the
+    // per-query numbers are not comparable across runs.
+    spark.range(1000).selectExpr("sum(id)", "count(distinct id)").collect()
     // noop sink: full evaluation of every column and the final sort
     // (count() would let EliminateSorts/pruning skip most of the work);
     // a failing query fails the bench — no silent -1s.
