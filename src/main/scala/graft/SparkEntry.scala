@@ -48,6 +48,7 @@ object SparkEntry {
     "q27_ann_topk"          -> ((s, d) => Embeddings.annTopK(s, d)),
     "q28_media_meta"        -> Multimodal.mediaMeta _,
     "q29_embedding_neardup" -> ((s, d) => Embeddings.cosineNearDupPairs(s, d)),
+    "q30_event_windows"     -> graft.stream.EventWindows.windowedTypeCountsBatch _,
   )
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -372,5 +373,8 @@ object SparkEntry {
          FROM pairs
          WHERE CAST(dot AS DOUBLE)/sqrt(CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)) >= 0.35
          ORDER BY d1, d2""",
+    "q30_event_windows" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
   )
 }

@@ -28,4 +28,16 @@ object EventWindows {
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** q30 — the batch twin over the `events` table (identical window
+    * semantics, DuckDB-oracle-certified; `window()` on a batch frame
+    * needs no watermark). Tumbling windows floor to the hour in UTC on
+    * both engines. */
+  def windowedTypeCountsBatch(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame =
+    graft.ops.Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy(col("window_start"), col("event_type"))
 }

@@ -62,6 +62,12 @@ class OwnersSpec extends SparkSpec {
       ("docs/*.md", List("@org/docs"))))
   }
 
+  test("stripHandle removes exactly one leading @ (membership-probe form, F6)") {
+    val got = Seq("@org/team-a", "plain", "@@double", "mid@sign").toDF("t")
+      .select(Owners.stripHandle(col("t"))).as[String].collect().toSeq
+    assert(got == Seq("org/team-a", "plain", "@double", "mid@sign"))
+  }
+
   test("matchingTeams joins every matching pattern (theta join J3)") {
     val paths = Seq("src/a.sql", "docs/readme.md", "other/x").toDF("path")
     val owners = Seq(
