@@ -1,7 +1,7 @@
 package graft.io
 
 import graft.ops.{DepGraph, Owners}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 

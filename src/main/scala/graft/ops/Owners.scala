@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Ownership resolution (reference E2,
   * `.github/scripts/generate_codefacilitators.py` + the embedded-JS
