@@ -49,6 +49,7 @@ object SparkEntry {
     "q28_media_meta"        -> Multimodal.mediaMeta _,
     "q29_embedding_neardup" -> ((s, d) => Embeddings.cosineNearDupPairs(s, d)),
     "q30_event_windows"     -> graft.stream.EventWindows.windowedTypeCountsBatch _,
+    "q31_ivf_topk"          -> ((s, d) => Embeddings.ivfTopK(s, d)),
   )
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -376,5 +377,41 @@ object SparkEntry {
     "q30_event_windows" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, count(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "q31_ivf_topk" ->
+      """WITH q AS (
+           SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         v AS (
+           SELECT vec_id, label, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q),
+         cent AS (
+           SELECT label, d.d, CAST(sum(qv[d.d]) AS BIGINT) AS s
+           FROM v, (SELECT unnest(generate_series(1,64)) AS d) d
+           GROUP BY 1, 2),
+         cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+         qdist AS (
+           SELECT v.vec_id, c.label,
+             CAST(sum((t.n*v.qv[c.d] - c.s)*(t.n*v.qv[c.d] - c.s)) AS DOUBLE)
+               / CAST(t.n*t.n AS DOUBLE) AS dist
+           FROM v JOIN cnt t ON true JOIN cent c ON c.label = t.label
+           WHERE v.vec_id % 50 = 0
+           GROUP BY v.vec_id, c.label, t.n),
+         assigned AS (
+           SELECT vec_id AS q_id, label AS cell FROM (
+             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, label) AS rn
+             FROM qdist) t WHERE rn = 1),
+         scored AS (
+           SELECT a.q_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1,64), i -> qq.qv[i]*c.qv[i])) AS BIGINT) AS dot,
+             qq.nrm AS qn, c.nrm AS cn
+           FROM assigned a
+           JOIN v qq ON qq.vec_id = a.q_id
+           JOIN v c ON c.label = a.cell AND c.vec_id <> a.q_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, dot,
+             CAST(dot AS DOUBLE)/sqrt(CAST(qn AS DOUBLE)*CAST(cn AS DOUBLE)) AS cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY CAST(dot AS DOUBLE)/sqrt(CAST(qn AS DOUBLE)*CAST(cn AS DOUBLE)) DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT q_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dot, cosine
+         FROM ranked WHERE rnk <= 5 ORDER BY q_id, rank""",
   )
 }

@@ -44,10 +44,11 @@ object Embeddings {
 
   /** Integer-quantized view of the embeddings: qv = floor(x·1000) per
     * component (exact in both engines: float→double widen, one double
-    * multiply, floor), plus the exact squared norm. */
+    * multiply, floor), plus the exact squared norm. Keeps `label`
+    * (used as a sanity surface and by the IVF centroid builder). */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"),
+      .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => floor(x.cast("double") * 1000)).as("qv"))
       .withColumn("nrm", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
 
@@ -84,6 +85,73 @@ object Embeddings {
       .filter(col("cosine") >= threshold)
       .select(col("d1"), col("d2"), col("dot"), col("cosine"))
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** q31 — IVF-style ANN top-k, nprobe=1: a coarse quantizer of
+    * per-cell centroids is computed FROM the data (exact integer
+    * component sums per cell, cells seeded by the table's `label`
+    * column — the role k-means plays in a production IVF), each query
+    * probes its nearest centroid's cell only, and the cell is
+    * re-ranked by exact quantized cosine.
+    *
+    * Scale shape: the quantizer is tiny by definition (one row per
+    * cell) — it collects to the driver and inlines as plan literals,
+    * exactly how a production IVF broadcasts its centroid table; the
+    * corpus side then needs ONE equi-join on cell id. Nearest-centroid
+    * assignment is integer-exact (minimize Σ_d (n_j·q_d − s_jd)² —
+    * distance² scaled by n_j², avoiding any division), so the DuckDB
+    * oracle reproduces cell choices bit-for-bit; ties break to the
+    * smallest cell id on both sides. */
+  def ivfTopK(spark: SparkSession, dir: String,
+              k: Int = 5, queryMod: Int = 50): DataFrame = {
+    val vecs = quantized(spark, dir).persist()
+    // coarse quantizer: exact per-cell component sums + counts
+    val centRows = vecs
+      .select(col("label"), posexplode(col("qv")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d")).agg(sum(col("x")).as("s"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("d"), col("s")))).as("ds"))
+      .join(vecs.groupBy(col("label")).agg(count(lit(1)).as("n")), Seq("label"))
+      .select(col("label"), transform(col("ds"), e => e.getField("s")).as("s"), col("n"))
+      .collect().sortBy(_.getAs[Int]("label"))
+    val cellLabels = centRows.map(_.getAs[Int]("label").toLong)
+    // scaled distance² to centroid j: Σ_d (n_j·q_d − s_jd)²  (all exact)
+    val distTo = centRows.map { r =>
+      val n = r.getAs[Long]("n")
+      val s = array(r.getAs[collection.Seq[Long]]("s").toSeq.map(lit(_)): _*)
+      aggregate(zip_with(col("qv"), s, (q, sj) => {
+        val diff = lit(n) * q - sj
+        diff * diff
+      }), lit(0L), (acc, v) => acc + v)
+    }
+    // ...but n_j differs per cell, so compare n-normalized: multiply each
+    // dist by the product of the OTHER cells' n² would be exact yet
+    // overflow-prone; instead compare as doubles of dist/n² — q_d ≤ 1e3,
+    // s/n ≤ 1e3 → dist/n² ≤ 64·4e6 ≈ 2.6e8, exactly representable, and
+    // the same expression evaluates identically in DuckDB.
+    val distArr = array(distTo.zip(centRows).map { case (d2, r) =>
+      val n = r.getAs[Long]("n")
+      d2.cast("double") / lit(n.toDouble * n.toDouble)
+    }: _*)
+    val cell = element_at(array(cellLabels.map(lit(_)): _*),
+      array_position(distArr, array_min(distArr)).cast("int"))
+    val qs = vecs.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_v"),
+        col("nrm").as("q_n"), cell.as("cell"))
+    val cands = vecs.select(col("vec_id").as("neighbor_id"), col("qv").as("c_v"),
+      col("nrm").as("c_n"), col("label").cast("long").as("cell"))
+    val scored = cands.join(broadcast(qs), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("q_v"), col("c_v"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("q_n").cast("double") * col("c_n").cast("double")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dot"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
   }
 
   /** q27 — LSH-bucketed cosine top-k: for every query vector (vec_id

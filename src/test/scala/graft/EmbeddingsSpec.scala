@@ -76,6 +76,37 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("measured recall vs unrestricted brute-force top-5 (honest ANN accounting)") {
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+    val byId = rows.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = (0 until Embeddings.Dim).map(d => a(d) * b(d)).sum
+      dot.toDouble / math.sqrt(a.map(x => x * x).sum.toDouble * b.map(x => x * x).sum.toDouble)
+    }
+    val truth = rows.filter(_._1 % 50 == 0).map { case (qid, qv) =>
+      qid -> rows.filter(_._1 != qid)
+        .map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, c) => (-c, cid) }.take(5).map(_._1).toSet
+    }.toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val hits = truth.map { case (q, t) => (got.getOrElse(q, Set.empty) & t).size }.sum
+      hits.toDouble / truth.values.map(_.size).sum
+    }
+    val lsh = recall(Embeddings.annTopK(spark, dir))
+    val ivf = recall(Embeddings.ivfTopK(spark, dir))
+    info(f"recall@5 on sf0.001: LSH=$lsh%.2f IVF=$ivf%.2f")
+    // random vectors are a worst case for locality sketches; the gate
+    // here is "meaningfully better than nothing", the exact-agreement
+    // tests above pin correctness of what each variant returns
+    assert(lsh > 0.05 && ivf > 0.05)
+    assert(byId.nonEmpty)
+  }
+
   test("buckets are non-degenerate and candidates never include self") {
     val out = Embeddings.annTopK(spark, dir).collect()
     assert(out.nonEmpty)
