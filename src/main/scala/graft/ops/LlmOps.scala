@@ -78,7 +78,11 @@ object LlmOps {
     val all = shingles(Tables.documents(spark, dir), n).persist()
     val hot = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("shingle"))
-    val sh = all.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // the FILTERED table is persisted too: it feeds sizes and both join
+    // sides, and without it each consumer rebuilds the hot-list
+    // broadcast + anti-join (visible as 3 duplicated subtrees in the
+    // physical plan)
+    val sh = all.join(broadcast(hot), Seq("shingle"), "left_anti").persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
