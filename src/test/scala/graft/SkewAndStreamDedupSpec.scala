@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.Skew
+import graft.stream.StreamingDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class SkewAndStreamDedupSpec extends SparkSpec {
+
+  test("saltedEquiJoin result is identical to the unsalted join on a skewed key") {
+    val s = spark
+    import s.implicits._
+    // 10k facts, 90% on one hot key
+    val facts = (1 to 10000).map(i => (if (i % 10 == 0) i.toLong % 7 else 42L, i.toLong))
+      .toDF("k", "v")
+    val dims = Seq((42L, "hot"), (0L, "a"), (1L, "b"), (3L, "c"), (99L, "unmatched"))
+      .toDF("k", "name")
+    val plain = facts.join(dims, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val salted = Skew.saltedEquiJoin(facts, dims, "k", salts = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain)
+    assert(salted.count(_._1 == 42L) == 9000)
+    // the scatter actually spreads the hot key across sub-keys
+    val spread = facts.withColumn("__salt",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash(facts.columns.map(org.apache.spark.sql.functions.col).toSeq: _*),
+        org.apache.spark.sql.functions.lit(8)))
+      .filter($"k" === 42L).select("__salt").distinct().count()
+    assert(spread > 1)
+  }
+
+  test("dedupStream: first occurrence per content hash wins within the horizon") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ts(m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingDedup.dedupStream(
+      input.toDF().toDF("ts", "doc_id", "text"), horizon = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, "Same   Text"), (ts(1), 2L, "same text"),
+        (ts(2), 3L, "other text"))
+      q.processAllAvailable()
+      input.addData((ts(3), 4L, "SAME TEXT"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getLong(1)).sorted.toSeq
+      // doc 1 survives (first arrival of its hash); 2 and 4 are dups
+      // (whitespace/case-normalized); 3 is distinct content
+      assert(ids == Seq(1L, 3L))
+    } finally q.stop()
+  }
+}
