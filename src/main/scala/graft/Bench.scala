@@ -3,6 +3,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -12,23 +13,37 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warm-up: scheduler/codegen-framework/session bring-up is
-    // JVM overhead, not query cost — without this the first query in
-    // (unordered) map iteration absorbs ~5-7 s of init and the
-    // per-query numbers are not comparable across runs.
-    spark.range(1000).selectExpr("sum(id)", "count(distinct id)").collect()
+    // Representative untimed warm-up: run EVERY query once at the smallest
+    // scale factor. Scheduler/codegen-framework bring-up, the interpreted
+    // higher-order-function paths (zip_with/aggregate lambdas), the custom
+    // Expression classes, and the parquet vectorized reader are all
+    // JIT-compiled here, so the first timed query no longer absorbs
+    // 10-20 s of JVM cold-start (BENCH_r03: q29 = 24.0 s cold vs 0.83 s
+    // warm as q27 — same computation). Warm-up failures fail the bench:
+    // the same query would fail timed.
+    val w0 = System.nanoTime()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+    }
+    graft.ops.Caches.releaseAll()
+    spark.catalog.clearCache()
+    val warmup = (System.nanoTime() - w0) / 1e9
+    // Timed runs in sorted name order (stable round-over-round diffs).
     // noop sink: full evaluation of every column and the final sort
     // (count() would let EliminateSorts/pruning skip most of the work);
-    // a failing query fails the bench — no silent -1s.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // a failing query fails the bench — no silent -1s. Caches populated
+    // by one query stay live for later queries in the same session
+    // (like-for-like with the BASELINE.md recording).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       name -> (System.nanoTime() - t0) / 1e9
     }
+    graft.ops.Caches.releaseAll()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":$warmup,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

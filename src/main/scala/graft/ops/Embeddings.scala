@@ -72,7 +72,7 @@ object Embeddings {
     * pairs sit near 0.48 — the operator is threshold-parametric.) */
   def cosineNearDupPairs(spark: SparkSession, dir: String,
                          threshold: Double = 0.35): DataFrame = {
-    val vecs = quantized(spark, dir).withColumn("bucket", bucketCol).persist()
+    val vecs = Caches.persist(quantized(spark, dir).withColumn("bucket", bucketCol))
     val a = vecs.select(col("vec_id").as("d1"), col("qv").as("v1"),
       col("nrm").as("n1"), col("bucket"))
     val b = vecs.select(col("vec_id").as("d2"), col("qv").as("v2"),
@@ -104,7 +104,7 @@ object Embeddings {
     * smallest cell id on both sides. */
   def ivfTopK(spark: SparkSession, dir: String,
               k: Int = 5, queryMod: Int = 50): DataFrame = {
-    val vecs = quantized(spark, dir).persist()
+    val vecs = Caches.persist(quantized(spark, dir))
     // coarse quantizer: exact per-cell component sums + counts
     val centRows = vecs
       .select(col("label"), posexplode(col("qv")).as(Seq("d", "x")))
@@ -163,7 +163,7 @@ object Embeddings {
               k: Int = 5, queryMod: Int = 50): DataFrame = {
     // persisted: feeds both the query side and the candidate side —
     // without it the scan + quantize + 4 projections run twice.
-    val vecs = quantized(spark, dir).withColumn("bucket", bucketCol).persist()
+    val vecs = Caches.persist(quantized(spark, dir).withColumn("bucket", bucketCol))
     val qs = vecs.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("qv").as("q_v"),
         col("nrm").as("q_n"), col("bucket"))

@@ -75,14 +75,14 @@ object LlmOps {
     *    oracle applies the identical cap). */
   def jaccardPairs(spark: SparkSession, dir: String,
                    n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50): DataFrame = {
-    val all = shingles(Tables.documents(spark, dir), n).persist()
+    val all = Caches.persist(shingles(Tables.documents(spark, dir), n))
     val hot = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("shingle"))
     // the FILTERED table is persisted too: it feeds sizes and both join
     // sides, and without it each consumer rebuilds the hot-list
     // broadcast + anti-join (visible as 3 duplicated subtrees in the
     // physical plan)
-    val sh = all.join(broadcast(hot), Seq("shingle"), "left_anti").persist()
+    val sh = Caches.persist(all.join(broadcast(hot), Seq("shingle"), "left_anti"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
@@ -126,7 +126,7 @@ object LlmOps {
     // the two signature re-joins — uncached, the shingles→16-way-md5
     // agg subtree would execute ~5× (the round-2 bench's 109 s defect).
     // One materialization, four cheap cache scans.
-    val sig = minhashSignatures(spark, dir).persist()
+    val sig = Caches.persist(minhashSignatures(spark, dir))
     val bandKey = (b: Int) =>
       md5(concat_ws(",", (0 until 4).map(r => element_at(col("sig"), b * 4 + r + 1)): _*))
     val bands = sig.select(col("doc_id") +: (0 until 4).map(b => bandKey(b).as(s"band$b")): _*)
