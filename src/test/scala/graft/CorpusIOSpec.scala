@@ -92,6 +92,79 @@ class CorpusIOSpec extends SparkSpec {
     assert(Files.readString(Paths.get(s"$out/flattened_dependencies.json")) == flatGolden)
   }
 
+  // ---- golden E2E over the REAL reference tree (/root/reference) ----
+  // Derived by hand from the reference's own semantics
+  // (scan_dependencies.py:32-34 filename rule, :71-76 search dirs,
+  // :128-130 call-site rule): the catalog is the 2 `_f_` files under
+  // deployer/patch/DWH/kimball (r_4.001.045 is `_v_` — a consumer FILE,
+  // not a function), and utm_campaign_to_product appears in
+  // utm_to_financial_channel's used_in_functions because r_3.000140
+  // calls KIMBALL.utm_to_financial_channel( from a function file.
+
+  private val refRawGolden =
+    """{
+      |  "utm_campaign_to_product": {
+      |    "type": "function",
+      |    "path": "deployer/patch/DWH/kimball/r_3.000140_f_utm_campaign_to_product.sql",
+      |    "used_in": {
+      |      "files": [
+      |        "deployer/patch/DWH/kimball/r_4.001.045_v_marketing_paid_traffic_report_hot_view.sql",
+      |        "superset/datasets/kimball/kimball.msb-web-fb_req.sql",
+      |        "superset_objects/datasets/CPA-WEB-COSTS.sql"
+      |      ],
+      |      "functions": []
+      |    }
+      |  },
+      |  "utm_to_financial_channel": {
+      |    "type": "function",
+      |    "path": "deployer/patch/DWH/kimball/r_6.001.001_f_utm_to_financial_channel.sql",
+      |    "used_in": {
+      |      "files": [
+      |        "superset_objects/datasets/DIM_MFO_FD_WEB_CHANNEL.sql"
+      |      ],
+      |      "functions": [
+      |        "utm_campaign_to_product"
+      |      ]
+      |    }
+      |  }
+      |}""".stripMargin
+
+  private val refFlatGolden =
+    """{
+      |  "utm_campaign_to_product": {
+      |    "type": "function",
+      |    "path": "deployer/patch/DWH/kimball/r_3.000140_f_utm_campaign_to_product.sql",
+      |    "used_in": {
+      |      "files": [
+      |        "deployer/patch/DWH/kimball/r_4.001.045_v_marketing_paid_traffic_report_hot_view.sql",
+      |        "superset/datasets/kimball/kimball.msb-web-fb_req.sql",
+      |        "superset_objects/datasets/CPA-WEB-COSTS.sql"
+      |      ]
+      |    }
+      |  },
+      |  "utm_to_financial_channel": {
+      |    "type": "function",
+      |    "path": "deployer/patch/DWH/kimball/r_6.001.001_f_utm_to_financial_channel.sql",
+      |    "used_in": {
+      |      "files": [
+      |        "deployer/patch/DWH/kimball/r_4.001.045_v_marketing_paid_traffic_report_hot_view.sql",
+      |        "superset/datasets/kimball/kimball.msb-web-fb_req.sql",
+      |        "superset_objects/datasets/CPA-WEB-COSTS.sql",
+      |        "superset_objects/datasets/DIM_MFO_FD_WEB_CHANNEL.sql"
+      |      ]
+      |    }
+      |  }
+      |}""".stripMargin
+
+  test("golden E2E: scanAndSave over the real reference tree matches pinned artifacts") {
+    assume(Files.isDirectory(Paths.get("/root/reference")), "reference tree not present")
+    val out = Files.createTempDirectory("refdeps").toString
+    val corrupt = CorpusIO.scanAndSave(spark, "/root/reference", out).collect()
+    assert(corrupt.isEmpty, "reference corpus has no malformed-UTF-8 SQL files")
+    assert(Files.readString(Paths.get(s"$out/raw_dependencies.json")) == refRawGolden)
+    assert(Files.readString(Paths.get(s"$out/flattened_dependencies.json")) == refFlatGolden)
+  }
+
   test("corpus excludes non-sql files and relativizes to posix paths") {
     val root = fixture()
     val paths = CorpusIO.corpus(spark, root.toString)
