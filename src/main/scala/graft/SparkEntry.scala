@@ -50,6 +50,7 @@ object SparkEntry {
     "q29_embedding_neardup" -> ((s, d) => Embeddings.cosineNearDupPairs(s, d)),
     "q30_event_windows"     -> graft.stream.EventWindows.windowedTypeCountsBatch _,
     "q31_ivf_topk"          -> ((s, d) => Embeddings.ivfTopK(s, d)),
+    "q32_neardup_clusters"  -> ((s, d) => LlmOps.nearDupClusters(s, d)),
   )
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -413,5 +414,29 @@ object SparkEntry {
            FROM scored)
          SELECT q_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dot, cosine
          FROM ranked WHERE rnk <= 5 ORDER BY q_id, rank""",
+    "q32_neardup_clusters" ->
+      """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+                FROM words, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
+         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM pairs0
+                   JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+                   WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.2),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+         reach AS (
+           SELECT a AS node, a AS r FROM (SELECT DISTINCT a FROM edges) t
+           UNION
+           SELECT e.a AS node, r.r FROM edges e JOIN reach r ON e.b = r.node),
+         comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+         SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+                coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+         FROM documents d LEFT JOIN comp c USING (doc_id)
+         ORDER BY d.doc_id""",
   )
 }

@@ -74,7 +74,15 @@ object LlmOps {
     *    then over the capped shingle universe on both sides (the
     *    oracle applies the identical cap). */
   def jaccardPairs(spark: SparkSession, dir: String,
-                   n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50): DataFrame =
+    jaccardPairsRaw(spark, dir, n, threshold, maxDf)
+      .orderBy(col("d1"), col("d2"))
+
+  /** [[jaccardPairs]] without the presentation sort — the edge stream
+    * for downstream consumers ([[nearDupClusters]]); a sort below a
+    * fixpoint join would be dead cost. */
+  private[graft] def jaccardPairsRaw(spark: SparkSession, dir: String,
+                                     n: Int, threshold: Double, maxDf: Int): DataFrame = {
     val all = Caches.persist(shingles(Tables.documents(spark, dir), n))
     val hot = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("shingle"))
@@ -95,7 +103,81 @@ object LlmOps {
       .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"), col("jaccard"))
-      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Connected components over an undirected pair stream by min-label
+    * propagation (HashMin): every node starts labeled with its own id;
+    * each round every node takes the min of its own and its neighbors'
+    * labels; at the fixpoint each component carries its minimum doc_id.
+    *
+    * Scale shape: each round is ONE shuffle join (edges ⋈ labels) plus
+    * a min-aggregation — no per-node driver work, and rounds are
+    * bounded by the component DIAMETER, not the corpus size. Near-dup
+    * clusters are dense and shallow (a duplicated doc links to most of
+    * its copies directly), so a handful of rounds converge even on a
+    * 100 TB corpus; the same `localCheckpoint` discipline as
+    * [[DepGraph.transitiveDependencies]] keeps plan depth O(1) per
+    * round. Non-convergence within `maxIters` throws — a truncated
+    * labeling is indistinguishable from a converged one downstream.
+    *
+    * Input: (d1, d2) pairs. Output: (doc_id, cluster_id) for every
+    * node that appears in at least one pair. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("d1").as("a"), col("d2").as("b"))
+      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("nl")).as("nbr_min"))
+        .select(col("a").as("doc_id"), col("nbr_min"))
+      val updated = labels
+        .join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint() // truncate lineage: O(1) plan depth per round
+      val changed = updated.as("n")
+        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), Seq("doc_id"))
+        .filter(col("cluster_id") =!= col("old"))
+        .limit(1).count() > 0
+      labels = updated
+      converged = !changed
+      i += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds — " +
+          "component diameter exceeds maxIters; raise maxIters")
+    labels
+  }
+
+  /** q32 — near-dup group resolution: the dedup pipeline's LAST step.
+    * q20's pair stream → connected components → min-doc_id survivor
+    * per cluster, emitted as a full-corpus drop-list: every document
+    * gets (doc_id, cluster_id, keep) — singletons are their own
+    * cluster and always survive; in a duplicate cluster exactly the
+    * minimum doc_id has keep = true.
+    *
+    * The components table is O(#docs-in-pairs) — tiny next to the
+    * corpus — so the final enrichment join broadcasts it against the
+    * full documents scan; the corpus side never shuffles. */
+  def nearDupClusters(spark: SparkSession, dir: String,
+                      n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50): DataFrame = {
+    val comp = connectedComponents(
+      jaccardPairsRaw(spark, dir, n, threshold, maxDf).select(col("d1"), col("d2")))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(broadcast(comp), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("doc_id"))
+      .orderBy(col("doc_id"))
   }
 
   val MinhashK = 16

@@ -61,6 +61,35 @@ class LlmOpsSpec extends SparkSpec {
     assert(cand(0).getDouble(3) === 1.0)
   }
 
+  test("connectedComponents: chain propagates min label over multiple hops") {
+    // 1-2-3-4 is a diameter-3 chain (forces >1 propagation round);
+    // 7-8 is a separate component; 9 never appears in a pair.
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (7L, 8L)).toDF("d1", "d2")
+    val comp = LlmOps.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents throws when maxIters is below the diameter") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      LlmOps.connectedComponents(pairs, maxIters = 1)
+    }
+  }
+
+  test("nearDupClusters: duplicate cluster keeps min doc_id, singletons survive") {
+    val dup = "the quick brown fox jumps over the lazy dog again today"
+    val docs = Seq(
+      (4L, dup), (2L, dup), (9L, dup),
+      (5L, "completely different words entirely here now for sure indeed")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", lit(0L))
+    val dir = writeDocsFixture(docs)
+    val got = LlmOps.nearDupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got === Seq((2L, 2L, true), (4L, 2L, false), (5L, 5L, true), (9L, 2L, false)))
+  }
+
   test("exact dedup keeps the minimum doc_id per content hash") {
     val docs = Seq(
       (7L, "Same   Text"), (3L, "same text"), (9L, "other text")
