@@ -380,33 +380,59 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q31_ivf_topk" ->
       """WITH q AS (
-           SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
            FROM embeddings),
          v AS (
-           SELECT vec_id, label, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q),
-         cent AS (
-           SELECT label, d.d, CAST(sum(qv[d.d]) AS BIGINT) AS s
-           FROM v, (SELECT unnest(generate_series(1,64)) AS d) d
-           GROUP BY 1, 2),
-         cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
-         qdist AS (
-           SELECT v.vec_id, c.label,
-             CAST(sum((t.n*v.qv[c.d] - c.s)*(t.n*v.qv[c.d] - c.s)) AS DOUBLE)
-               / CAST(t.n*t.n AS DOUBLE) AS dist
-           FROM v JOIN cnt t ON true JOIN cent c ON c.label = t.label
-           WHERE v.vec_id % 50 = 0
-           GROUP BY v.vec_id, c.label, t.n),
-         assigned AS (
-           SELECT vec_id AS q_id, label AS cell FROM (
-             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, label) AS rn
-             FROM qdist) t WHERE rn = 1),
+           SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q),
+         dims AS (SELECT unnest(generate_series(1,64)) AS d),
+         c0 AS (SELECT vec_id AS j, qv AS s, CAST(1 AS BIGINT) AS n
+                FROM v ORDER BY vec_id LIMIT 10),
+         d1 AS (
+           SELECT v.vec_id, c.j,
+             CAST(list_sum(list_transform(generate_series(1,64),
+               i -> (c.n*v.qv[i]-c.s[i])*(c.n*v.qv[i]-c.s[i]))) AS DOUBLE)
+               / CAST(c.n*c.n AS DOUBLE) AS dist
+           FROM v, c0 c),
+         a1 AS (SELECT vec_id, j FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+                  FROM d1) t WHERE rn = 1),
+         s1 AS (SELECT a1.j, dims.d, CAST(sum(v.qv[dims.d]) AS BIGINT) AS sv
+                FROM a1 JOIN v USING (vec_id), dims GROUP BY a1.j, dims.d),
+         n1 AS (SELECT j, CAST(count(*) AS BIGINT) AS n FROM a1 GROUP BY j),
+         c1 AS (SELECT s1.j, list(sv ORDER BY d) AS s, n1.n
+                FROM s1 JOIN n1 USING (j) GROUP BY s1.j, n1.n),
+         d2 AS (
+           SELECT v.vec_id, c.j,
+             CAST(list_sum(list_transform(generate_series(1,64),
+               i -> (c.n*v.qv[i]-c.s[i])*(c.n*v.qv[i]-c.s[i]))) AS DOUBLE)
+               / CAST(c.n*c.n AS DOUBLE) AS dist
+           FROM v, c1 c),
+         a2 AS (SELECT vec_id, j FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+                  FROM d2) t WHERE rn = 1),
+         s2 AS (SELECT a2.j, dims.d, CAST(sum(v.qv[dims.d]) AS BIGINT) AS sv
+                FROM a2 JOIN v USING (vec_id), dims GROUP BY a2.j, dims.d),
+         n2 AS (SELECT j, CAST(count(*) AS BIGINT) AS n FROM a2 GROUP BY j),
+         c2 AS (SELECT s2.j, list(sv ORDER BY d) AS s, n2.n
+                FROM s2 JOIN n2 USING (j) GROUP BY s2.j, n2.n),
+         df AS (
+           SELECT v.vec_id, c.j,
+             CAST(list_sum(list_transform(generate_series(1,64),
+               i -> (c.n*v.qv[i]-c.s[i])*(c.n*v.qv[i]-c.s[i]))) AS DOUBLE)
+               / CAST(c.n*c.n AS DOUBLE) AS dist
+           FROM v, c2 c),
+         af AS (SELECT vec_id, j FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+                  FROM df) t WHERE rn = 1),
          scored AS (
-           SELECT a.q_id, c.vec_id AS neighbor_id,
-             CAST(list_sum(list_transform(generate_series(1,64), i -> qq.qv[i]*c.qv[i])) AS BIGINT) AS dot,
-             qq.nrm AS qn, c.nrm AS cn
-           FROM assigned a
-           JOIN v qq ON qq.vec_id = a.q_id
-           JOIN v c ON c.label = a.cell AND c.vec_id <> a.q_id),
+           SELECT qa.vec_id AS q_id, cv.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1,64), i -> qq.qv[i]*cv.qv[i])) AS BIGINT) AS dot,
+             qq.nrm AS qn, cv.nrm AS cn
+           FROM af qa
+           JOIN af ca ON ca.j = qa.j AND ca.vec_id <> qa.vec_id
+           JOIN v qq ON qq.vec_id = qa.vec_id
+           JOIN v cv ON cv.vec_id = ca.vec_id
+           WHERE qa.vec_id % 50 = 0),
          ranked AS (
            SELECT q_id, neighbor_id, dot,
              CAST(dot AS DOUBLE)/sqrt(CAST(qn AS DOUBLE)*CAST(cn AS DOUBLE)) AS cosine,

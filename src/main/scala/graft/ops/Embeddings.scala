@@ -44,8 +44,8 @@ object Embeddings {
 
   /** Integer-quantized view of the embeddings: qv = floor(x·1000) per
     * component (exact in both engines: float→double widen, one double
-    * multiply, floor), plus the exact squared norm. Keeps `label`
-    * (used as a sanity surface and by the IVF centroid builder). */
+    * multiply, floor), plus the exact squared norm. Keeps `label` as
+    * a sanity surface (the IVF quantizer is trained, not label-read). */
   private def quantized(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
@@ -87,59 +87,86 @@ object Embeddings {
       .orderBy(col("d1"), col("d2"))
   }
 
-  /** q31 — IVF-style ANN top-k, nprobe=1: a coarse quantizer of
-    * per-cell centroids is computed FROM the data (exact integer
-    * component sums per cell, cells seeded by the table's `label`
-    * column — the role k-means plays in a production IVF), each query
-    * probes its nearest centroid's cell only, and the cell is
-    * re-ranked by exact quantized cosine.
-    *
-    * Scale shape: the quantizer is tiny by definition (one row per
-    * cell) — it collects to the driver and inlines as plan literals,
-    * exactly how a production IVF broadcasts its centroid table; the
-    * corpus side then needs ONE equi-join on cell id. Nearest-centroid
-    * assignment is integer-exact (minimize Σ_d (n_j·q_d − s_jd)² —
-    * distance² scaled by n_j², avoiding any division), so the DuckDB
-    * oracle reproduces cell choices bit-for-bit; ties break to the
-    * smallest cell id on both sides. */
-  def ivfTopK(spark: SparkSession, dir: String,
-              k: Int = 5, queryMod: Int = 50): DataFrame = {
-    val vecs = Caches.persist(quantized(spark, dir))
-    // coarse quantizer: exact per-cell component sums + counts
-    val centRows = vecs
-      .select(col("label"), posexplode(col("qv")).as(Seq("d", "x")))
-      .groupBy(col("label"), col("d")).agg(sum(col("x")).as("s"))
-      .groupBy(col("label"))
-      .agg(array_sort(collect_list(struct(col("d"), col("s")))).as("ds"))
-      .join(vecs.groupBy(col("label")).agg(count(lit(1)).as("n")), Seq("label"))
-      .select(col("label"), transform(col("ds"), e => e.getField("s")).as("s"), col("n"))
-      .collect().sortBy(_.getAs[Int]("label"))
-    val cellLabels = centRows.map(_.getAs[Int]("label").toLong)
-    // scaled distance² to centroid j: Σ_d (n_j·q_d − s_jd)²  (all exact)
-    val distTo = centRows.map { r =>
-      val n = r.getAs[Long]("n")
-      val s = array(r.getAs[collection.Seq[Long]]("s").toSeq.map(lit(_)): _*)
-      aggregate(zip_with(col("qv"), s, (q, sj) => {
-        val diff = lit(n) * q - sj
-        diff * diff
-      }), lit(0L), (acc, v) => acc + v)
-    }
-    // ...but n_j differs per cell, so compare n-normalized: multiply each
-    // dist by the product of the OTHER cells' n² would be exact yet
-    // overflow-prone; instead compare as doubles of dist/n² — q_d ≤ 1e3,
-    // s/n ≤ 1e3 → dist/n² ≤ 64·4e6 ≈ 2.6e8, exactly representable, and
-    // the same expression evaluates identically in DuckDB.
-    val distArr = array(distTo.zip(centRows).map { case (d2, r) =>
-      val n = r.getAs[Long]("n")
-      d2.cast("double") / lit(n.toDouble * n.toDouble)
-    }: _*)
-    val cell = element_at(array(cellLabels.map(lit(_)): _*),
+  /** One trained centroid: id (seed vec_id), exact component SUMS, and
+    * member count — the (s, n) pair represents the mean s/n without
+    * ever dividing, so every engine reproduces it bit-for-bit. */
+  private case class Centroid(j: Long, s: Seq[Long], n: Long)
+
+  /** Scaled distance² to a centroid: Σ_d (n·q_d − s_d)² is exact
+    * integer arithmetic (distance² × n²); ONE double division by n²
+    * then makes centroids with different member counts comparable.
+    * q_d ≤ 1e3 and s/n ≤ 1e3, so the integer sum stays ≤ ~64·(2n·10³)²
+    * — inside long and (at test scale) inside double's 2^53 — and the
+    * final IEEE division is the identical expression in DuckDB. */
+  private def scaledDist(c: Centroid): Column =
+    aggregate(zip_with(col("qv"), array(c.s.map(lit(_)): _*), (q, sj) => {
+      val diff = lit(c.n) * q - sj
+      diff * diff
+    }), lit(0L), (acc, v) => acc + v)
+      .cast("double") / lit(c.n.toDouble * c.n.toDouble)
+
+  /** Nearest-centroid id: argmin of the scaled distances; ties break
+    * to the smallest centroid id (centroids arrive sorted by id and
+    * `array_position` takes the FIRST minimum). */
+  private def nearestCell(cents: Seq[Centroid]): Column = {
+    val distArr = array(cents.map(scaledDist): _*)
+    element_at(array(cents.map(c => lit(c.j)): _*),
       array_position(distArr, array_min(distArr)).cast("int"))
+  }
+
+  /** q31 — IVF ANN top-k with a TRAINED coarse quantizer: Forgy
+    * seeding (the `nCells` smallest vec_ids), `iters` Lloyd's rounds,
+    * then each query probes its `nprobe` nearest cells and re-ranks
+    * them by exact quantized cosine.
+    *
+    * Scale shape: each Lloyd's round is one distributed pass — assign
+    * every vector to its nearest centroid (centroids are plan
+    * literals, i.e. a broadcast of a 10-row table) and aggregate the
+    * new per-cell component sums map-side; only `nCells` rows ever
+    * reach the driver, which is exactly how production k-means trains
+    * on a cluster. Serving is ONE equi-join on cell id; raising
+    * `nprobe` multiplies candidates linearly (recall/cost dial).
+    * All arithmetic is exact-integer + one pinned double division
+    * ([[scaledDist]]), so the DuckDB oracle replays the same training
+    * trajectory bit-for-bit; ties break to the smallest cell id on
+    * both sides. Empty cells (possible after a reassignment round)
+    * drop out identically in both engines. */
+  def ivfTopK(spark: SparkSession, dir: String,
+              k: Int = 5, queryMod: Int = 50,
+              nCells: Int = 10, iters: Int = 2, nprobe: Int = 1): DataFrame = {
+    val vecs = Caches.persist(quantized(spark, dir))
+    // Forgy seeding, pinned: the nCells smallest vec_ids, each a
+    // 1-member centroid (its own exact component vector).
+    var cents: Seq[Centroid] = vecs.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id"), col("qv")).collect().toSeq
+      .map(r => Centroid(r.getAs[Long]("vec_id"),
+        r.getAs[collection.Seq[Long]]("qv").toSeq, 1L))
+    // Lloyd's rounds: one distributed assign+sum pass per round,
+    // nCells rows collected (the broadcast-centroid training loop).
+    val sumCols = (0 until Dim).map(d => sum(element_at(col("qv"), d + 1)).as(s"s$d"))
+    for (_ <- 0 until iters) {
+      val rows = vecs.withColumn("cell", nearestCell(cents))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect()
+      cents = rows.map(r => Centroid(r.getAs[Long]("cell"),
+        (0 until Dim).map(d => r.getAs[Long](s"s$d")),
+        r.getAs[Long]("n"))).sortBy(_.j).toSeq
+    }
+    // serving: every vector's home cell (candidate side) ...
+    val cands = vecs
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("c_v"),
+        col("nrm").as("c_n"), nearestCell(cents).as("cell"))
+    // ...and each query's nprobe nearest cells: sort struct(dist, id)
+    // — lexicographic, so ties again break to the smallest id — and
+    // explode the first nprobe ids.
+    val probeCells = slice(transform(
+      array_sort(array(cents.map(c =>
+        struct(scaledDist(c).as("dist"), lit(c.j).as("j"))): _*)),
+      e => e.getField("j")), 1, nprobe)
     val qs = vecs.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("qv").as("q_v"),
-        col("nrm").as("q_n"), cell.as("cell"))
-    val cands = vecs.select(col("vec_id").as("neighbor_id"), col("qv").as("c_v"),
-      col("nrm").as("c_n"), col("label").cast("long").as("cell"))
+        col("nrm").as("q_n"), explode(probeCells).as("cell"))
     val scored = cands.join(broadcast(qs), Seq("cell"))
       .filter(col("neighbor_id") =!= col("q_id"))
       .withColumn("dot",

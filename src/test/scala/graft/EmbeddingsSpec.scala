@@ -98,12 +98,16 @@ class EmbeddingsSpec extends SparkSpec {
       hits.toDouble / truth.values.map(_.size).sum
     }
     val lsh = recall(Embeddings.annTopK(spark, dir))
-    val ivf = recall(Embeddings.ivfTopK(spark, dir))
-    info(f"recall@5 on sf0.001: LSH=$lsh%.2f IVF=$ivf%.2f")
+    val ivf1 = recall(Embeddings.ivfTopK(spark, dir))
+    val ivf2 = recall(Embeddings.ivfTopK(spark, dir, nprobe = 2))
+    info(f"recall@5 on sf0.001: LSH=$lsh%.2f IVF(nprobe=1)=$ivf1%.2f IVF(nprobe=2)=$ivf2%.2f")
     // random vectors are a worst case for locality sketches; the gate
     // here is "meaningfully better than nothing", the exact-agreement
     // tests above pin correctness of what each variant returns
-    assert(lsh > 0.05 && ivf > 0.05)
+    assert(lsh > 0.05 && ivf1 > 0.05)
+    // nprobe is the recall/cost dial: probing a second cell must never
+    // lose neighbors found in the first (candidate set is a superset)
+    assert(ivf2 >= ivf1)
     assert(byId.nonEmpty)
   }
 
