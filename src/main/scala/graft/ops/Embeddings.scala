@@ -30,7 +30,25 @@ import org.apache.spark.sql.expressions.Window
 object Embeddings {
 
   val Dim = 64
+
+  /** Default hyperplane count — pinned at 4 (16 buckets) because the
+    * q27/q29 DuckDB oracles enumerate seeds 0..3; production callers
+    * size it with [[planesFor]] instead. */
   val Planes = 4
+
+  /** Planes-vs-N rule: with `p` planes the corpus splits into 2^p
+    * buckets, so the bucketed self-join costs Σ_b |b|² ≈ N²/2^p for
+    * near-uniform buckets. Holding the EXPECTED BUCKET POPULATION
+    * N/2^p at `targetBucket` keeps that cost ≈ N·targetBucket — linear
+    * in the corpus — so the operator survives any scale-up by growing
+    * planes logarithmically: p = ceil(log2(N / targetBucket)).
+    * (Recall per bucket drops as planes grow; production near-dup
+    * compensates with multiple bands of such sketches, the q21
+    * banding pattern.) */
+  def planesFor(n: Long, targetBucket: Int = 1024): Int = {
+    require(n > 0 && targetBucket > 0, "need positive corpus and bucket sizes")
+    math.max(1, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
+  }
 
   /** Rademacher component r(s, d) ∈ {+1, -1}: low bit of the 60-bit
     * prefix of md5("s:d") — the Scala twin of the oracle's
@@ -54,12 +72,19 @@ object Embeddings {
 
   /** LSH bucket: bit s of the code = sign of the projection onto
     * hyperplane s. Plan literal arrays keep this in codegen. */
-  private def bucketCol: Column =
-    (0 until Planes).map { s =>
+  private def bucketCol(planes: Int): Column =
+    (0 until planes).map { s =>
       val plane = array((0 until Dim).map(d => lit(rademacher(s, d))): _*)
       val proj = aggregate(zip_with(col("qv"), plane, (x, r) => x * r), lit(0L), (a, v) => a + v)
       when(proj >= 0, lit(1L << s)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Bucket assignment surface (vec_id, bucket) — the candidate-
+    * generation key of [[annTopK]]/[[cosineNearDupPairs]], exposed so
+    * callers (and EmbeddingsSpec) can audit bucket populations when
+    * sizing `planes` with [[planesFor]]. */
+  def lshBuckets(spark: SparkSession, dir: String, planes: Int = Planes): DataFrame =
+    quantized(spark, dir).select(col("vec_id"), bucketCol(planes).as("bucket"))
 
   /** q29 — embedding-cosine near-dup pairs (the vector member of the
     * dedup family): all pairs sharing an LSH bucket whose exact
@@ -69,10 +94,13 @@ object Embeddings {
     * one bucket; the threshold then keeps only real duplicates.
     * (Production near-dup uses ~0.9; the default is calibrated to the
     * driver's random-vector testdata, where the strongest same-bucket
-    * pairs sit near 0.48 — the operator is threshold-parametric.) */
+    * pairs sit near 0.48 — the operator is threshold-parametric.)
+    * Size `planes` with [[planesFor]] at scale: the default 4 is the
+    * oracle-pinned test configuration, not the 100 TB one. */
   def cosineNearDupPairs(spark: SparkSession, dir: String,
-                         threshold: Double = 0.35): DataFrame = {
-    val vecs = Caches.persist(quantized(spark, dir).withColumn("bucket", bucketCol))
+                         threshold: Double = 0.35,
+                         planes: Int = Planes): DataFrame = {
+    val vecs = Caches.persist(quantized(spark, dir).withColumn("bucket", bucketCol(planes)))
     val a = vecs.select(col("vec_id").as("d1"), col("qv").as("v1"),
       col("nrm").as("n1"), col("bucket"))
     val b = vecs.select(col("vec_id").as("d2"), col("qv").as("v2"),
@@ -187,10 +215,11 @@ object Embeddings {
     * only — ANN semantics (recall < 1 by design, measured against the
     * brute-force oracle in EmbeddingsSpec). */
   def annTopK(spark: SparkSession, dir: String,
-              k: Int = 5, queryMod: Int = 50): DataFrame = {
+              k: Int = 5, queryMod: Int = 50,
+              planes: Int = Planes): DataFrame = {
     // persisted: feeds both the query side and the candidate side —
     // without it the scan + quantize + 4 projections run twice.
-    val vecs = Caches.persist(quantized(spark, dir).withColumn("bucket", bucketCol))
+    val vecs = Caches.persist(quantized(spark, dir).withColumn("bucket", bucketCol(planes)))
     val qs = vecs.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("qv").as("q_v"),
         col("nrm").as("q_n"), col("bucket"))

@@ -111,6 +111,43 @@ class EmbeddingsSpec extends SparkSpec {
     assert(byId.nonEmpty)
   }
 
+  test("planesFor sizing keeps bucket populations bounded on a 10x corpus") {
+    // 10× fixture: 5000 deterministic pseudo-random vectors in the
+    // embeddings schema (sf0.001 has 500)
+    val n = 5000
+    val rnd = new scala.util.Random(42)
+    val s = spark
+    import s.implicits._
+    val fixture = (0 until n).map { id =>
+      (id.toLong, Array.fill(Embeddings.Dim)(rnd.nextFloat() * 2f - 1f).toSeq, id % 10)
+    }.toDF("vec_id", "embedding", "label")
+    val tmp = java.nio.file.Files.createTempDirectory("emb10x").toString
+    fixture.coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    // the rule: expected population n / 2^p ≤ target
+    val target = 64
+    val p = Embeddings.planesFor(n, target)
+    assert(p == math.ceil(math.log(n.toDouble / target) / math.log(2)).toInt && p >= 6)
+
+    def populations(planes: Int): Seq[Long] =
+      Embeddings.lshBuckets(spark, tmp, planes)
+        .groupBy("bucket").count().collect().map(_.getAs[Long]("count")).toSeq
+
+    val sized = populations(p)
+    val fixed4 = populations(4)
+    // bucket-population bound: no bucket grows past a small multiple of
+    // the target (Rademacher projections of random vectors are near-
+    // uniform; 4× absorbs the tail)
+    assert(sized.max <= 4L * target,
+      s"max bucket ${sized.max} exceeds ${4 * target} with $p planes")
+    // and the self-join cost Σ|b|² is provably collision-proportional:
+    // sizing planes with N beats the fixed-4 configuration by ~2^(p-4)
+    val cost = sized.map(c => c * c).sum
+    val cost4 = fixed4.map(c => c * c).sum
+    assert(cost * 4 < cost4,
+      s"scaled planes should cut pair-generation cost ≥4x: $cost vs $cost4")
+  }
+
   test("buckets are non-degenerate and candidates never include self") {
     val out = Embeddings.annTopK(spark, dir).collect()
     assert(out.nonEmpty)
