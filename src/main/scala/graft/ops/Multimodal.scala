@@ -18,10 +18,14 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
 /** Multimodal-column operators (north-star brief): binary payloads
   * with typed metadata, decode / feature-extract / frame-sample.
   *
-  * The DECODE STEP IS A STUB — this container has no image/audio
-  * codecs, so [[StubDecoder]] derives deterministic fake dimensions
-  * and features from a hash of the bytes. Everything around it is the
-  * real Spark plumbing a production decoder would drop into:
+  * IMAGE decode is REAL: [[ImageIODecoder]] reads PNG/BMP/GIF/JPEG
+  * bytes with the JDK's ImageIO and reports dimensions/features from
+  * actual pixels. AUDIO/VIDEO decode stays a STUB — this container
+  * ships no AV codecs — so [[StubDecoder]] derives deterministic fake
+  * dimensions and features from a hash of the bytes (and remains the
+  * q28 oracle twin, whose fixture payloads are text, not images).
+  * Everything around the seam is the real Spark plumbing a production
+  * decoder drops into:
   *  - assets are `binary` columns in a columnar table (parquet keeps
   *    them page-compressed; predicate pushdown still prunes on the
   *    typed metadata columns);
@@ -62,6 +66,55 @@ object Multimodal {
       }
       val feat = Array.tabulate(8)(i => (((h >> (i * 7)) & 127).toFloat - 64f) / 64f)
       MediaFeatures(m.media_id, m.kind, m.content.length.toLong, w, ht, frames, feat)
+    }
+  }
+
+  /** REAL image codec on the same seam: JVM `javax.imageio.ImageIO`
+    * (PNG/BMP/GIF/JPEG readers ship with the JDK — zero new
+    * dependencies). Dimensions come from the actual decoded raster and
+    * the 8-float feature is the mean luminance of a 2×4 grid over real
+    * pixels (a genuine pixel statistic standing in for an embedding).
+    * Non-image kinds (audio/video codecs aren't in the JDK) and
+    * undecodable payloads fall back to [[StubDecoder]], keeping the
+    * operator total; `ImageIO.read` returning null or throwing is the
+    * fallback signal. Instantiated per executor via the [[Decoder]]
+    * serialization contract — `ImageIO` readers are created per call,
+    * so there is no shared mutable codec state across threads. */
+  object ImageIODecoder extends Decoder {
+    private def luminanceGrid(img: java.awt.image.BufferedImage): Array[Float] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      Array.tabulate(8) { i =>
+        val (gr, gc) = (i / 4, i % 4)
+        val (r0, c0) = (gr * h / 2, gc * w / 4)
+        val (r1, c1) = (math.max(r0 + 1, (gr + 1) * h / 2), math.max(c0 + 1, (gc + 1) * w / 4))
+        var sum = 0.0
+        var cnt = 0
+        var y = r0
+        while (y < r1 && y < h) {
+          var x = c0
+          while (x < c1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 255) * 0.299 + ((rgb >> 8) & 255) * 0.587 + (rgb & 255) * 0.114
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        (sum / (cnt * 255.0)).toFloat
+      }
+    }
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { m =>
+      val decoded =
+        if (m.kind == "image")
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
+          catch { case _: java.io.IOException => None }
+        else None
+      decoded match {
+        case Some(img) =>
+          MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+            img.getWidth, img.getHeight, 1, luminanceGrid(img))
+        case None => StubDecoder.decodeBatch(Seq(m)).head
+      }
     }
   }
 

@@ -36,6 +36,43 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(0L).n_bytes == 20L)
   }
 
+  /** Encode a solid-color image of the given size to real codec bytes. */
+  private def imageBytes(w: Int, h: Int, rgb: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, format, out), s"no $format writer")
+    out.toByteArray
+  }
+
+  test("ImageIODecoder decodes real PNG/BMP bytes: dimensions and features from pixels") {
+    val white = imageBytes(8, 6, 0xffffff, "png")
+    val black = imageBytes(5, 3, 0x000000, "bmp")
+    val ds = Seq(
+      MediaRecord(0L, "image", white),
+      MediaRecord(1L, "image", black),
+      MediaRecord(2L, "image", "not an image at all".getBytes("UTF-8")), // undecodable
+      MediaRecord(3L, "audio", "pcm-ish bytes".getBytes("UTF-8"))        // non-image kind
+    ).toDS()
+    val got = Multimodal.extractFeatures(ds, Multimodal.ImageIODecoder, batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    // real raster dimensions, not hash-derived ones
+    assert(got(0L).width == 8 && got(0L).height == 6 && got(0L).n_frames == 1)
+    assert(got(1L).width == 5 && got(1L).height == 3)
+    // mean luminance per grid cell: white ≈ 1 (0.299+0.587+0.114 = 1±ulp), black = 0
+    assert(got(0L).feature.length == 8 && got(0L).feature.forall(v => (v - 1f).abs < 1e-3f))
+    assert(got(1L).feature.forall(_ == 0f))
+    // fallback paths reproduce the stub exactly
+    val stub = Multimodal.StubDecoder.decodeBatch(Seq(
+      MediaRecord(2L, "image", "not an image at all".getBytes("UTF-8")),
+      MediaRecord(3L, "audio", "pcm-ish bytes".getBytes("UTF-8"))))
+      .map(f => f.media_id -> f).toMap
+    Seq(2L, 3L).foreach { id =>
+      assert(got(id).width == stub(id).width && got(id).height == stub(id).height &&
+        got(id).feature.toSeq == stub(id).feature.toSeq)
+    }
+  }
+
   test("frameSample explodes video payloads into fixed-size windows only") {
     val media = records.toDS().toDF()
     val frames = Multimodal.frameSample(media, frameBytes = 16, stride = 4).collect()
