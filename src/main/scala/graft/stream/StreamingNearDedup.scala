@@ -1,0 +1,82 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming NEAR-deduplication — the firehose twin of q22/q29's
+  * sketch dedup (LLM-pipeline north star: a training-data intake must
+  * reject near-copies of the existing corpus at ingest time, not in a
+  * nightly batch).
+  *
+  * Shape: the CORPUS side is a pre-built SimHash band index (static,
+  * catalog-sized relative to the raw text — 4 longs per doc); the
+  * STREAM side sketches each incoming doc with the same codegen
+  * expression ([[graft.functions.SimHash60]]), explodes its 4 band
+  * keys, and equi-joins the index per micro-batch. Banding makes the
+  * join collision-proportional (the q21 argument), and splitting a
+  * 60-bit sketch into 4 × 15-bit bands guarantees by pigeonhole that
+  * any pair within Hamming distance 3 agrees on at least one full
+  * band — so `maxHamming ≤ 3` has NO false negatives; the exact
+  * Hamming check after the join removes band-collision false
+  * positives.
+  *
+  * Index refresh: a stream-static join re-evaluates the static side
+  * every micro-batch, so a file-backed index picks up a nightly
+  * rebuild automatically ("periodically refreshed"); `persist()` the
+  * index instead to freeze one snapshot for the stream's lifetime.
+  * State: only the output-dedup keys, bounded by the watermark
+  * horizon — the index itself lives outside streaming state.
+  */
+object StreamingNearDedup {
+
+  /** 4 bands × 15 bits = the 60-bit SimHash; Hamming ≤ Bands−1 is the
+    * exact-recall regime (pigeonhole over the bands). */
+  val Bands = 4
+  val BandBits = 15
+
+  private def bandVal(sh: Column, b: Int): Column =
+    shiftright(sh, b * BandBits).bitwiseAND(lit((1L << BandBits) - 1))
+
+  private def explodeBands(sh: Column): Column =
+    explode(array((0 until Bands).map(b =>
+      struct(lit(b).as("band"), bandVal(sh, b).as("band_val"))): _*))
+
+  /** Sketch a (doc_id, text) corpus into the band index:
+    * (band, band_val, idx_doc_id, idx_simhash). Tokenization matches
+    * q22 exactly (whitespace split, empty tokens dropped, tokenless
+    * docs out of the near-dup surface). */
+  def simhashIndex(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.SimHash60.register(spark)
+    docs
+      .withColumn("ws", filter(split(col("text"), " "), x => length(x) > 0))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id").as("idx_doc_id"), expr("simhash60(ws)").as("idx_simhash"))
+      .select(col("idx_doc_id"), col("idx_simhash"), explodeBands(col("idx_simhash")).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.band_val").as("band_val"),
+        col("idx_doc_id"), col("idx_simhash"))
+  }
+
+  /** Match a document stream (ts, doc_id, text) against the index:
+    * one row per (incoming doc, corpus doc) within `maxHamming`, the
+    * band multiplicity collapsed by watermark-bounded dedup. The
+    * index is broadcast — the stream side never shuffles for the
+    * join. */
+  def nearDupMatches(docs: DataFrame, index: DataFrame,
+                     maxHamming: Int = 3, horizon: String = "1 hour"): DataFrame = {
+    require(maxHamming < Bands * BandBits, "maxHamming must be below the sketch width")
+    graft.functions.SimHash60.register(docs.sparkSession)
+    docs
+      .withColumn("ws", filter(split(col("text"), " "), x => length(x) > 0))
+      .filter(size(col("ws")) > 0)
+      .withColumn("simhash", expr("simhash60(ws)"))
+      .withColumn("bk", explodeBands(col("simhash")))
+      .select(col("ts"), col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.band_val").as("band_val"))
+      .join(broadcast(index), Seq("band", "band_val"))
+      .withColumn("hamming", bit_count(col("simhash").bitwiseXOR(col("idx_simhash"))))
+      .filter(col("hamming") <= maxHamming && col("doc_id") =!= col("idx_doc_id"))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("doc_id", "idx_doc_id")
+      .select(col("ts"), col("doc_id"), col("idx_doc_id").as("match_id"), col("hamming"))
+  }
+}

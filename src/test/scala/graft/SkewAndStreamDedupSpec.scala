@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.Skew
-import graft.stream.StreamingDedup
+import graft.stream.{StreamingDedup, StreamingNearDedup}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import java.sql.Timestamp
 
@@ -52,5 +52,45 @@ class SkewAndStreamDedupSpec extends SparkSpec {
       // (whitespace/case-normalized); 3 is distinct content
       assert(ids == Seq(1L, 3L))
     } finally q.stop()
+  }
+
+  test("nearDupMatches: stream docs sketch-match the broadcast corpus index") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ts(m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (20L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val index = StreamingNearDedup.simhashIndex(spark, corpus).persist()
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingNearDedup.nearDupMatches(
+      input.toDF().toDF("ts", "doc_id", "text"), index, horizon = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // exact copy of corpus doc 10 → identical sketch, hamming 0
+        (ts(0), 100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        // doubled text: every token occurrence count ×2 → bit sums scale,
+        // signs unchanged → SAME simhash (count-weighting invariance)
+        (ts(1), 101L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+          "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        // unrelated vocabulary → no band agreement expected
+        (ts(2), 102L, "zirconium praseodymium molybdenum ruthenium technetium"))
+      q.processAllAvailable()
+      val got = spark.table("neardup_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).sorted.toSeq
+      // exactly ONE row per (doc, match) even though an identical sketch
+      // agrees on all 4 bands (band multiplicity collapsed)
+      assert(got == Seq((100L, 10L, 0), (101L, 10L, 0)))
+    } finally {
+      q.stop()
+      index.unpersist()
+      ()
+    }
   }
 }
