@@ -137,17 +137,17 @@ object LlmOps {
         .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), Seq("b"))
         .groupBy(col("a")).agg(min(col("nl")).as("nbr_min"))
         .select(col("a").as("doc_id"), col("nbr_min"))
+      // change detection rides along as a flag column: the convergence
+      // probe is then a scan of the checkpointed partitions instead of
+      // a second shuffle join against the previous labels
       val updated = labels
         .join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("changed"))
         .localCheckpoint() // truncate lineage: O(1) plan depth per round
-      val changed = updated.as("n")
-        .join(labels.select(col("doc_id"), col("cluster_id").as("old")), Seq("doc_id"))
-        .filter(col("cluster_id") =!= col("old"))
-        .limit(1).count() > 0
-      labels = updated
-      converged = !changed
+      converged = updated.filter(col("changed")).limit(1).count() == 0
+      labels = updated.drop("changed")
       i += 1
     }
     edges.unpersist()
