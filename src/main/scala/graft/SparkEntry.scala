@@ -51,6 +51,7 @@ object SparkEntry {
     "q30_event_windows"     -> graft.stream.EventWindows.windowedTypeCountsBatch _,
     "q31_ivf_topk"          -> ((s, d) => Embeddings.ivfTopK(s, d)),
     "q32_neardup_clusters"  -> ((s, d) => LlmOps.nearDupClusters(s, d)),
+    "q33_embedding_clusters" -> ((s, d) => Embeddings.nearDupClusters(s, d)),
   )
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -464,5 +465,38 @@ object SparkEntry {
                 coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
          FROM documents d LEFT JOIN comp c USING (doc_id)
          ORDER BY d.doc_id""",
+    "q33_embedding_clusters" ->
+      """WITH RECURSIVE q AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         nrm AS (
+           SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q),
+         hp AS (
+           SELECT s.s, d.d,
+             CASE WHEN CAST(('0x' || substr(md5(s.s || ':' || d.d), 1, 15)) AS BIGINT) & 1 = 1 THEN 1 ELSE -1 END AS r
+           FROM (SELECT unnest(generate_series(0,3)) AS s) s, (SELECT unnest(generate_series(0,63)) AS d) d),
+         sk AS (
+           SELECT n.vec_id, hp.s, sum(hp.r * n.qv[hp.d+1]) AS dot_s
+           FROM nrm n, hp GROUP BY 1,2),
+         bk AS (
+           SELECT vec_id, CAST(sum(CASE WHEN dot_s >= 0 THEN (CAST(1 AS BIGINT) << s) ELSE 0 END) AS BIGINT) AS bucket
+           FROM sk GROUP BY 1),
+         v AS (SELECT n.vec_id, n.qv, n.nrm, b.bucket FROM nrm n JOIN bk b USING (vec_id)),
+         pairs AS (
+           SELECT a.vec_id AS d1, c.vec_id AS d2
+           FROM v a JOIN v c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+           WHERE CAST(list_sum(list_transform(generate_series(1,64), i -> a.qv[i]*c.qv[i])) AS DOUBLE)
+                 / sqrt(CAST(a.nrm AS DOUBLE)*CAST(c.nrm AS DOUBLE)) >= 0.35),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+         reach AS (
+           SELECT a AS node, a AS r FROM (SELECT DISTINCT a FROM edges) t
+           UNION
+           SELECT e.a AS node, r.r FROM edges e JOIN reach r ON e.b = r.node),
+         comp AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
+         SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+                coalesce(c.cluster_id, e.vec_id) = e.vec_id AS keep
+         FROM embeddings e LEFT JOIN comp c USING (vec_id)
+         ORDER BY e.vec_id""",
   )
 }

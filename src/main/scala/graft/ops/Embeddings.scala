@@ -99,7 +99,14 @@ object Embeddings {
     * oracle-pinned test configuration, not the 100 TB one. */
   def cosineNearDupPairs(spark: SparkSession, dir: String,
                          threshold: Double = 0.35,
-                         planes: Int = Planes): DataFrame = {
+                         planes: Int = Planes): DataFrame =
+    cosineNearDupPairsRaw(spark, dir, threshold, planes)
+      .orderBy(col("d1"), col("d2"))
+
+  /** [[cosineNearDupPairs]] without the presentation sort — the edge
+    * stream for [[nearDupClusters]]. */
+  private def cosineNearDupPairsRaw(spark: SparkSession, dir: String,
+                                    threshold: Double, planes: Int): DataFrame = {
     val vecs = Caches.persist(quantized(spark, dir).withColumn("bucket", bucketCol(planes)))
     val a = vecs.select(col("vec_id").as("d1"), col("qv").as("v1"),
       col("nrm").as("n1"), col("bucket"))
@@ -112,7 +119,29 @@ object Embeddings {
         col("dot").cast("double") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
       .filter(col("cosine") >= threshold)
       .select(col("d1"), col("d2"), col("dot"), col("cosine"))
-      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** q33 — group resolution for the VECTOR modality: q29's cosine
+    * near-dup pairs → connected components ([[LlmOps
+    * .connectedComponents]], min-label propagation) → min-vec_id
+    * survivor per cluster, emitted as a full-table drop-list
+    * (vec_id, cluster_id, keep) — the same last-step contract as the
+    * text-side q32, so a pipeline can resolve text and embedding
+    * duplicates with one code path. The component table is tiny next
+    * to the corpus: the enrichment join broadcasts it and the
+    * embeddings side reads only vec_id. */
+  def nearDupClusters(spark: SparkSession, dir: String,
+                      threshold: Double = 0.35,
+                      planes: Int = Planes): DataFrame = {
+    val comp = LlmOps.connectedComponents(
+      cosineNearDupPairsRaw(spark, dir, threshold, planes).select(col("d1"), col("d2")))
+      .withColumnRenamed("doc_id", "vec_id")
+    Tables.embeddings(spark, dir).select(col("vec_id"))
+      .join(broadcast(comp), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("vec_id"))
+      .orderBy(col("vec_id"))
   }
 
   /** One trained centroid: id (seed vec_id), exact component SUMS, and

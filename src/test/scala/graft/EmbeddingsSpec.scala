@@ -148,6 +148,24 @@ class EmbeddingsSpec extends SparkSpec {
       s"scaled planes should cut pair-generation cost ≥4x: $cost vs $cost4")
   }
 
+  test("nearDupClusters: pair endpoints share a cluster, min vec_id survives") {
+    val pairs = Embeddings.cosineNearDupPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = Embeddings.nearDupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val cluster = got.map(t => t._1 -> t._2).toMap
+    // full-table drop-list: one row per embedding
+    assert(got.length == spark.read.parquet(s"$dir/embeddings.parquet").count())
+    // both endpoints of every near-dup pair resolve to one cluster
+    pairs.foreach { case (a, b) => assert(cluster(a) == cluster(b), s"pair ($a,$b)") }
+    // survivor rule: keep ⇔ the row IS its cluster's min id
+    got.foreach { case (id, c, keep) => assert(keep == (id == c) && c <= id) }
+    // the drop count equals rows minus clusters
+    val nDropped = got.count(!_._3)
+    assert(nDropped == got.length - cluster.values.toSet.union(
+      got.filter(t => t._1 == t._2).map(_._1).toSet).size)
+  }
+
   test("buckets are non-degenerate and candidates never include self") {
     val out = Embeddings.annTopK(spark, dir).collect()
     assert(out.nonEmpty)
