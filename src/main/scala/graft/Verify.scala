@@ -23,8 +23,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // each result is fully materialized by the write above, so its
-      // session caches are releasable — the 31-query run holds at most
-      // one query's caches at a time (Caches contract)
+      // session caches are releasable — the multi-query run holds at
+      // most one query's caches at a time (Caches contract)
       graft.ops.Caches.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -11,11 +11,15 @@ import org.apache.spark.sql.DataFrame
   * unpersist — the cache must outlive the builder call and is only
   * releasable after the caller has fully evaluated the result.
   *
-  * Contract: every `persist()` in graft.ops goes through [[persist]],
-  * and harnesses (Bench, Verify, specs) call [[releaseAll]] once the
-  * results are materialized. A long-lived session that runs many
-  * queries therefore holds at most one query's caches at a time
-  * instead of accumulating all of them (VERDICT r3 hygiene item).
+  * Contract: every SESSION-LIVED `persist()` in graft.ops goes
+  * through [[persist]], and harnesses (Bench, Verify, specs) call
+  * [[releaseAll]] once the results are materialized. A long-lived
+  * session that runs many queries therefore holds at most one query's
+  * caches at a time instead of accumulating all of them (VERDICT r3
+  * hygiene item). The one sanctioned exception is a persist whose
+  * lifetime is a single method call and whose release sits in that
+  * method's `finally` (LlmOps.connectedComponents' edge table) — a
+  * registry entry would outlive it, not protect it.
   */
 object Caches {
   private val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

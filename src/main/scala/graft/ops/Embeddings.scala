@@ -125,42 +125,47 @@ object Embeddings {
     * near-dup pairs → connected components ([[LlmOps
     * .connectedComponents]], min-label propagation) → min-vec_id
     * survivor per cluster, emitted as a full-table drop-list
-    * (vec_id, cluster_id, keep) — the same last-step contract as the
-    * text-side q32, so a pipeline can resolve text and embedding
-    * duplicates with one code path. The component table is tiny next
-    * to the corpus: the enrichment join broadcasts it and the
-    * embeddings side reads only vec_id. */
+    * (vec_id, cluster_id, keep) — literally the same last step as the
+    * text-side q32 ([[LlmOps.dropList]]), so a pipeline resolves text
+    * and embedding duplicates with one code path; the embeddings side
+    * reads only vec_id. */
   def nearDupClusters(spark: SparkSession, dir: String,
                       threshold: Double = 0.35,
-                      planes: Int = Planes): DataFrame = {
-    val comp = LlmOps.connectedComponents(
-      cosineNearDupPairsRaw(spark, dir, threshold, planes).select(col("d1"), col("d2")))
-      .withColumnRenamed("doc_id", "vec_id")
-    Tables.embeddings(spark, dir).select(col("vec_id"))
-      .join(broadcast(comp), Seq("vec_id"), "left")
-      .select(col("vec_id"),
-        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
-      .withColumn("keep", col("cluster_id") === col("vec_id"))
-      .orderBy(col("vec_id"))
-  }
+                      planes: Int = Planes): DataFrame =
+    LlmOps.dropList(
+      Tables.embeddings(spark, dir).select(col("vec_id")),
+      LlmOps.connectedComponents(
+        cosineNearDupPairsRaw(spark, dir, threshold, planes).select(col("d1"), col("d2"))),
+      "vec_id")
 
   /** One trained centroid: id (seed vec_id), exact component SUMS, and
     * member count — the (s, n) pair represents the mean s/n without
     * ever dividing, so every engine reproduces it bit-for-bit. */
   private case class Centroid(j: Long, s: Seq[Long], n: Long)
 
+  /** Per-cell member bound for [[scaledDist]]'s exact-integer
+    * arithmetic: the distance sum ≤ Dim·(2n·10³)² = 2.56e8·n²
+    * overflows Long once n exceeds ~1.9·10⁵. */
+  val MaxCellMembers: Long = 190000L
+
   /** Scaled distance² to a centroid: Σ_d (n·q_d − s_d)² is exact
     * integer arithmetic (distance² × n²); ONE double division by n²
     * then makes centroids with different member counts comparable.
     * q_d ≤ 1e3 and s/n ≤ 1e3, so the integer sum stays ≤ ~64·(2n·10³)²
-    * — inside long and (at test scale) inside double's 2^53 — and the
-    * final IEEE division is the identical expression in DuckDB. */
-  private def scaledDist(c: Centroid): Column =
+    * — inside Long for n ≤ [[MaxCellMembers]] (enforced below: a
+    * silent wrap would corrupt every assignment; past the bound, shard
+    * cells or switch to double means) — and the final IEEE division is
+    * the identical expression in DuckDB. */
+  private def scaledDist(c: Centroid): Column = {
+    require(c.n <= MaxCellMembers,
+      s"cell ${c.j} has ${c.n} members — past the exact-integer bound " +
+        s"($MaxCellMembers); raise nCells or switch the quantizer to double means")
     aggregate(zip_with(col("qv"), array(c.s.map(lit(_)): _*), (q, sj) => {
       val diff = lit(c.n) * q - sj
       diff * diff
     }), lit(0L), (acc, v) => acc + v)
       .cast("double") / lit(c.n.toDouble * c.n.toDouble)
+  }
 
   /** Nearest-centroid id: argmin of the scaled distances; ties break
     * to the smallest centroid id (centroids arrive sorted by id and

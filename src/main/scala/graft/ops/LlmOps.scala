@@ -123,40 +123,65 @@ object LlmOps {
     * Input: (d1, d2) pairs. Output: (doc_id, cluster_id) for every
     * node that appears in at least one pair. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // scoped persist, NOT Caches: edges must not outlive this call, so
+    // it is released in the finally below even when a mid-fixpoint job
+    // fails (Caches.releaseAll could not see it). Intermediate rounds'
+    // localCheckpoint blocks are dropped by the ContextCleaner as each
+    // superseded `labels` reference goes out of scope; only the
+    // returned fixpoint's blocks stay live.
     val edges = pairs
       .select(col("d1").as("a"), col("d2").as("b"))
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .persist()
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .localCheckpoint()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), Seq("b"))
-        .groupBy(col("a")).agg(min(col("nl")).as("nbr_min"))
-        .select(col("a").as("doc_id"), col("nbr_min"))
-      // change detection rides along as a flag column: the convergence
-      // probe is then a scan of the checkpointed partitions instead of
-      // a second shuffle join against the previous labels
-      val updated = labels
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
-          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("changed"))
-        .localCheckpoint() // truncate lineage: O(1) plan depth per round
-      converged = updated.filter(col("changed")).limit(1).count() == 0
-      labels = updated.drop("changed")
-      i += 1
+    try {
+      var labels = edges.select(col("a").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id"))
+        .localCheckpoint()
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), Seq("b"))
+          .groupBy(col("a")).agg(min(col("nl")).as("nbr_min"))
+          .select(col("a").as("doc_id"), col("nbr_min"))
+        // change detection rides along as a flag column: the convergence
+        // probe is then a scan of the checkpointed partitions instead of
+        // a second shuffle join against the previous labels
+        val updated = labels
+          .join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+            (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("changed"))
+          .localCheckpoint() // truncate lineage: O(1) plan depth per round
+        converged = updated.filter(col("changed")).limit(1).count() == 0
+        labels = updated.drop("changed")
+        i += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds — " +
+            "component diameter exceeds maxIters; raise maxIters")
+      labels
+    } finally {
+      edges.unpersist()
+      ()
     }
-    edges.unpersist()
-    if (!converged)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIters rounds — " +
-          "component diameter exceeds maxIters; raise maxIters")
-    labels
   }
+
+  /** Shared last step of both drop-list operators (text q32, vector
+    * q33): enrich the full id table with its component label and the
+    * min-id survivor verdict. No broadcast hint: the drop-list is tiny
+    * on low-duplication corpora (AQE picks a broadcast join from the
+    * runtime size) but corpus-proportional on heavily duplicated ones,
+    * where forcing a broadcast would OOM — the planner must stay free
+    * to shuffle. */
+  private[graft] def dropList(ids: DataFrame, comp: DataFrame, idCol: String): DataFrame =
+    ids
+      .join(comp.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col(idCol))
+      .orderBy(col(idCol))
 
   /** q32 — near-dup group resolution: the dedup pipeline's LAST step.
     * q20's pair stream → connected components → min-doc_id survivor
@@ -165,20 +190,15 @@ object LlmOps {
     * cluster and always survive; in a duplicate cluster exactly the
     * minimum doc_id has keep = true.
     *
-    * The components table is O(#docs-in-pairs) — tiny next to the
-    * corpus — so the final enrichment join broadcasts it against the
-    * full documents scan; the corpus side never shuffles. */
+    * The components table is O(#docs-in-pairs); the enrichment join
+    * is planned by size at runtime (see [[dropList]]). */
   def nearDupClusters(spark: SparkSession, dir: String,
-                      n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50): DataFrame = {
-    val comp = connectedComponents(
-      jaccardPairsRaw(spark, dir, n, threshold, maxDf).select(col("d1"), col("d2")))
-    Tables.documents(spark, dir).select(col("doc_id"))
-      .join(broadcast(comp), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .withColumn("keep", col("cluster_id") === col("doc_id"))
-      .orderBy(col("doc_id"))
-  }
+                      n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50): DataFrame =
+    dropList(
+      Tables.documents(spark, dir).select(col("doc_id")),
+      connectedComponents(
+        jaccardPairsRaw(spark, dir, n, threshold, maxDf).select(col("d1"), col("d2"))),
+      "doc_id")
 
   val MinhashK = 16
 

@@ -106,8 +106,12 @@ object Multimodal {
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { m =>
       val decoded =
         if (m.kind == "image")
+          // NonFatal, not just IOException: the JDK readers throw
+          // unchecked exceptions (IndexOutOfBounds, IllegalArgument)
+          // on truncated/corrupt payloads, and a poison byte string
+          // must hit the fallback, not kill the task
           try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
-          catch { case _: java.io.IOException => None }
+          catch { case scala.util.control.NonFatal(_) => None }
         else None
       decoded match {
         case Some(img) =>

@@ -63,7 +63,12 @@ object StreamingNearDedup {
     * join. */
   def nearDupMatches(docs: DataFrame, index: DataFrame,
                      maxHamming: Int = 3, horizon: String = "1 hour"): DataFrame = {
-    require(maxHamming < Bands * BandBits, "maxHamming must be below the sketch width")
+    // strict bound from the pigeonhole argument: beyond Bands−1 bit
+    // flips a pair can disagree on every band and silently vanish from
+    // the join — reject instead of losing recall without warning
+    require(maxHamming < Bands,
+      s"maxHamming must be ≤ ${Bands - 1}: the $Bands-band index only guarantees " +
+        "recall for pairs within Bands−1 differing bits")
     graft.functions.SimHash60.register(docs.sparkSession)
     docs
       .withColumn("ws", filter(split(col("text"), " "), x => length(x) > 0))

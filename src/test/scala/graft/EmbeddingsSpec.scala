@@ -127,7 +127,9 @@ class EmbeddingsSpec extends SparkSpec {
     // the rule: expected population n / 2^p ≤ target
     val target = 64
     val p = Embeddings.planesFor(n, target)
-    assert(p == math.ceil(math.log(n.toDouble / target) / math.log(2)).toInt && p >= 6)
+    // pinned literal, not the formula re-derived (that would be a
+    // tautology): ceil(log2(5000/64)) = ceil(6.29) = 7
+    assert(p == 7)
 
     def populations(planes: Int): Seq[Long] =
       Embeddings.lshBuckets(spark, tmp, planes)
