@@ -247,16 +247,30 @@ object Embeddings {
     * divisible by `queryMod`), the `k` nearest same-bucket neighbors by
     * exact quantized cosine. Candidates come from the bucket equi-join
     * only — ANN semantics (recall < 1 by design, measured against the
-    * brute-force oracle in EmbeddingsSpec). */
+    * brute-force oracle in EmbeddingsSpec).
+    *
+    * `multiProbe = 1` additionally probes every bucket within sketch
+    * Hamming distance 1 (flip each of the `planes` bits) — the
+    * standard multi-probe LSH recall/cost dial: as [[planesFor]] grows
+    * planes with the corpus, per-bucket recall drops, and probing the
+    * `planes` adjacent buckets buys most of it back for a
+    * (planes+1)× candidate multiplier on the (small) query side only;
+    * the corpus side's bucketing and the join shape are unchanged. */
   def annTopK(spark: SparkSession, dir: String,
               k: Int = 5, queryMod: Int = 50,
-              planes: Int = Planes): DataFrame = {
+              planes: Int = Planes, multiProbe: Int = 0): DataFrame = {
+    require(multiProbe == 0 || multiProbe == 1, "multiProbe supports 0 (off) or 1 (flip-1 buckets)")
     // persisted: feeds both the query side and the candidate side —
     // without it the scan + quantize + 4 projections run twice.
     val vecs = Caches.persist(quantized(spark, dir).withColumn("bucket", bucketCol(planes)))
-    val qs = vecs.filter(col("vec_id") % queryMod === 0)
+    val qs0 = vecs.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("qv").as("q_v"),
         col("nrm").as("q_n"), col("bucket"))
+    val qs =
+      if (multiProbe == 0) qs0
+      else qs0.withColumn("bucket", explode(array(
+        col("bucket") +: (0 until planes).map(s =>
+          col("bucket").bitwiseXOR(lit(1L << s))): _*)))
     val cands = vecs.select(col("vec_id").as("neighbor_id"), col("qv").as("c_v"),
       col("nrm").as("c_n"), col("bucket"))
     val scored = cands.join(broadcast(qs), Seq("bucket"))

@@ -98,9 +98,14 @@ class EmbeddingsSpec extends SparkSpec {
       hits.toDouble / truth.values.map(_.size).sum
     }
     val lsh = recall(Embeddings.annTopK(spark, dir))
+    val lshMp = recall(Embeddings.annTopK(spark, dir, multiProbe = 1))
     val ivf1 = recall(Embeddings.ivfTopK(spark, dir))
     val ivf2 = recall(Embeddings.ivfTopK(spark, dir, nprobe = 2))
-    info(f"recall@5 on sf0.001: LSH=$lsh%.2f IVF(nprobe=1)=$ivf1%.2f IVF(nprobe=2)=$ivf2%.2f")
+    info(f"recall@5 on sf0.001: LSH=$lsh%.2f LSH(multiProbe=1)=$lshMp%.2f " +
+      f"IVF(nprobe=1)=$ivf1%.2f IVF(nprobe=2)=$ivf2%.2f")
+    // multi-probe candidates are a superset of the probe-0 candidates,
+    // so recall can only rise
+    assert(lshMp >= lsh)
     // random vectors are a worst case for locality sketches; the gate
     // here is "meaningfully better than nothing", the exact-agreement
     // tests above pin correctness of what each variant returns
