@@ -70,14 +70,19 @@ object Embeddings {
         transform(col("embedding"), x => floor(x.cast("double") * 1000)).as("qv"))
       .withColumn("nrm", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
 
-  /** LSH bucket: bit s of the code = sign of the projection onto
-    * hyperplane s. Plan literal arrays keep this in codegen. */
-  private def bucketCol(planes: Int): Column =
+  /** LSH bucket from `planes` hyperplanes starting at seed
+    * `seedOffset`: bit s of the code = sign of the projection onto
+    * hyperplane seedOffset+s. Plan literal arrays keep this in
+    * codegen; distinct offsets give INDEPENDENT sketches (the
+    * multi-band trick). */
+  private def bucketColSeeded(planes: Int, seedOffset: Int): Column =
     (0 until planes).map { s =>
-      val plane = array((0 until Dim).map(d => lit(rademacher(s, d))): _*)
+      val plane = array((0 until Dim).map(d => lit(rademacher(seedOffset + s, d))): _*)
       val proj = aggregate(zip_with(col("qv"), plane, (x, r) => x * r), lit(0L), (a, v) => a + v)
       when(proj >= 0, lit(1L << s)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  private def bucketCol(planes: Int): Column = bucketColSeeded(planes, 0)
 
   /** Bucket assignment surface (vec_id, bucket) — the candidate-
     * generation key of [[annTopK]]/[[cosineNearDupPairs]], exposed so
@@ -95,31 +100,61 @@ object Embeddings {
     * (Production near-dup uses ~0.9; the default is calibrated to the
     * driver's random-vector testdata, where the strongest same-bucket
     * pairs sit near 0.48 — the operator is threshold-parametric.)
-    * Size `planes` with [[planesFor]] at scale: the default 4 is the
-    * oracle-pinned test configuration, not the 100 TB one. */
+    * Size `planes` with [[planesFor]] at scale, and raise `bands` to
+    * buy recall back: each band is an INDEPENDENT `planes`-bit sketch
+    * (disjoint hyperplane seeds, the q21 banding pattern) — a true
+    * near-dup pair only needs to collide in ONE of them, so missing
+    * probability decays exponentially in `bands` while cost grows
+    * linearly. The default (4, 1) is the oracle-pinned test
+    * configuration, not the 100 TB one. */
   def cosineNearDupPairs(spark: SparkSession, dir: String,
                          threshold: Double = 0.35,
-                         planes: Int = Planes): DataFrame =
-    cosineNearDupPairsRaw(spark, dir, threshold, planes)
+                         planes: Int = Planes, bands: Int = 1): DataFrame =
+    cosineNearDupPairsRaw(spark, dir, threshold, planes, bands)
       .orderBy(col("d1"), col("d2"))
 
   /** [[cosineNearDupPairs]] without the presentation sort — the edge
     * stream for [[nearDupClusters]]. */
   private def cosineNearDupPairsRaw(spark: SparkSession, dir: String,
-                                    threshold: Double, planes: Int): DataFrame = {
-    val vecs = Caches.persist(quantized(spark, dir).withColumn("bucket", bucketCol(planes)))
-    val a = vecs.select(col("vec_id").as("d1"), col("qv").as("v1"),
-      col("nrm").as("n1"), col("bucket"))
-    val b = vecs.select(col("vec_id").as("d2"), col("qv").as("v2"),
-      col("nrm").as("n2"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
+                                    threshold: Double, planes: Int,
+                                    bands: Int = 1): DataFrame = {
+    require(bands >= 1, "need at least one band")
+    if (bands == 1) {
+      // single band: score inside the bucket join, one pass
+      val vecs = Caches.persist(quantized(spark, dir).withColumn("bucket", bucketCol(planes)))
+      val a = vecs.select(col("vec_id").as("d1"), col("qv").as("v1"),
+        col("nrm").as("n1"), col("bucket"))
+      val b = vecs.select(col("vec_id").as("d2"), col("qv").as("v2"),
+        col("nrm").as("n2"), col("bucket"))
+      scorePairs(a.join(b, Seq("bucket")).filter(col("d1") < col("d2")), threshold)
+    } else {
+      // q21 shape: per-band candidate generation, distinct pair set,
+      // ONE exact scoring pass over the union
+      val vecs = Caches.persist(quantized(spark, dir))
+      val cand = (0 until bands).map { band =>
+        val bv = vecs.withColumn("bucket", bucketColSeeded(planes, band * planes))
+        bv.select(col("vec_id").as("d1"), col("bucket"))
+          .join(bv.select(col("vec_id").as("d2"), col("bucket")), Seq("bucket"))
+          .filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2"))
+      }.reduce(_ union _).distinct()
+      scorePairs(cand
+        .join(vecs.select(col("vec_id").as("d1"), col("qv").as("v1"), col("nrm").as("n1")), Seq("d1"))
+        .join(vecs.select(col("vec_id").as("d2"), col("qv").as("v2"), col("nrm").as("n2")), Seq("d2")),
+        threshold)
+    }
+  }
+
+  /** Exact quantized scoring of a candidate pair stream carrying
+    * (d1, v1, n1, d2, v2, n2): dot, cosine, threshold. */
+  private def scorePairs(cand: DataFrame, threshold: Double): DataFrame =
+    cand
       .withColumn("dot",
         aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y), lit(0L), (acc, v) => acc + v))
       .withColumn("cosine",
         col("dot").cast("double") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
       .filter(col("cosine") >= threshold)
       .select(col("d1"), col("d2"), col("dot"), col("cosine"))
-  }
 
   /** q33 — group resolution for the VECTOR modality: q29's cosine
     * near-dup pairs → connected components ([[LlmOps

@@ -155,6 +155,18 @@ class EmbeddingsSpec extends SparkSpec {
       s"scaled planes should cut pair-generation cost ≥4x: $cost vs $cost4")
   }
 
+  test("multi-band near-dup pairs: superset of single-band, identical scoring") {
+    val one = Embeddings.cosineNearDupPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val two = Embeddings.cosineNearDupPairs(spark, dir, bands = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // band 0 of the 2-band run IS the single-band sketch, so every
+    // single-band pair must reappear with the same exact dot/cosine
+    assert(one.keySet.subsetOf(two.keySet))
+    one.foreach { case (k, v) => assert(two(k) == v, s"pair $k scored differently") }
+    info(s"pairs on sf0.001: bands=1 → ${one.size}, bands=2 → ${two.size}")
+  }
+
   test("nearDupClusters: pair endpoints share a cluster, min vec_id survives") {
     val pairs = Embeddings.cosineNearDupPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
