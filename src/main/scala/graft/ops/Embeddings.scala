@@ -64,11 +64,16 @@ object Embeddings {
     * component (exact in both engines: float→double widen, one double
     * multiply, floor), plus the exact squared norm. Keeps `label` as
     * a sanity surface (the IVF quantizer is trained, not label-read). */
-  private def quantized(spark: SparkSession, dir: String): DataFrame =
+  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+    // every embedding query path starts here, so the session function
+    // behind the codegen dot products is registered before any plan
+    // that uses it is analyzed
+    graft.functions.VecDot.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => floor(x.cast("double") * 1000)).as("qv"))
-      .withColumn("nrm", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+      .withColumn("nrm", expr("vec_dot(qv, qv)"))
+  }
 
   /** LSH bucket from `planes` hyperplanes starting at seed
     * `seedOffset`: bit s of the code = sign of the projection onto
@@ -77,8 +82,8 @@ object Embeddings {
     * multi-band trick). */
   private def bucketColSeeded(planes: Int, seedOffset: Int): Column =
     (0 until planes).map { s =>
-      val plane = array((0 until Dim).map(d => lit(rademacher(seedOffset + s, d))): _*)
-      val proj = aggregate(zip_with(col("qv"), plane, (x, r) => x * r), lit(0L), (a, v) => a + v)
+      val plane = (0 until Dim).map(d => s"${rademacher(seedOffset + s, d)}L").mkString(",")
+      val proj = expr(s"vec_dot(qv, array($plane))")
       when(proj >= 0, lit(1L << s)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -149,8 +154,7 @@ object Embeddings {
     * (d1, v1, n1, d2, v2, n2): dot, cosine, threshold. */
   private def scorePairs(cand: DataFrame, threshold: Double): DataFrame =
     cand
-      .withColumn("dot",
-        aggregate(zip_with(col("v1"), col("v2"), (x, y) => x * y), lit(0L), (acc, v) => acc + v))
+      .withColumn("dot", expr("vec_dot(v1, v2)"))
       .withColumn("cosine",
         col("dot").cast("double") / sqrt(col("n1").cast("double") * col("n2").cast("double")))
       .filter(col("cosine") >= threshold)
@@ -186,19 +190,25 @@ object Embeddings {
   /** Scaled distance² to a centroid: Σ_d (n·q_d − s_d)² is exact
     * integer arithmetic (distance² × n²); ONE double division by n²
     * then makes centroids with different member counts comparable.
-    * q_d ≤ 1e3 and s/n ≤ 1e3, so the integer sum stays ≤ ~64·(2n·10³)²
-    * — inside Long for n ≤ [[MaxCellMembers]] (enforced below: a
+    * Evaluated in the EXPANDED form n²·‖q‖² − 2n·(q·s) + ‖s‖² so the
+    * per-row work is one codegen [[graft.functions.VecDot]] call plus
+    * constants (‖q‖² is the precomputed `nrm` column; ‖s‖² folds on
+    * the driver) — the Σ(n·q−s)² zip_with form pays two interpreted
+    * lambdas per (row, cell) and dominated q31's training passes.
+    * Every term (and the total, which equals the direct form exactly)
+    * stays inside Long for n ≤ [[MaxCellMembers]] (enforced below: a
     * silent wrap would corrupt every assignment; past the bound, shard
-    * cells or switch to double means) — and the final IEEE division is
-    * the identical expression in DuckDB. */
+    * cells or switch to double means), and the final IEEE division is
+    * identical to the oracle's direct-form expression. */
   private def scaledDist(c: Centroid): Column = {
     require(c.n <= MaxCellMembers,
       s"cell ${c.j} has ${c.n} members — past the exact-integer bound " +
         s"($MaxCellMembers); raise nCells or switch the quantizer to double means")
-    aggregate(zip_with(col("qv"), array(c.s.map(lit(_)): _*), (q, sj) => {
-      val diff = lit(c.n) * q - sj
-      diff * diff
-    }), lit(0L), (acc, v) => acc + v)
+    val sLits = c.s.map(v => s"${v}L").mkString(",")
+    val sumS2 = c.s.map(v => v * v).sum
+    (lit(c.n) * lit(c.n) * col("nrm")
+      - lit(2L * c.n) * expr(s"vec_dot(qv, array($sLits))")
+      + lit(sumS2))
       .cast("double") / lit(c.n.toDouble * c.n.toDouble)
   }
 
@@ -266,8 +276,7 @@ object Embeddings {
         col("nrm").as("q_n"), explode(probeCells).as("cell"))
     val scored = cands.join(broadcast(qs), Seq("cell"))
       .filter(col("neighbor_id") =!= col("q_id"))
-      .withColumn("dot",
-        aggregate(zip_with(col("q_v"), col("c_v"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+      .withColumn("dot", expr("vec_dot(q_v, c_v)"))
       .withColumn("cosine",
         col("dot").cast("double") / sqrt(col("q_n").cast("double") * col("c_n").cast("double")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
@@ -310,8 +319,7 @@ object Embeddings {
       col("nrm").as("c_n"), col("bucket"))
     val scored = cands.join(broadcast(qs), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("q_id"))
-      .withColumn("dot",
-        aggregate(zip_with(col("q_v"), col("c_v"), (x, y) => x * y), lit(0L), (a, v) => a + v))
+      .withColumn("dot", expr("vec_dot(q_v, c_v)"))
       .withColumn("cosine",
         col("dot").cast("double") / sqrt(col("q_n").cast("double") * col("c_n").cast("double")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
