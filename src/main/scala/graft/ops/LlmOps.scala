@@ -134,8 +134,13 @@ object LlmOps {
       .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
       .persist()
     try {
-      var labels = edges.select(col("a").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id"))
+      // initialization fuses the first propagation round: the grouping
+      // that enumerates the node set also yields each node's min
+      // neighbor, so label₀ = min(self, neighbors) costs nothing extra
+      // and saves one full join+checkpoint round
+      var labels = edges.groupBy(col("a"))
+        .agg(min(col("b")).as("nb"))
+        .select(col("a").as("doc_id"), least(col("a"), col("nb")).as("cluster_id"))
         .localCheckpoint()
       var converged = false
       var i = 0
