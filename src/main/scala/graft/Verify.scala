@@ -10,6 +10,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same AQE coalescing posture as Bench (size-based, 4m advisory):
+      // correctness output is partition-count-independent, and the
+      // verify pass shouldn't pay 32-task stages for KB-sized shuffles
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -25,7 +30,7 @@ object Verify {
       // each result is fully materialized by the write above, so its
       // session caches are releasable — the multi-query run holds at
       // most one query's caches at a time (Caches contract)
-      graft.ops.Caches.releaseAll()
+      graft.ops.Caches.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

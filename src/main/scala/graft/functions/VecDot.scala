@@ -17,7 +17,14 @@ import org.apache.spark.sql.types._
   * q27/q31, that interpretation tax dominates the scoring stage. This
   * stays inside whole-stage codegen: one primitive loop, no
   * allocation, and the identical Long arithmetic (so every
-  * oracle-checked dot/cosine value is unchanged). */
+  * oracle-checked dot/cosine value is unchanged).
+  *
+  * Null semantics match the zip_with/aggregate formulation it
+  * replaces: a null ELEMENT in either array makes the result null
+  * (the function is registered session-wide, so arbitrary user arrays
+  * reach it — reading the raw slot instead would silently return
+  * garbage). When both element types are non-nullable the codegen
+  * path skips the per-element checks entirely. */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -28,11 +35,34 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override def dataType: DataType = LongType
   override def prettyName: String = "vec_dot"
 
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+
+  override def nullable: Boolean = left.nullable || right.nullable || elemNullable
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     VecDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.compute($a, $b)")
+    if (elemNullable) {
+      // boxed call: a null element anywhere yields SQL NULL
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val tmp = ctx.freshName("vecDot")
+        s"""
+           |java.lang.Long $tmp = graft.functions.VecDot.compute($a, $b);
+           |if ($tmp == null) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $tmp.longValue();
+           |}
+         """.stripMargin
+      })
+    } else {
+      // both element types non-nullable: primitive loop, no checks
+      defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecDot.computeStrict($a, $b)")
+    }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): VecDot =
@@ -55,8 +85,23 @@ object VecDot {
 
   /** Called from generated code — one primitive loop per row. Mirrors
     * the zip_with semantics: the product runs over the SHORTER length
-    * (equal for every caller — both sides are Dim-sized). */
-  def compute(a: ArrayData, b: ArrayData): Long = {
+    * (equal for every caller — both sides are Dim-sized) and a null
+    * element anywhere nullifies the result. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  /** Non-null fast path for arrays whose element type is provably
+    * non-nullable: no per-element checks. */
+  def computeStrict(a: ArrayData, b: ArrayData): Long = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0L
     var i = 0

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-cache registry — the one place that documents the cache
   * contract for every `persist()` in the query builders.
@@ -13,28 +13,41 @@ import org.apache.spark.sql.DataFrame
   *
   * Contract: every SESSION-LIVED `persist()` in graft.ops goes
   * through [[persist]], and harnesses (Bench, Verify, specs) call
-  * [[releaseAll]] once the results are materialized. A long-lived
-  * session that runs many queries therefore holds at most one query's
-  * caches at a time instead of accumulating all of them (VERDICT r3
-  * hygiene item). The one sanctioned exception is a persist whose
-  * lifetime is a single method call and whose release sits in that
-  * method's `finally` (LlmOps.connectedComponents' edge table) — a
+  * [[releaseAll(spark*)]] once the results are materialized. The
+  * registry is KEYED BY SESSION: releasing one harness's caches
+  * cannot unpersist those registered by a different SparkSession
+  * running concurrently in the same JVM. A long-lived session that
+  * runs many queries therefore holds at most one query's caches at a
+  * time instead of accumulating all of them (VERDICT r3 hygiene
+  * item). The one sanctioned exception is a persist whose lifetime is
+  * a single method call and whose release sits in that method's
+  * `finally` (LlmOps.connectedComponents' edge/pair tables) — a
   * registry entry would outlive it, not protect it.
   */
 object Caches {
-  private val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val live =
+    scala.collection.mutable.Map.empty[SparkSession, scala.collection.mutable.ArrayBuffer[DataFrame]]
 
-  /** Persist `df` and register it for a later [[releaseAll]]. */
+  /** Persist `df` and register it (under its own session) for a later
+    * [[releaseAll(spark*)]]. */
   def persist(df: DataFrame): DataFrame = synchronized {
     val p = df.persist()
-    live += p
+    live.getOrElseUpdate(df.sparkSession, scala.collection.mutable.ArrayBuffer.empty) += p
     p
   }
 
-  /** Unpersist every registered cache (blocking=false: eviction is
-    * async, callers don't wait on executor cleanup). */
+  /** Unpersist every cache registered by `spark` (blocking=false:
+    * eviction is async, callers don't wait on executor cleanup).
+    * Caches owned by other sessions are untouched. */
+  def releaseAll(spark: SparkSession): Unit = synchronized {
+    live.remove(spark).foreach(_.foreach(df => scala.util.Try(df.unpersist())))
+  }
+
+  /** Unpersist every registered cache across ALL sessions — only for
+    * single-session processes (specs' afterAll, JVM teardown); a
+    * multi-session host must use the session-scoped overload. */
   def releaseAll(): Unit = synchronized {
-    live.foreach(df => scala.util.Try(df.unpersist()))
+    live.valuesIterator.foreach(_.foreach(df => scala.util.Try(df.unpersist())))
     live.clear()
   }
 }

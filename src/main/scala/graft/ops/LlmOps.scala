@@ -123,52 +123,92 @@ object LlmOps {
     * Input: (d1, d2) pairs. Output: (doc_id, cluster_id) for every
     * node that appears in at least one pair. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
-    // scoped persist, NOT Caches: edges must not outlive this call, so
-    // it is released in the finally below even when a mid-fixpoint job
-    // fails (Caches.releaseAll could not see it). Intermediate rounds'
-    // localCheckpoint blocks are dropped by the ContextCleaner as each
-    // superseded `labels` reference goes out of scope; only the
+    val spark = pairs.sparkSession
+    // scoped persists, NOT Caches: these must not outlive this call, so
+    // they are released in the finally below even when a mid-fixpoint
+    // job fails (Caches.releaseAll could not see them). Intermediate
+    // rounds' localCheckpoint blocks are dropped by the ContextCleaner
+    // as each superseded `labels` reference goes out of scope; only the
     // returned fixpoint's blocks stay live.
-    val edges = pairs
-      .select(col("d1").as("a"), col("d2").as("b"))
-      .union(pairs.select(col("d2").as("a"), col("d1").as("b")))
-      .persist()
+    val p = pairs.select(col("d1"), col("d2")).persist()
+    // ONE count job up front does double duty: it materializes the pair
+    // cache (the undirected union below reads it twice — uncached, the
+    // whole upstream candidate-generation join would execute twice) and
+    // it sizes the fixpoint shuffles. The label/edge tables are
+    // edge-count-sized, never corpus-sized: at bench SF they are a few
+    // thousand rows, where 32-partition shuffles and 32-task probe jobs
+    // are pure scheduling floor (BENCH_r04: q33 spent 11-20 s resolving
+    // 34 pairs). ~1M edge rows per partition, capped at the session
+    // setting so a 100 TB edge stream still fans out fully.
+    val nPairs = p.count()
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val loopParts =
+      math.max(1L, math.min(sessionParts.toLong, 2 * nPairs / 1000000L + 1L)).toInt
+    // every shuffle inside the loop (groupBy, both join sides) plans at
+    // loopParts while this is set; restored in the finally. The driver-
+    // sequential fixpoint is the only query compiling in this session
+    // during the call — documented single-writer constraint.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    // edges are pre-shuffled ONCE onto the per-round join key, so each
+    // round's join reuses the cached HashPartitioning(b, loopParts) and
+    // only the (tiny) label side moves.
+    val edges = p.select(col("d1").as("a"), col("d2").as("b"))
+      .union(p.select(col("d2").as("a"), col("d1").as("b")))
     try {
-      // initialization fuses the first propagation round: the grouping
-      // that enumerates the node set also yields each node's min
-      // neighbor, so label₀ = min(self, neighbors) costs nothing extra
-      // and saves one full join+checkpoint round
-      var labels = edges.groupBy(col("a"))
-        .agg(min(col("b")).as("nb"))
-        .select(col("a").as("doc_id"), least(col("a"), col("nb")).as("cluster_id"))
-        .localCheckpoint()
-      var converged = false
-      var i = 0
-      while (!converged && i < maxIters) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), Seq("b"))
-          .groupBy(col("a")).agg(min(col("nl")).as("nbr_min"))
-          .select(col("a").as("doc_id"), col("nbr_min"))
-        // change detection rides along as a flag column: the convergence
-        // probe is then a scan of the checkpointed partitions instead of
-        // a second shuffle join against the previous labels
-        val updated = labels
-          .join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
-            (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("changed"))
-          .localCheckpoint() // truncate lineage: O(1) plan depth per round
-        converged = updated.filter(col("changed")).limit(1).count() == 0
-        labels = updated.drop("changed")
-        i += 1
+      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      val edgesPart = edges.repartition(loopParts, col("b")).persist()
+      try {
+        // initialization fuses the first propagation round: the grouping
+        // that enumerates the node set also yields each node's min
+        // neighbor, so label₀ = min(self, neighbors) costs nothing extra
+        // and saves one full join+checkpoint round. Lazy checkpoint: the
+        // first round's convergence count materializes it in the same job.
+        //
+        // Durability note (100 TB): localCheckpoint stores unreplicated
+        // executor-local blocks — on a real cluster a lost executor
+        // mid-fixpoint fails the query instead of recomputing (lineage is
+        // truncated). That is the right trade on the local bench and for
+        // short fixpoints; long cluster runs that must survive executor
+        // loss should set a checkpoint dir and swap in reliable
+        // `checkpoint(false)` here (same plan shape, adds HDFS writes).
+        var labels = edgesPart.groupBy(col("a"))
+          .agg(min(col("b")).as("nb"))
+          .select(col("a").as("doc_id"), least(col("a"), col("nb")).as("cluster_id"))
+          .localCheckpoint(eager = false)
+        var converged = false
+        var i = 0
+        while (!converged && i < maxIters) {
+          val nbrMin = edgesPart
+            .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), Seq("b"))
+            .groupBy(col("a")).agg(min(col("nl")).as("nbr_min"))
+            .select(col("a").as("doc_id"), col("nbr_min"))
+          val updated = labels
+            .join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
+              (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("changed"))
+            .localCheckpoint(eager = false) // truncate lineage: O(1) plan depth per round
+          // ONE job per round: the full count (filter needs every
+          // partition, no limit short-circuit) both materializes the lazy
+          // checkpoint and decides convergence — the previous
+          // eager-checkpoint + probe pair cost two scheduler round-trips
+          // per round, the dominant term of BENCH_r04's q33.
+          converged = updated.filter(col("changed")).count() == 0L
+          labels = updated.drop("changed")
+          i += 1
+        }
+        if (!converged)
+          throw new IllegalStateException(
+            s"connectedComponents did not converge in $maxIters rounds — " +
+              "component diameter exceeds maxIters; raise maxIters")
+        labels
+      } finally {
+        edgesPart.unpersist()
+        ()
       }
-      if (!converged)
-        throw new IllegalStateException(
-          s"connectedComponents did not converge in $maxIters rounds — " +
-            "component diameter exceeds maxIters; raise maxIters")
-      labels
     } finally {
-      edges.unpersist()
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      p.unpersist()
       ()
     }
   }
