@@ -52,6 +52,16 @@ object SparkEntry {
     "q31_ivf_topk"          -> ((s, d) => Embeddings.ivfTopK(s, d)),
     "q32_neardup_clusters"  -> ((s, d) => LlmOps.nearDupClusters(s, d)),
     "q33_embedding_clusters" -> ((s, d) => Embeddings.nearDupClusters(s, d)),
+    // the SCALE configuration of the embedding near-dup family, oracle-
+    // gated: planes sized by planesFor (not the pinned toy 4), two
+    // independent sketch bands. The count() is a sizing-only aggregate
+    // action (no data moves to the driver) — the same count the oracle
+    // runs to derive its plane budget.
+    "q34_neardup_scaled"    -> ((s, d) => {
+      val n = Tables.embeddings(s, d).count()
+      Embeddings.cosineNearDupPairs(s, d,
+        planes = Embeddings.planesFor(n, targetBucket = 64), bands = 2)
+    }),
   )
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -498,5 +508,47 @@ object SparkEntry {
                 coalesce(c.cluster_id, e.vec_id) = e.vec_id AS keep
          FROM embeddings e LEFT JOIN comp c USING (vec_id)
          ORDER BY e.vec_id""",
+    // parametric in the plane count: p = smallest integer with
+    // 64·2^p ≥ count(embeddings) — the same exact-integer planesFor the
+    // Spark side runs — and band k draws planes k·p .. k·p+p-1, so the
+    // certified configuration tracks the corpus size instead of the
+    // pinned toy planes=4.
+    "q34_neardup_scaled" ->
+      """WITH nn AS (SELECT count(*) AS cnt FROM embeddings),
+         par AS (SELECT GREATEST(1, min(pp.p)) AS p
+                 FROM nn, (SELECT unnest(generate_series(0, 30)) AS p) pp
+                 WHERE 64 * (CAST(1 AS BIGINT) << pp.p) >= nn.cnt),
+         q AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         nrm AS (
+           SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q),
+         hp AS (
+           SELECT b.band, s.s, d.d,
+             CASE WHEN CAST(('0x' || substr(md5((b.band * par.p + s.s) || ':' || d.d), 1, 15)) AS BIGINT) & 1 = 1 THEN 1 ELSE -1 END AS r
+           FROM par, (SELECT unnest(generate_series(0, 1)) AS band) b,
+                (SELECT unnest(generate_series(0, 30)) AS s) s,
+                (SELECT unnest(generate_series(0, 63)) AS d) d
+           WHERE s.s < par.p),
+         sk AS (
+           SELECT n.vec_id, hp.band, hp.s, sum(hp.r * n.qv[hp.d+1]) AS dot_s
+           FROM nrm n, hp GROUP BY 1, 2, 3),
+         bk AS (
+           SELECT vec_id, band,
+             CAST(sum(CASE WHEN dot_s >= 0 THEN (CAST(1 AS BIGINT) << s) ELSE 0 END) AS BIGINT) AS bucket
+           FROM sk GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT a.vec_id AS d1, c.vec_id AS d2
+           FROM bk a JOIN bk c ON a.band = c.band AND a.bucket = c.bucket AND a.vec_id < c.vec_id),
+         pairs AS (
+           SELECT cand.d1, cand.d2,
+             CAST(list_sum(list_transform(generate_series(1,64), i -> a.qv[i]*c.qv[i])) AS BIGINT) AS dot,
+             a.nrm AS n1, c.nrm AS n2
+           FROM cand JOIN nrm a ON cand.d1 = a.vec_id JOIN nrm c ON cand.d2 = c.vec_id)
+         SELECT d1, d2, dot,
+           CAST(dot AS DOUBLE)/sqrt(CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)) AS cosine
+         FROM pairs
+         WHERE CAST(dot AS DOUBLE)/sqrt(CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)) >= 0.35
+         ORDER BY d1, d2""",
   )
 }

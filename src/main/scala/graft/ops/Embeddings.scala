@@ -47,7 +47,13 @@ object Embeddings {
     * banding pattern.) */
   def planesFor(n: Long, targetBucket: Int = 1024): Int = {
     require(n > 0 && targetBucket > 0, "need positive corpus and bucket sizes")
-    math.max(1, math.ceil(math.log(n.toDouble / targetBucket) / math.log(2)).toInt)
+    // exact-integer form of ceil(log2(n / targetBucket)): the smallest p
+    // with targetBucket·2^p ≥ n. The ratio-of-logs double form is off by
+    // one at exact power-of-2 boundaries (1-ulp rounding), which would
+    // silently diverge from the q34 oracle's integer computation.
+    var p = 0
+    while (p < 62 && (targetBucket.toLong << p) < n) p += 1
+    math.max(1, p)
   }
 
   /** Rademacher component r(s, d) ∈ {+1, -1}: low bit of the 60-bit

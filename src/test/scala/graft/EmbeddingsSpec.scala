@@ -151,6 +151,13 @@ class EmbeddingsSpec extends SparkSpec {
     // pinned literal, not the formula re-derived (that would be a
     // tautology): ceil(log2(5000/64)) = ceil(6.29) = 7
     assert(p == 7)
+    // exact power-of-2 boundaries — where the old ratio-of-logs double
+    // form could round to one plane too many and silently diverge from
+    // the q34 oracle's integer computation
+    assert(Embeddings.planesFor(2048, 64) == 5) // 64·2^5 = 2048 exactly
+    assert(Embeddings.planesFor(2049, 64) == 6)
+    assert(Embeddings.planesFor(64, 64) == 1)   // p=0 floors at 1
+    assert(Embeddings.planesFor(1, 64) == 1)
 
     def populations(planes: Int): Seq[Long] =
       Embeddings.lshBuckets(spark, tmp, planes)
