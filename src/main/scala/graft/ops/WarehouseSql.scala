@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Verbatim execution of the reference's warehouse SQL surface.
+  *
+  * The reference's query layer is SQL *text* calling schema-qualified
+  * scalar functions — `KIMBALL.UTM_CAMPAIGN_TO_PRODUCT(UTM_CAMPAIGN)`
+  * (superset_objects/datasets/CPA-WEB-COSTS.sql:1,
+  * DIM_MFO_FD_WEB_CHANNEL.sql:2-9, superset/datasets/kimball/
+  * kimball.msb-web-fb_req.sql:1), sometimes behind deploy templates
+  * and an environment prefix
+  * (`${ENV_PREFIX}DWH.KIMBALL.UTM_CAMPAIGN_TO_PRODUCT`,
+  * deployer/patch/DWH/kimball/
+  * r_4.001.045_v_marketing_paid_traffic_report_hot_view.sql:1).
+  * [[Udfs.register]] exposes the functions under flattened names
+  * (`kimball_utm_campaign_to_product` — Spark has no function
+  * schemas), so feeding those files straight to `spark.sql` hits
+  * unresolved-function errors. This object closes that seam: a user
+  * can run the reference's own .sql texts after [[prepare]].
+  *
+  * [[rewriteCalls]] is a CALL-GRAMMAR rewrite, not a SQL parser: only
+  * two token shapes change — qualified function calls and the
+  * warehouse `NUMBER(p,s)` type — everything else passes through
+  * byte-for-byte, so the executed text IS the reference text.
+  */
+object WarehouseSql {
+
+  /** `${VAR}` → value substitution on SQL text — the string twin of
+    * [[graft.io.CorpusIO.substituteTemplates]] (same semantics:
+    * literal match, unknown variables stay intact). */
+  def substitute(sql: String, vars: Map[String, String]): String =
+    vars.toSeq.sortBy(_._1).foldLeft(sql) { case (s, (k, v)) =>
+      s.replace("${" + k + "}", v)
+    }
+
+  /** Default deploy variables: no environment prefix, the `kimball`
+    * schema template resolved to its literal name (the values the
+    * reference's production deploy uses for the primary environment —
+    * pr-review-flow.yml substitutes per-env prefixes the same way). */
+  val DefaultVars: Map[String, String] =
+    Map("ENV_PREFIX" -> "", "kimball" -> "KIMBALL", "KIMBALL" -> "KIMBALL")
+
+  // optionally-qualified warehouse call: [ENV.][DWH.]KIMBALL.F(
+  private val CallRe = """(?i)(?:[A-Za-z_][\w$]*\.)*KIMBALL\.([A-Za-z_][\w$]*)\s*\(""".r
+  // warehouse NUMBER(p[,s]) type (TRY_CAST targets) → Spark DECIMAL
+  private val NumberTypeRe = """(?i)\bNUMBER\s*\(""".r
+
+  /** Rewrite the warehouse call grammar to Spark-resolvable tokens:
+    * any `…KIMBALL.F(` chain becomes the registered flattened name
+    * `kimball_f(`, and the `NUMBER(` type constructor becomes
+    * `DECIMAL(` (same precision/scale text). */
+  def rewriteCalls(sql: String): String = {
+    val calls = CallRe.replaceAllIn(sql, m => s"kimball_${m.group(1).toLowerCase}(")
+    NumberTypeRe.replaceAllIn(calls, _ => "DECIMAL(")
+  }
+
+  /** Full preparation of a reference .sql text: template substitution
+    * then call-grammar rewrite. Registers the UDF names so the result
+    * is immediately runnable via `spark.sql`. */
+  def prepare(spark: SparkSession, sql: String,
+              vars: Map[String, String] = DefaultVars): String = {
+    Udfs.register(spark)
+    rewriteCalls(substitute(sql, vars))
+  }
+}
