@@ -86,4 +86,35 @@ object Owners {
   def facilitatorLines(facs: DataFrame): DataFrame =
     facs.orderBy(col("function"))
       .select(concat_ws(" ", col("path"), concat_ws(" ", col("teams"))).as("value"))
+
+  /** E3 owners glue (pr-review-flow.yml:135-155): a PR file list × one
+    * owners file → that stage's required reviewer set, as a (pr, team)
+    * relation. Mirrors the embedded JS: blank/`#` lines skipped
+    * ([[parseOwners]]), a pattern contributes its owners to every PR
+    * with at least one matching file (the bare `*` pattern matches all
+    * — [[globToRegex]]'s special case), matched handles are
+    * `@`-stripped (yml:149) and de-duplicated. A PR whose files match
+    * no pattern yields no rows — the stage is then vacuously satisfied
+    * downstream (`[].every` is true, yml:190-211), which
+    * ReviewStateMachine.fullStatus encodes as its `true` fill.
+    * `prFiles`: (pr, file) — file paths repo-relative POSIX, the form
+    * the GitHub API returns and [[graft.io.CorpusIO.corpus]] emits. */
+  def requiredTeams(prFiles: DataFrame, ownersLines: DataFrame): DataFrame =
+    matchingTeams(prFiles, parseOwners(ownersLines), "file")
+      .select(col("pr"), explode(col("teams")).as("team"))
+      .select(col("pr"), stripHandle(col("team")).as("team"))
+      .distinct()
+
+  /** The three per-stage requirement relations the reference derives
+    * per review event (pr-review-flow.yml:156-158): CODEOWNERS and
+    * CODETECHTEAM are static config; CODEFACILITATORS is the
+    * E2-GENERATED artifact ([[graft.io.CorpusIO.generateFacilitators]])
+    * — this composition is the E1→E2→E3 hand-off. Feed the results to
+    * [[graft.stream.ReviewStateMachine.fullStatus]]/`run`. */
+  def stageRequirements(prFiles: DataFrame, codeowners: DataFrame,
+                        codefacilitators: DataFrame, codetechteam: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) =
+    (requiredTeams(prFiles, codeowners),
+     requiredTeams(prFiles, codefacilitators),
+     requiredTeams(prFiles, codetechteam))
 }

@@ -84,7 +84,14 @@ object ReviewStateMachine {
     * teams must all have an approving active member
     * (ReviewGate.stageGate = J4 + A4/A5). `required*`: (pr, team);
     * `membership`: (team, user). Only PRs present in `updates` are
-    * evaluated. */
+    * evaluated.
+    *
+    * A touched PR with ZERO required teams for a stage passes that
+    * stage vacuously — the reference's `results.every(Boolean)` over
+    * an empty team list is `true` (pr-review-flow.yml:190-211), e.g. a
+    * docs-only PR whose files match no CODEFACILITATORS pattern needs
+    * no facilitator review. Such PRs are absent from the stage-gate
+    * aggregation (no required rows to group), hence the `true` fill. */
   def fullStatus(updates: DataFrame, requiredCodeowners: DataFrame,
                  requiredFacilitators: DataFrame, requiredTech: DataFrame,
                  membership: DataFrame): DataFrame = {
@@ -97,7 +104,7 @@ object ReviewStateMachine {
       .join(stage(requiredCodeowners, "codeowners_approved"), Seq("pr"), "left")
       .join(stage(requiredFacilitators, "facilitators_approved"), Seq("pr"), "left")
       .join(stage(requiredTech, "tech_approved"), Seq("pr"), "left")
-      .na.fill(false)
+      .na.fill(true)
   }
 
   /** K4/K5 side-effect target standing in for the GitHub label /

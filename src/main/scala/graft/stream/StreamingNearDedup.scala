@@ -20,10 +20,18 @@ import org.apache.spark.sql.functions._
   * Hamming check after the join removes band-collision false
   * positives.
   *
-  * Index refresh: a stream-static join re-evaluates the static side
-  * every micro-batch, so a file-backed index picks up a nightly
-  * rebuild automatically ("periodically refreshed"); `persist()` the
-  * index instead to freeze one snapshot for the stream's lifetime.
+  * Index refresh: a stream-static join captures the static side's
+  * FILE LISTING in the analyzed plan — on vanilla parquet a running
+  * stream does NOT see a rebuilt index (`refreshByPath` only affects
+  * plans created afterwards; an overwrite mid-stream fails the scan
+  * with missing files). [[nearDupMatches]] therefore treats its index
+  * as a frozen snapshot for the stream's lifetime — the correct
+  * semantics for a pinned corpus version. For the nightly-rebuild
+  * intake, [[nearDupMatchesRefreshing]] re-creates the static side
+  * INSIDE foreachBatch, so every micro-batch lists the index path
+  * fresh — the vanilla-Spark refresh pattern (transaction-logged
+  * table formats can refresh a stream-static join in place; plain
+  * files cannot). Both are exercised in SkewAndStreamDedupSpec.
   * State: only the output-dedup keys, bounded by the watermark
   * horizon — the index itself lives outside streaming state.
   */
@@ -83,5 +91,46 @@ object StreamingNearDedup {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("doc_id", "idx_doc_id")
       .select(col("ts"), col("doc_id"), col("idx_doc_id").as("match_id"), col("hamming"))
+  }
+
+  /** [[nearDupMatches]] against a file-backed index that is rebuilt
+    * while the stream runs (nightly-rebuild intake): the stream side
+    * sketches and explodes bands as usual, but the index is re-read
+    * from `indexPath` inside foreachBatch, so each micro-batch joins
+    * against a FRESH file listing — no stream restart after a rebuild.
+    * Trade-off vs the frozen-snapshot form: match dedup is per-batch
+    * (`dropDuplicates` on the batch), not watermark-global — a doc
+    * re-arriving in a later batch re-reports its matches, which is
+    * what a rebuilt index semantically requires anyway. `onBatch`
+    * receives the batch's match rows (ts, doc_id, match_id, hamming)
+    * — the side-effect boundary, same role as the label sink. */
+  def nearDupMatchesRefreshing(docs: DataFrame, indexPath: String,
+                               maxHamming: Int = 3)
+                              (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(maxHamming < Bands,
+      s"maxHamming must be ≤ ${Bands - 1}: the $Bands-band index only guarantees " +
+        "recall for pairs within Bands−1 differing bits")
+    val spark = docs.sparkSession
+    graft.functions.SimHash60.register(spark)
+    val sketched = docs
+      .withColumn("ws", filter(split(col("text"), " "), x => length(x) > 0))
+      .filter(size(col("ws")) > 0)
+      .withColumn("simhash", expr("simhash60(ws)"))
+      .withColumn("bk", explodeBands(col("simhash")))
+      .select(col("ts"), col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.band_val").as("band_val"))
+    sketched.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val index = spark.read.parquet(indexPath) // fresh listing per batch
+        val matches = batch
+          .join(broadcast(index), Seq("band", "band_val"))
+          .withColumn("hamming", bit_count(col("simhash").bitwiseXOR(col("idx_simhash"))))
+          .filter(col("hamming") <= maxHamming && col("doc_id") =!= col("idx_doc_id"))
+          .dropDuplicates("doc_id", "idx_doc_id")
+          .select(col("ts"), col("doc_id"), col("idx_doc_id").as("match_id"), col("hamming"))
+        onBatch(matches)
+      }
+      .start()
   }
 }

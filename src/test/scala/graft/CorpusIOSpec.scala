@@ -176,6 +176,52 @@ class CorpusIOSpec extends SparkSpec {
       "unscanned/elsewhere.sql"))
   }
 
+  test("transitive artifact mode: 3-deep chain closes fully, one-hop default untouched") {
+    // deep_base ← deep_middle ← deep_top ← view: one-hop gives
+    // deep_base NO files (its only caller, deep_middle, has none of
+    // its own), the closure carries the view down all three hops
+    val root = Files.createTempDirectory("corpus-deep")
+    write(root, "deployer/patch/DWH/kimball/r_2.1_f_deep_base.sql",
+      "CREATE OR REPLACE FUNCTION KIMBALL.DEEP_BASE(x VARCHAR) AS 1;")
+    write(root, "deployer/patch/DWH/kimball/r_2.2_f_deep_middle.sql",
+      "CREATE OR REPLACE FUNCTION KIMBALL.DEEP_MIDDLE(x VARCHAR) AS KIMBALL.DEEP_BASE(x);")
+    write(root, "deployer/patch/DWH/kimball/r_2.3_f_deep_top.sql",
+      "CREATE OR REPLACE FUNCTION KIMBALL.DEEP_TOP(x VARCHAR) AS KIMBALL.DEEP_MIDDLE(x);")
+    write(root, "superset_objects/datasets/view_deep.sql",
+      "SELECT KIMBALL.deep_top(c) FROM t;")
+
+    val defaultOut = Files.createTempDirectory("deps-deep-default").toString
+    CorpusIO.scanAndSave(spark, root.toString, defaultOut)
+    assert(!Files.exists(Paths.get(s"$defaultOut/flattened_dependencies_transitive.json")),
+      "default mode must not write the transitive artifact")
+
+    val out = Files.createTempDirectory("deps-deep").toString
+    CorpusIO.scanAndSave(spark, root.toString, out, transitive = true)
+    val viewFiles =
+      """[
+        |        "superset_objects/datasets/view_deep.sql"
+        |      ]""".stripMargin
+    def entry(name: String, seq: String, files: String): String =
+      s"""  "$name": {
+         |    "type": "function",
+         |    "path": "deployer/patch/DWH/kimball/r_2.${seq}_f_${name}.sql",
+         |    "used_in": {
+         |      "files": $files
+         |    }
+         |  }""".stripMargin
+    val oneHopGolden = Seq(
+      entry("deep_base", "1", "[]"),
+      entry("deep_middle", "2", viewFiles),
+      entry("deep_top", "3", viewFiles)).mkString("{\n", ",\n", "\n}")
+    val transitiveGolden = Seq(
+      entry("deep_base", "1", viewFiles),
+      entry("deep_middle", "2", viewFiles),
+      entry("deep_top", "3", viewFiles)).mkString("{\n", ",\n", "\n}")
+    assert(Files.readString(Paths.get(s"$out/flattened_dependencies.json")) == oneHopGolden)
+    assert(Files.readString(
+      Paths.get(s"$out/flattened_dependencies_transitive.json")) == transitiveGolden)
+  }
+
   test("readFlattenedJson round-trips the K1 artifact (S4)") {
     val root = fixture()
     val out = Files.createTempDirectory("deps").toString

@@ -93,4 +93,39 @@ class SkewAndStreamDedupSpec extends SparkSpec {
       ()
     }
   }
+
+  test("index refresh: swapping the file-backed index changes matches, no stream restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ts(m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 11:$m%02d:00")
+    val alpha = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val numbers = "one two three four five six seven eight nine ten eleven twelve"
+
+    val dir = java.nio.file.Files.createTempDirectory("shidx").toString + "/index"
+    def rebuild(corpus: org.apache.spark.sql.DataFrame): Unit =
+      StreamingNearDedup.simhashIndex(spark, corpus).write.mode("overwrite").parquet(dir)
+    rebuild(Seq((10L, alpha)).toDF("doc_id", "text"))
+
+    val seen = scala.collection.concurrent.TrieMap.empty[(Long, Long), Int]
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingNearDedup.nearDupMatchesRefreshing(
+      input.toDF().toDF("ts", "doc_id", "text"), dir) { matches =>
+      matches.collect().foreach(r => seen.put((r.getLong(1), r.getLong(2)), r.getInt(3)))
+    }
+    try {
+      // batch 1 against index v1: the alpha copy matches corpus doc 10
+      input.addData((ts(0), 100L, alpha))
+      q.processAllAvailable()
+      assert(seen.keySet == Set((100L, 10L)))
+
+      // nightly rebuild between micro-batches: v2 drops doc 10, adds 30
+      rebuild(Seq((30L, numbers)).toDF("doc_id", "text"))
+
+      // batch 2, SAME stream: alpha no longer matches, numbers does
+      input.addData((ts(1), 101L, alpha), (ts(2), 102L, numbers))
+      q.processAllAvailable()
+      assert(seen.keySet == Set((100L, 10L), (102L, 30L)))
+    } finally q.stop()
+  }
 }
