@@ -127,10 +127,15 @@ object DepGraph {
       .select(col("function"), explode(col("used_in_functions")).as("g"))
       .cache()
     var flat = raw.select(col("function"), col("path"), col("used_in_files"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // ONE job per iteration (the LlmOps.connectedComponents pattern):
+      // the old-files column rides through the aggregation, so the
+      // changed flag is computed in the same pass, and the full
+      // changed-count action materializes the lazy checkpoint — no
+      // separate probe join against the previous iterate.
       val expanded = flat.as("f")
         .join(edges, Seq("function"), "left")
         .join(flat.select(col("function").as("g"), col("used_in_files").as("g_files")),
@@ -139,14 +144,13 @@ object DepGraph {
         .agg(array_sort(array_distinct(concat(
           first(col("used_in_files")),
           coalesce(flatten(collect_list(col("g_files"))), array().cast(ArrayType(StringType)))
-        ))).as("used_in_files"))
-        .localCheckpoint() // truncate lineage: O(1) plan depth per iteration
-      val changed = expanded.as("n")
-        .join(flat.as("o"), Seq("function"))
-        .filter(col("n.used_in_files") =!= col("o.used_in_files"))
-        .limit(1).count() > 0
-      flat = expanded
-      converged = !changed
+        ))).as("used_in_files"),
+          first(col("used_in_files")).as("old_files"))
+        .withColumn("changed", col("used_in_files") =!= col("old_files"))
+        .drop("old_files")
+        .localCheckpoint(eager = false) // truncate lineage: O(1) plan depth per iteration
+      converged = expanded.filter(col("changed")).count() == 0L
+      flat = expanded.drop("changed")
       i += 1
     }
     edges.unpersist()

@@ -1,0 +1,25 @@
+package graft
+
+/** Automated form of PLANS.md's core claims, over EVERY SparkEntry
+  * query at sf0.001: no CartesianProduct anywhere, and the only
+  * BroadcastNestedLoopJoin is q16's owners glob theta join (whose
+  * build side is a config-file-sized pattern table by construction).
+  * Catches a silently-degenerated join (e.g. a lost equi-condition
+  * after a refactor) at spec time instead of at the bench. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("no CartesianProduct in any query plan; BNLJ only in the glob theta join") {
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      if (name != "q16_owners_glob_join")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans a BroadcastNestedLoopJoin (non-equi join leaked in?)")
+      graft.ops.Caches.releaseAll(spark)
+    }
+  }
+}
