@@ -20,10 +20,15 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
   *
   * IMAGE decode is REAL: [[ImageIODecoder]] reads PNG/BMP/GIF/JPEG
   * bytes with the JDK's ImageIO and reports dimensions/features from
-  * actual pixels. AUDIO/VIDEO decode stays a STUB — this container
-  * ships no AV codecs — so [[StubDecoder]] derives deterministic fake
-  * dimensions and features from a hash of the bytes (and remains the
-  * q28 oracle twin, whose fixture payloads are text, not images).
+  * actual pixels. AUDIO decode is REAL for the JDK's container
+  * formats: [[AudioDecoder]] parses WAV/AIFF/AU with
+  * `javax.sound.sampled` — sample rate/channels/frame count from the
+  * actual header, RMS features from the actual PCM samples. VIDEO
+  * decode stays the one declared STUB — no JDK video codec exists —
+  * so [[StubDecoder]] derives deterministic fake dimensions and
+  * features from a hash of the bytes (and remains the q28 oracle
+  * twin, whose fixture payloads are text, not real media).
+  * [[JdkDecoder]] composes all three on the one seam.
   * Everything around the seam is the real Spark plumbing a production
   * decoder drops into:
   *  - assets are `binary` columns in a columnar table (parquet keeps
@@ -118,6 +123,72 @@ object Multimodal {
           MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
             img.getWidth, img.getHeight, 1, luminanceGrid(img))
         case None => StubDecoder.decodeBatch(Seq(m)).head
+      }
+    }
+  }
+
+  /** REAL audio codec on the same seam: JVM `javax.sound.sampled`
+    * (WAV/AIFF/AU parsers ship with the JDK — zero new dependencies).
+    * Metadata comes from the actual parsed header — width carries the
+    * sample rate (Hz), height the channel count, n_frames the audio
+    * frame count — and the 8-float feature is the per-segment RMS
+    * amplitude over the REAL PCM samples (the waveform statistic
+    * standing in for an audio embedding). Non-audio kinds, compressed
+    * codecs the JDK lacks (mp3/aac), and undecodable payloads fall
+    * back to [[StubDecoder]], keeping the operator total — same
+    * contract as [[ImageIODecoder]]. */
+  object AudioDecoder extends Decoder {
+    /** 8-segment RMS over 16-bit signed PCM, normalized to [0, 1]. */
+    private def rmsSegments(pcm: Array[Byte], bigEndian: Boolean): Array[Float] = {
+      val n = pcm.length / 2
+      if (n == 0) return new Array[Float](8)
+      Array.tabulate(8) { s =>
+        val (i0, i1) = (s * n / 8, math.max(s * n / 8 + 1, (s + 1) * n / 8))
+        var sum = 0.0
+        var i = i0
+        while (i < i1 && i < n) {
+          val (b0, b1) = (pcm(2 * i) & 0xff, pcm(2 * i + 1) & 0xff)
+          val v = (if (bigEndian) (b0 << 8) | b1 else (b1 << 8) | b0).toShort.toDouble
+          sum += v * v
+          i += 1
+        }
+        (math.sqrt(sum / math.max(1, i1 - i0)) / 32768.0).toFloat
+      }
+    }
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { m =>
+      val parsed =
+        if (m.kind == "audio")
+          // NonFatal for the same reason as ImageIODecoder: corrupt
+          // headers throw UnsupportedAudioFileException and friends
+          try {
+            val ais = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(new java.io.ByteArrayInputStream(m.content))
+            val fmt = ais.getFormat
+            val nFrames = math.max(0L, ais.getFrameLength)
+            val feat =
+              if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+                  && fmt.getSampleSizeInBits == 16)
+                rmsSegments(ais.readAllBytes(), fmt.isBigEndian)
+              else new Array[Float](8) // parseable header, un-decoded samples
+            Some(MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+              fmt.getSampleRate.toInt, fmt.getChannels, nFrames.toInt, feat))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        else None
+      parsed.getOrElse(StubDecoder.decodeBatch(Seq(m)).head)
+    }
+  }
+
+  /** The full JDK decode surface on one seam: real image decode
+    * ([[ImageIODecoder]]), real audio decode ([[AudioDecoder]]), and
+    * the deterministic stub for video — the one media family with no
+    * JDK codec (a production deployment swaps in ffmpeg/JNI here with
+    * the same signature). */
+  object JdkDecoder extends Decoder {
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { m =>
+      m.kind match {
+        case "image" => ImageIODecoder.decodeBatch(Seq(m)).head
+        case "audio" => AudioDecoder.decodeBatch(Seq(m)).head
+        case _       => StubDecoder.decodeBatch(Seq(m)).head
       }
     }
   }

@@ -73,6 +73,64 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Synthesize a real RIFF/WAVE payload: 16-bit signed PCM at
+    * `rate` Hz, `channels` channels, constant amplitude `amp`. */
+  private def wavBytes(rate: Float, channels: Int, nFrames: Int, amp: Short): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, channels, true, false)
+    val pcm = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < pcm.length / 2) {
+      pcm(2 * i) = (amp & 0xff).toByte
+      pcm(2 * i + 1) = ((amp >> 8) & 0xff).toByte
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("AudioDecoder decodes real WAV bytes: header metadata and PCM RMS features") {
+    val loud = wavBytes(8000f, 1, 400, 16384)  // half full-scale
+    val quiet = wavBytes(44100f, 2, 100, 0)    // silence, stereo
+    val ds = Seq(
+      MediaRecord(0L, "audio", loud),
+      MediaRecord(1L, "audio", quiet),
+      MediaRecord(2L, "audio", "not audio".getBytes("UTF-8")), // undecodable
+      MediaRecord(3L, "image", loud)                           // non-audio kind
+    ).toDS()
+    val got = Multimodal.extractFeatures(ds, Multimodal.AudioDecoder, batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    // real header values: width = sample rate, height = channels,
+    // n_frames = audio frame count
+    assert(got(0L).width == 8000 && got(0L).height == 1 && got(0L).n_frames == 400)
+    assert(got(1L).width == 44100 && got(1L).height == 2 && got(1L).n_frames == 100)
+    // RMS from the actual samples: constant half-scale ≈ 0.5, silence = 0
+    assert(got(0L).feature.length == 8 && got(0L).feature.forall(v => (v - 0.5f).abs < 0.01f))
+    assert(got(1L).feature.forall(_ == 0f))
+    // fallback paths reproduce the stub exactly
+    val stub = Multimodal.StubDecoder.decodeBatch(Seq(
+      MediaRecord(2L, "audio", "not audio".getBytes("UTF-8")),
+      MediaRecord(3L, "image", loud))).map(f => f.media_id -> f).toMap
+    Seq(2L, 3L).foreach { id =>
+      assert(got(id).width == stub(id).width && got(id).height == stub(id).height &&
+        got(id).feature.toSeq == stub(id).feature.toSeq)
+    }
+    // the composite routes every kind to its real decoder
+    val viaJdk = Multimodal.JdkDecoder.decodeBatch(Seq(
+      MediaRecord(0L, "audio", loud),
+      MediaRecord(4L, "image", imageBytes(4, 4, 0xffffff, "png")),
+      MediaRecord(5L, "video", loud)))
+    assert(viaJdk(0).width == 8000 && viaJdk(1).width == 4)
+    val stubVideo = Multimodal.StubDecoder.decodeBatch(
+      Seq(MediaRecord(5L, "video", loud))).head
+    assert(viaJdk(2).width == stubVideo.width && viaJdk(2).height == stubVideo.height &&
+      viaJdk(2).n_frames == stubVideo.n_frames &&
+      viaJdk(2).feature.toSeq == stubVideo.feature.toSeq)
+  }
+
   test("frameSample explodes video payloads into fixed-size windows only") {
     val media = records.toDS().toDF()
     val frames = Multimodal.frameSample(media, frameBytes = 16, stride = 4).collect()
