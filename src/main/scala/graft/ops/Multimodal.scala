@@ -138,6 +138,13 @@ object Multimodal {
     * back to [[StubDecoder]], keeping the operator total — same
     * contract as [[ImageIODecoder]]. */
   object AudioDecoder extends Decoder {
+    /** Sample-read bound for the RMS feature: 2 MiB of PCM (~1M mono
+      * samples) — statistics converge long before that, and an
+      * unbounded `readAllBytes` on a long recording would hold the
+      * whole decoded payload per row (header metadata is still exact
+      * for the full file). */
+    val MaxPcmBytes: Int = 2 * 1024 * 1024
+
     /** 8-segment RMS over 16-bit signed PCM, normalized to [0, 1]. */
     private def rmsSegments(pcm: Array[Byte], bigEndian: Boolean): Array[Float] = {
       val n = pcm.length / 2
@@ -168,7 +175,7 @@ object Multimodal {
             val feat =
               if (fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
                   && fmt.getSampleSizeInBits == 16)
-                rmsSegments(ais.readAllBytes(), fmt.isBigEndian)
+                rmsSegments(ais.readNBytes(MaxPcmBytes), fmt.isBigEndian)
               else new Array[Float](8) // parseable header, un-decoded samples
             Some(MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
               fmt.getSampleRate.toInt, fmt.getChannels, nFrames.toInt, feat))

@@ -157,7 +157,7 @@ class CorpusIOSpec extends SparkSpec {
       |}""".stripMargin
 
   test("golden E2E: scanAndSave over the real reference tree matches pinned artifacts") {
-    assume(Files.isDirectory(Paths.get("/root/reference")), "reference tree not present")
+    assume(refTreeAvailable, "reference tree not present (or skipped via GRAFT_SKIP_REF_GOLDEN)")
     val out = Files.createTempDirectory("refdeps").toString
     val corrupt = CorpusIO.scanAndSave(spark, "/root/reference", out).collect()
     assert(corrupt.isEmpty, "reference corpus has no malformed-UTF-8 SQL files")

@@ -18,7 +18,7 @@ class OwnersGlueSpec extends SparkSpec {
   private val orgName = "rzv-data-engineering-series-s01"
 
   test("E1→E2→E3: real owners files → stage requirements → streaming gate → labels") {
-    assume(Files.isDirectory(Paths.get(ref)), "reference tree not present")
+    assume(refTreeAvailable, "reference tree not present (or skipped via GRAFT_SKIP_REF_GOLDEN)")
     val s = spark
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
