@@ -62,6 +62,9 @@ object SparkEntry {
       Embeddings.cosineNearDupPairs(s, d,
         planes = Embeddings.planesFor(n, targetBucket = 64), bands = 2)
     }),
+    "q35_corpus_curation"   -> ((s, d) => LlmOps.curateCorpus(s, d)),
+    "q36_train_split"       -> ((s, d) => Sampling.hashSplit(s, d)),
+    "q37_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
   )
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -550,5 +553,60 @@ object SparkEntry {
          FROM pairs
          WHERE CAST(dot AS DOUBLE)/sqrt(CAST(n1 AS DOUBLE)*CAST(n2 AS DOUBLE)) >= 0.35
          ORDER BY d1, d2""",
+    // the q32 component pipeline + exact-dup window + token gate,
+    // composed with the same reason precedence as curateCorpus
+    "q35_corpus_curation" ->
+      """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+                FROM words, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
+         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM pairs0
+                   JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+                   WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.2),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+         reach AS (
+           SELECT a AS node, a AS r FROM (SELECT DISTINCT a FROM edges) t
+           UNION
+           SELECT e.a AS node, r.r FROM edges e JOIN reach r ON e.b = r.node),
+         comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+         exact AS (
+           SELECT doc_id,
+             doc_id <> min(doc_id) OVER (
+               PARTITION BY sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS exact_dup
+           FROM documents),
+         near AS (
+           SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) <> d.doc_id AS near_dup
+           FROM documents d LEFT JOIN comp c USING (doc_id)),
+         tok AS (
+           SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> length(x) > 0)) < 5 AS too_short
+           FROM documents)
+         SELECT e.doc_id,
+           NOT (e.exact_dup OR n.near_dup OR t.too_short) AS keep,
+           CASE WHEN e.exact_dup THEN 'exact_dup'
+                WHEN n.near_dup THEN 'near_dup'
+                WHEN t.too_short THEN 'too_short'
+                ELSE 'kept' END AS reason
+         FROM exact e JOIN near n USING (doc_id) JOIN tok t USING (doc_id)
+         ORDER BY e.doc_id""",
+    "q36_train_split" ->
+      """SELECT doc_id, source,
+           CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT doc_id, source,
+                 CAST(('0x' || substr(md5('split-v1:' || doc_id), 1, 15)) AS BIGINT) % 1000 AS h
+               FROM documents) t
+         ORDER BY doc_id""",
+    "q37_stratified_sample" ->
+      """SELECT doc_id, source, lang FROM (
+           SELECT doc_id, source, lang,
+             CAST(('0x' || substr(md5('sample-v1/' || source || ':' || doc_id), 1, 15)) AS BIGINT) % 1000 AS h
+           FROM documents) t
+         WHERE h < 200 ORDER BY doc_id""",
   )
 }

@@ -245,6 +245,48 @@ object LlmOps {
         jaccardPairsRaw(spark, dir, n, threshold, maxDf).select(col("d1"), col("d2"))),
       "doc_id")
 
+  /** q35 — corpus curation: the dedup/quality family composed into the
+    * ONE drop-list a training-data pipeline actually applies. Per
+    * document: (doc_id, keep, reason), reason by precedence
+    *  1. `exact_dup`  — not the min-doc_id survivor of its normalized
+    *     content hash ([[exactDedup]] semantics);
+    *  2. `near_dup`   — dropped by the q32 cluster resolution
+    *     ([[nearDupClusters]] keep = false);
+    *  3. `too_short`  — fewer than `minTokens` whitespace tokens
+    *     (the q23 token rule);
+    *  4. `kept`.
+    *
+    * Plan: the three verdict columns are independent subtrees joined
+    * on doc_id — one hash-group for exact, the q32 pipeline for near
+    * (collision-proportional, never all-pairs), a per-row codegen
+    * token count — so the composition adds no shuffle beyond its
+    * parts and survives the same 100 TB argument each part makes. */
+  def curateCorpus(spark: SparkSession, dir: String,
+                   n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50,
+                   minTokens: Int = 5): DataFrame = {
+    graft.functions.TextStats.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val exact = docs
+      .select(col("doc_id"), sha2(normText(col("text")), 256).as("content_hash"))
+      .withColumn("hash_min",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
+      .select(col("doc_id"), (col("doc_id") =!= col("hash_min")).as("exact_dup"))
+    val near = nearDupClusters(spark, dir, n, threshold, maxDf)
+      .select(col("doc_id"), (!col("keep")).as("near_dup"))
+    val short = docs
+      .select(col("doc_id"),
+        (expr("text_stats(text)").getField("n_tokens") < minTokens).as("too_short"))
+    val reason = when(col("exact_dup"), "exact_dup")
+      .when(col("near_dup"), "near_dup")
+      .when(col("too_short"), "too_short")
+      .otherwise("kept")
+    exact.join(near, Seq("doc_id")).join(short, Seq("doc_id"))
+      .select(col("doc_id"),
+        (!col("exact_dup") && !col("near_dup") && !col("too_short")).as("keep"),
+        reason.as("reason"))
+      .orderBy(col("doc_id"))
+  }
+
   val MinhashK = 16
 
   /** One pinned MinHash function: min over shingles of the portable

@@ -1,0 +1,76 @@
+package graft
+
+import graft.ops.{LlmOps, Sampling, Tables}
+import org.apache.spark.sql.functions._
+
+/** Deterministic splitting/sampling (q36/q37) and the curation
+  * capstone (q35): coverage, disjointness, reproducibility, and
+  * agreement with the component operators they compose. */
+class SamplingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def available = new java.io.File(dir).isDirectory
+
+  test("hashSplit: total coverage, deterministic, ~80/10/10, salt-sensitive") {
+    assume(available, "testdata not present")
+    val nDocs = Tables.documents(spark, dir).count()
+    val split = Sampling.hashSplit(spark, dir).collect()
+    // exactly one row per document — coverage AND disjointness
+    assert(split.length == nDocs && split.map(_.getLong(0)).distinct.length == nDocs)
+    val byLabel = split.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    // 500 docs: binomial 3-sigma around 400/50/50
+    assert(byLabel("train") > 350 && byLabel("train") < 450, s"train=${byLabel("train")}")
+    assert(byLabel("val") > 20 && byLabel("val") < 85, s"val=${byLabel("val")}")
+    // pure function of (doc_id, salt): identical on re-run...
+    val again = Sampling.hashSplit(spark, dir).collect()
+    assert(split.map(r => (r.getLong(0), r.getString(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getString(2))).toSeq)
+    // ...and a different salt reassigns a nontrivial fraction
+    val other = Sampling.hashSplit(spark, dir, salt = "split-v2")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val moved = split.count(r => other(r.getLong(0)) != r.getString(2))
+    assert(moved > 50, s"only $moved docs moved under a new salt")
+  }
+
+  test("stratifiedSample: per-stratum rate honored, subset, deterministic") {
+    assume(available, "testdata not present")
+    val totals = Tables.documents(spark, dir).groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sample = Sampling.stratifiedSample(spark, dir).collect()
+    val bySrc = sample.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // every sampled stratum exists, and no stratum is wildly off 20%
+    // (small strata can legitimately sample to zero)
+    bySrc.foreach { case (src, n) =>
+      assert(totals.contains(src))
+      assert(n <= totals(src))
+    }
+    val overall = sample.length.toDouble / totals.values.sum
+    assert(overall > 0.10 && overall < 0.35, s"overall rate $overall")
+    val again = Sampling.stratifiedSample(spark, dir).collect()
+    assert(sample.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
+  test("curateCorpus: reasons agree with the component operators, precedence holds") {
+    assume(available, "testdata not present")
+    val cur = LlmOps.curateCorpus(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    graft.ops.Caches.releaseAll(spark)
+
+    // exact_dup reasons = exactly the docs that are NOT their hash
+    // group's survivor (q19 semantics)
+    val keepIds = LlmOps.exactDedup(spark, dir).collect().map(_.getLong(1)).toSet
+    val exactDups = cur.keySet -- keepIds
+    assert(cur.filter(_._2._2 == "exact_dup").keySet == exactDups)
+    graft.ops.Caches.releaseAll(spark)
+
+    // near_dup reasons = q32's dropped docs MINUS those already exact
+    // (precedence), and keep == (reason == kept) everywhere
+    val nearDropped = LlmOps.nearDupClusters(spark, dir).collect()
+      .filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(cur.filter(_._2._2 == "near_dup").keySet == (nearDropped -- exactDups))
+    cur.values.foreach { case (keep, reason) => assert(keep == (reason == "kept")) }
+    assert(cur.values.exists(_._2 == "exact_dup") || cur.values.exists(_._2 == "near_dup"))
+    graft.ops.Caches.releaseAll(spark)
+  }
+}
