@@ -147,8 +147,14 @@ object LlmOps {
     // every shuffle inside the loop (groupBy, both join sides) plans at
     // loopParts while this is set; restored in the finally. The driver-
     // sequential fixpoint is the only query compiling in this session
-    // during the call — documented single-writer constraint.
+    // during the call — documented single-writer constraint. AQE is
+    // ALSO off for the loop: partitions are already sized explicitly,
+    // and adaptive execution materializes every tiny round stage-by-
+    // stage with a replan between stages — measured ~0.5-0.8 s of pure
+    // driver overhead per round on a ≤2,000-row label table (the
+    // residual q33 cost after the r5 one-job fix).
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     // edges are pre-shuffled ONCE onto the per-round join key, so each
     // round's join reuses the cached HashPartitioning(b, loopParts) and
     // only the (tiny) label side moves.
@@ -156,6 +162,7 @@ object LlmOps {
       .union(p.select(col("d2").as("a"), col("d1").as("b")))
     try {
       spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
       val edgesPart = edges.repartition(loopParts, col("b")).persist()
       try {
         // initialization fuses the first propagation round: the grouping
@@ -178,21 +185,33 @@ object LlmOps {
         var converged = false
         var i = 0
         while (!converged && i < maxIters) {
-          val nbrMin = edgesPart
+          // fused propagate: each node's own label and its neighbors'
+          // labels meet in ONE union → min-aggregation (2 shuffles per
+          // round) instead of join → agg → second join back (3). The
+          // old label rides along as `min(own value)` so the changed
+          // flag needs no extra join. Semantics identical to the
+          // join form: a node with no neighbor contributions keeps its
+          // own label, changed = false.
+          val contrib = edgesPart
             .join(labels.select(col("doc_id").as("b"), col("cluster_id").as("nl")), Seq("b"))
-            .groupBy(col("a")).agg(min(col("nl")).as("nbr_min"))
-            .select(col("a").as("doc_id"), col("nbr_min"))
-          val updated = labels
-            .join(nbrMin, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"),
-              (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id")).as("changed"))
+            .select(col("a").as("doc_id"), col("nl").as("v"), lit(false).as("own"))
+            .unionByName(labels.select(col("doc_id"), col("cluster_id").as("v"),
+              lit(true).as("own")))
+          val updated = contrib.groupBy(col("doc_id"))
+            .agg(min(col("v")).as("cluster_id"),
+              min(when(col("own"), col("v"))).as("old_label"))
+            .select(col("doc_id"), col("cluster_id"),
+              (col("cluster_id") < col("old_label")).as("changed"))
             .localCheckpoint(eager = false) // truncate lineage: O(1) plan depth per round
           // ONE job per round: the full count (filter needs every
           // partition, no limit short-circuit) both materializes the lazy
           // checkpoint and decides convergence — the previous
           // eager-checkpoint + probe pair cost two scheduler round-trips
-          // per round, the dominant term of BENCH_r04's q33.
+          // per round, the dominant term of BENCH_r04's q33. Rounds are
+          // bounded by component diameter (12 at sf0.1's 672-pair
+          // chains — pointer-jumping was tried and rejected: it doubles
+          // reach along the LABEL forest, not the graph, and saved only
+          // 2 of 12 rounds while adding a join to every round).
           converged = updated.filter(col("changed")).count() == 0L
           labels = updated.drop("changed")
           i += 1
@@ -208,6 +227,7 @@ object LlmOps {
       }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       p.unpersist()
       ()
     }
