@@ -70,6 +70,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("connectedComponents: 600k-pair graph exercises the multi-partition loop") {
+    // above 500k pairs loopParts exceeds 1, so the fixpoint runs with
+    // genuinely partitioned shuffles (the 100 TB code path) — every
+    // other spec stays in the 1-partition fast path. Triangle chains
+    // (3i, 3i+1) (3i+1, 3i+2): 600k pairs, 300k components.
+    val n = 900000L
+    val s2 = spark
+    import s2.implicits._
+    val pairs = spark.range(n)
+      .select((col("id") - col("id") % 3).as("base"), (col("id") % 3).as("off"))
+      .filter(col("off") < 2)
+      .select((col("base") + col("off")).as("d1"), (col("base") + col("off") + 1).as("d2"))
+    val comp = LlmOps.connectedComponents(pairs)
+    val bad = comp.filter(col("cluster_id") =!= col("doc_id") - col("doc_id") % 3).count()
+    val total = comp.count()
+    assert(bad == 0L, s"$bad nodes got a wrong component label")
+    assert(total == n, s"expected $n labeled nodes, got $total")
+    // the loop must leave the session partition setting untouched
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
+  }
+
   test("connectedComponents throws when maxIters is below the diameter") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
     intercept[IllegalStateException] {
