@@ -65,6 +65,7 @@ object SparkEntry {
     "q35_corpus_curation"   -> ((s, d) => LlmOps.curateCorpus(s, d)),
     "q36_train_split"       -> ((s, d) => Sampling.hashSplit(s, d)),
     "q37_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
+    "q38_benchmark_overlap" -> ((s, d) => LlmOps.benchmarkOverlap(s, d)),
   )
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -608,5 +609,30 @@ object SparkEntry {
              CAST(('0x' || substr(md5('sample-v1/' || source || ':' || doc_id), 1, 15)) AS BIGINT) % 1000 AS h
            FROM documents) t
          WHERE h < 200 ORDER BY doc_id""",
+    // q20's shingle machinery with one side restricted to the
+    // benchmark subset (doc_id % 50 = 0) and a best-match argmax
+    "q38_benchmark_overlap" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+                FROM words, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
+         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS inter
+           FROM sh c JOIN sh b ON c.shingle = b.shingle
+           WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT i.doc_id, i.bench_id, i.inter,
+             CAST(i.inter AS DOUBLE)/(s1.n + s2.n - i.inter) AS jaccard
+           FROM inter i JOIN sizes s1 ON i.doc_id = s1.doc_id
+                        JOIN sizes s2 ON i.bench_id = s2.doc_id
+           WHERE CAST(i.inter AS DOUBLE)/(s1.n + s2.n - i.inter) >= 0.2),
+         best AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, bench_id) AS rn
+           FROM scored)
+         SELECT doc_id, bench_id, inter, jaccard FROM best WHERE rn = 1
+         ORDER BY doc_id""",
   )
 }

@@ -307,6 +307,46 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q38 — benchmark decontamination: the training-data stage that
+    * finds corpus documents overlapping an evaluation/benchmark set
+    * (here: doc_id % `benchMod` == 0, the q27 query-subset
+    * convention; in production the benchmark side is its own table —
+    * same plan). For every non-benchmark document sharing enough
+    * n-gram mass with ANY benchmark document, emit its single
+    * best-matching benchmark doc: (doc_id, bench_id, inter, jaccard).
+    *
+    * Same scale guards as [[jaccardPairsRaw]] (shared shingle cache,
+    * document-frequency cap before the join), but the join is
+    * corpus × BENCHMARK — the benchmark side is evaluation-set-sized,
+    * so candidate generation is linear in the corpus even where the
+    * full self-join would be quadratic. */
+  def benchmarkOverlap(spark: SparkSession, dir: String,
+                       benchMod: Int = 50, n: Int = 3,
+                       minJaccard: Double = 0.2, maxDf: Int = 50): DataFrame = {
+    val all = Caches.persist(shingles(Tables.documents(spark, dir), n))
+    val hot = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("shingle"))
+    val sh = Caches.persist(all.join(broadcast(hot), Seq("shingle"), "left_anti"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val bench = sh.filter(col("doc_id") % benchMod === 0)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val corpus = sh.filter(col("doc_id") % benchMod =!= 0)
+    val inter = corpus.join(bench, Seq("shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("inter"))
+    val scored = inter
+      .join(sizes.withColumnRenamed("n_shingles", "n1"), Seq("doc_id"))
+      .join(sizes.select(col("doc_id").as("bench_id"), col("n_shingles").as("n2")),
+        Seq("bench_id"))
+      .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("jaccard").desc, col("bench_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("bench_id"), col("inter"), col("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   val MinhashK = 16
 
   /** One pinned MinHash function: min over shingles of the portable

@@ -120,6 +120,30 @@ object TextOps {
         length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** PII redaction patterns: (label, regex, replacement token). Order
+    * matters — applied sequentially, counts taken per pattern on the
+    * ORIGINAL text (documented: overlapping patterns both count). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?\\d[\\d() -]{7,}\\d", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+
+  /** PII scrubbing — the redaction stage of a training-data pipeline:
+    * (doc_id, clean_text, n_redacted). Pure regexp_replace /
+    * regexp_extract_all expressions over the scan (codegen'd
+    * builtins, zero shuffle, linear at any scale). Spec-certified on
+    * synthetic fixtures — the driver corpus contains no PII-shaped
+    * tokens, so an oracle row would certify only the vacuous case. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val counts = PiiPatterns.map { case (_, re, _) =>
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
+    }.reduce(_ + _)
+    val cleaned = PiiPatterns.foldLeft(col("text")) { case (c, (_, re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+    docs.select(col("doc_id"), cleaned.as("clean_text"), counts.as("n_redacted"))
+  }
+
   /** q26 — winnowing document fingerprint (MOSS-style): hash every
     * char k-gram, keep the minimum hash of each sliding window of w
     * positions, fingerprint = sorted distinct minima ('|'-joined —

@@ -103,4 +103,19 @@ class TextOpsSpec extends SparkSpec {
     val fp = m(1L)._1.split('|').map(_.toLong).toSet
     assert(fp.subsetOf(gramHashes))
   }
+
+  test("redactPii: emails/phones/IPs replaced with tokens, counts per pattern") {
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or +1 (415) 555-0199 now"),
+      (2L, "server at 10.0.12.7 responded"),
+      (3L, "plain text with no sensitive tokens"),
+      (4L, "two mails: a@b.io c@d.org")).toDF("doc_id", "text")
+    val got = TextOps.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L)._1 == "contact <EMAIL> or <PHONE> now")
+    assert(got(1L)._2 == 2L)
+    assert(got(2L)._1 == "server at <IP> responded" && got(2L)._2 == 1L)
+    assert(got(3L) == ("plain text with no sensitive tokens", 0L))
+    assert(got(4L)._1 == "two mails: <EMAIL> <EMAIL>" && got(4L)._2 == 2L)
+  }
 }
