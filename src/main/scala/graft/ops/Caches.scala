@@ -23,6 +23,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a single method call and whose release sits in that method's
   * `finally` (LlmOps.connectedComponents' edge/pair tables) — a
   * registry entry would outlive it, not protect it.
+  *
+  * Lifetime caveat: entries hold strong references keyed by session —
+  * a session abandoned WITHOUT its releaseAll(spark) keeps its cached
+  * plans pinned for the process lifetime. Harnesses must release in a
+  * finally; a long-lived multi-session host should release on session
+  * stop.
   */
 object Caches {
   private val live =

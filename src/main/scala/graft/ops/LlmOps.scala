@@ -81,17 +81,28 @@ object LlmOps {
   /** [[jaccardPairs]] without the presentation sort — the edge stream
     * for downstream consumers ([[nearDupClusters]]); a sort below a
     * fixpoint join would be dead cost. */
-  private[graft] def jaccardPairsRaw(spark: SparkSession, dir: String,
-                                     n: Int, threshold: Double, maxDf: Int): DataFrame = {
+  /** Shared shingle preparation for the n-gram family (q20/q32/q35
+    * via [[jaccardPairsRaw]], q38 via [[benchmarkOverlap]]): the
+    * df-capped distinct-shingle table plus per-doc shingle counts.
+    * The raw AND the filtered tables are both persisted: each feeds
+    * multiple consumers (sizes + join sides), and without the caches
+    * every consumer rebuilds the scan→explode→distinct subtree and
+    * the hot-list broadcast anti-join (3 duplicated subtrees in the
+    * physical plan — the round-2 bench defect). One definition keeps
+    * the cap semantics identical across the family and its oracles. */
+  private def cappedShingles(spark: SparkSession, dir: String,
+                             n: Int, maxDf: Int): (DataFrame, DataFrame) = {
     val all = Caches.persist(shingles(Tables.documents(spark, dir), n))
     val hot = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("shingle"))
-    // the FILTERED table is persisted too: it feeds sizes and both join
-    // sides, and without it each consumer rebuilds the hot-list
-    // broadcast + anti-join (visible as 3 duplicated subtrees in the
-    // physical plan)
     val sh = Caches.persist(all.join(broadcast(hot), Seq("shingle"), "left_anti"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    (sh, sizes)
+  }
+
+  private[graft] def jaccardPairsRaw(spark: SparkSession, dir: String,
+                                     n: Int, threshold: Double, maxDf: Int): DataFrame = {
+    val (sh, sizes) = cappedShingles(spark, dir, n, maxDf)
     val pairs = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -285,22 +296,23 @@ object LlmOps {
                    n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50,
                    minTokens: Int = 5): DataFrame = {
     graft.functions.TextStats.register(spark)
-    val docs = Tables.documents(spark, dir)
-    val exact = docs
-      .select(col("doc_id"), sha2(normText(col("text")), 256).as("content_hash"))
+    // exact-dup and too-short verdicts share ONE documents scan (both
+    // are per-row + one window over content_hash); only the near-dup
+    // verdict needs its own pipeline
+    val exactShort = Tables.documents(spark, dir)
+      .select(col("doc_id"), sha2(normText(col("text")), 256).as("content_hash"),
+        (expr("text_stats(text)").getField("n_tokens") < minTokens).as("too_short"))
       .withColumn("hash_min",
         min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
-      .select(col("doc_id"), (col("doc_id") =!= col("hash_min")).as("exact_dup"))
+      .select(col("doc_id"), (col("doc_id") =!= col("hash_min")).as("exact_dup"),
+        col("too_short"))
     val near = nearDupClusters(spark, dir, n, threshold, maxDf)
       .select(col("doc_id"), (!col("keep")).as("near_dup"))
-    val short = docs
-      .select(col("doc_id"),
-        (expr("text_stats(text)").getField("n_tokens") < minTokens).as("too_short"))
     val reason = when(col("exact_dup"), "exact_dup")
       .when(col("near_dup"), "near_dup")
       .when(col("too_short"), "too_short")
       .otherwise("kept")
-    exact.join(near, Seq("doc_id")).join(short, Seq("doc_id"))
+    exactShort.join(near, Seq("doc_id"))
       .select(col("doc_id"),
         (!col("exact_dup") && !col("near_dup") && !col("too_short")).as("keep"),
         reason.as("reason"))
@@ -323,11 +335,7 @@ object LlmOps {
   def benchmarkOverlap(spark: SparkSession, dir: String,
                        benchMod: Int = 50, n: Int = 3,
                        minJaccard: Double = 0.2, maxDf: Int = 50): DataFrame = {
-    val all = Caches.persist(shingles(Tables.documents(spark, dir), n))
-    val hot = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("shingle"))
-    val sh = Caches.persist(all.join(broadcast(hot), Seq("shingle"), "left_anti"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val (sh, sizes) = cappedShingles(spark, dir, n, maxDf)
     val bench = sh.filter(col("doc_id") % benchMod === 0)
       .select(col("doc_id").as("bench_id"), col("shingle"))
     val corpus = sh.filter(col("doc_id") % benchMod =!= 0)

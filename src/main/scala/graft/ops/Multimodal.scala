@@ -177,8 +177,10 @@ object Multimodal {
                   && fmt.getSampleSizeInBits == 16)
                 rmsSegments(ais.readNBytes(MaxPcmBytes), fmt.isBigEndian)
               else new Array[Float](8) // parseable header, un-decoded samples
+            // clamp, don't wrap: a header can declare > 2^31 frames
             Some(MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
-              fmt.getSampleRate.toInt, fmt.getChannels, nFrames.toInt, feat))
+              fmt.getSampleRate.toInt, fmt.getChannels,
+              math.min(nFrames, Int.MaxValue.toLong).toInt, feat))
           } catch { case scala.util.control.NonFatal(_) => None }
         else None
       parsed.getOrElse(StubDecoder.decodeBatch(Seq(m)).head)

@@ -18,9 +18,13 @@ object Sampling {
 
   /** Hash in [0, 1000) for doc `id` under `salt` — the shared
     * assignment primitive (the hash is a positive 60-bit value, so
-    * the modulo is already non-negative). */
+    * the modulo is already non-negative). NULL-PROPAGATING `concat`,
+    * not concat_ws: a null salt component (e.g. a null `source`
+    * stratum) must null the hash so the row drops out of the sample —
+    * exactly what the oracle's SQL `||` does; concat_ws would silently
+    * skip the null and lump such rows into a phantom stratum. */
   private def bucket1000(id: Column, salt: Column): Column =
-    pmod(LlmOps.portableHash64(concat_ws(":", salt, id)), lit(1000L))
+    pmod(LlmOps.portableHash64(concat(salt, lit(":"), id.cast("string"))), lit(1000L))
 
   /** q36 — deterministic train/val/test split: 80/10/10 by hash
     * bucket. Every document gets exactly one split label; the same
@@ -46,7 +50,9 @@ object Sampling {
   def stratifiedSample(spark: SparkSession, dir: String,
                        permille: Int = 200, salt: String = "sample-v1"): DataFrame = {
     require(permille >= 0 && permille <= 1000, "permille out of range")
-    val b = bucket1000(col("doc_id"), concat_ws("/", lit(salt), col("source")))
+    // null-propagating concat (see bucket1000): a null source nulls
+    // the hash and the row drops out, matching the oracle's `||`
+    val b = bucket1000(col("doc_id"), concat(lit(salt + "/"), col("source")))
     Tables.documents(spark, dir)
       .filter(b < permille)
       .select(col("doc_id"), col("source"), col("lang"))

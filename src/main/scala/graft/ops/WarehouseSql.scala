@@ -41,8 +41,10 @@ object WarehouseSql {
   val DefaultVars: Map[String, String] =
     Map("ENV_PREFIX" -> "", "kimball" -> "KIMBALL", "KIMBALL" -> "KIMBALL")
 
-  // optionally-qualified warehouse call: [ENV.][DWH.]KIMBALL.F(
-  private val CallRe = """(?i)(?:[A-Za-z_][\w$]*\.)*KIMBALL\.([A-Za-z_][\w$]*)\s*\(""".r
+  // optionally-qualified warehouse call: [ENV.][DWH.]KIMBALL.F( —
+  // anchored at a word boundary so an identifier merely ENDING in
+  // "KIMBALL" (MY_KIMBALL.F) is never mangled mid-token
+  private val CallRe = """(?i)\b(?:[A-Za-z_][\w$]*\.)*KIMBALL\.([A-Za-z_][\w$]*)\s*\(""".r
   // warehouse NUMBER(p[,s]) type (TRY_CAST targets) → Spark DECIMAL
   private val NumberTypeRe = """(?i)\bNUMBER\s*\(""".r
 
@@ -51,7 +53,10 @@ object WarehouseSql {
     * `kimball_f(`, and the `NUMBER(` type constructor becomes
     * `DECIMAL(` (same precision/scale text). */
   def rewriteCalls(sql: String): String = {
-    val calls = CallRe.replaceAllIn(sql, m => s"kimball_${m.group(1).toLowerCase}(")
+    // quoteReplacement: '$' is legal in the identifier class and must
+    // not be read as a group reference in the replacement
+    val calls = CallRe.replaceAllIn(sql, m =>
+      scala.util.matching.Regex.quoteReplacement(s"kimball_${m.group(1).toLowerCase}("))
     NumberTypeRe.replaceAllIn(calls, _ => "DECIMAL(")
   }
 
