@@ -66,6 +66,10 @@ object SparkEntry {
     "q36_train_split"       -> ((s, d) => Sampling.hashSplit(s, d)),
     "q37_stratified_sample" -> ((s, d) => Sampling.stratifiedSample(s, d)),
     "q38_benchmark_overlap" -> ((s, d) => LlmOps.benchmarkOverlap(s, d)),
+    "q39_sequence_packing"  -> ((s, d) => Sampling.packSequences(s, d)),
+    "q40_stratum_cap"       -> ((s, d) => Sampling.stratumCapSample(s, d)),
+    "q41_repetition_stats"  -> TextOps.repetitionStats _,
+    "q42_cluster_keep_best" -> ((s, d) => LlmOps.clusterKeepBest(s, d)),
   )
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -634,5 +638,88 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, bench_id, inter, jaccard FROM best WHERE rn = 1
          ORDER BY doc_id""",
+    // GPT-style concatenation packing, shard-parallel: cumulative
+    // token offsets within doc_id%8 shards, pack = start_tok div 128
+    "q39_sequence_packing" ->
+      """WITH tok AS (
+           SELECT doc_id, doc_id % 8 AS shard,
+             CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM tok)
+         SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_tok,
+           (cum - n_tokens) // 128 AS pack_id
+         FROM c ORDER BY doc_id""",
+    // per-(source,lang) cap at 5 expected docs: exact integer rate,
+    // hash membership — the same md5 primitive as q36/q37
+    "q40_stratum_cap" ->
+      """WITH strata AS (
+           SELECT source, lang, CAST(count(*) AS BIGINT) AS n_stratum
+           FROM documents GROUP BY 1, 2),
+         r AS (
+           SELECT source, lang, n_stratum,
+             LEAST(CAST(1000 AS BIGINT), (1000 * 5) // n_stratum) AS rate_permille
+           FROM strata)
+         SELECT d.doc_id, d.source, d.lang, r.n_stratum, r.rate_permille
+         FROM documents d JOIN r USING (source, lang)
+         WHERE CAST(('0x' || substr(md5('cap-v1/' || d.source || '/' || d.lang || ':' || d.doc_id), 1, 15)) AS BIGINT) % 1000 < r.rate_permille
+         ORDER BY d.doc_id""",
+    // within-doc bigram repetition (Gopher-style): the explode/groupBy
+    // formulation here IS the spec for the Spark side's one-pass
+    // codegen expression
+    "q41_repetition_stats" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+           FROM documents),
+         bi AS (
+           SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+           FROM toks, unnest(generate_series(1, len(ws)-1)) AS t(i)
+           WHERE len(ws) >= 2),
+         cnt AS (SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM bi GROUP BY 1, 2),
+         agg AS (
+           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             CAST(count(*) AS BIGINT) AS n_distinct_bigrams, CAST(max(c) AS BIGINT) AS max_count
+           FROM cnt GROUP BY 1)
+         SELECT doc_id, n_bigrams, n_distinct_bigrams, max_count,
+           1 - CAST(n_distinct_bigrams AS DOUBLE)/n_bigrams AS dup_frac,
+           CAST(max_count AS DOUBLE)/n_bigrams AS top_frac
+         FROM agg ORDER BY doc_id""",
+    // q32's component pipeline resolved by keep-best (most tokens,
+    // tie → min doc_id) instead of min doc_id
+    "q42_cluster_keep_best" ->
+      """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+                FROM words, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
+         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2 FROM pairs0
+                   JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+                   WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.2),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+         reach AS (
+           SELECT a AS node, a AS r FROM (SELECT DISTINCT a FROM edges) t
+           UNION
+           SELECT e.a AS node, r.r FROM edges e JOIN reach r ON e.b = r.node),
+         comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+         tok AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS n_tokens
+           FROM documents),
+         ranked AS (
+           SELECT c.doc_id, c.cluster_id, t.n_tokens,
+             row_number() OVER (PARTITION BY c.cluster_id ORDER BY t.n_tokens DESC, c.doc_id) AS rn
+           FROM comp c JOIN tok t USING (doc_id))
+         SELECT t.doc_id, coalesce(r.cluster_id, t.doc_id) AS cluster_id, t.n_tokens,
+           coalesce(r.rn = 1, true) AS keep
+         FROM tok t LEFT JOIN ranked r USING (doc_id)
+         ORDER BY t.doc_id""",
   )
 }

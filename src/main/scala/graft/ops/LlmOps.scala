@@ -319,6 +319,42 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q42 — quality-aware dedup resolution: q32's clusters resolved by
+    * KEEPING THE BEST document (most whitespace tokens, ties → lowest
+    * doc_id) instead of the lowest doc_id. Min-id survivors are the
+    * right conformance default (they mirror the reference's min-wins
+    * dict semantics), but a training pipeline usually wants the
+    * longest/highest-quality copy of each near-dup group — truncated
+    * mirrors and snippet pages lose to the full document. Emits the
+    * full-corpus drop-list: (doc_id, cluster_id, n_tokens, keep).
+    *
+    * Plan shape at 100 TB: token counts are per-row codegen on the
+    * scan ([[graft.functions.TextStats]]); the argmax window runs over
+    * COMPONENT MEMBERS ONLY (the connected-components output, sized
+    * by docs-in-pairs, not the corpus), so the window shuffle never
+    * sees the singleton majority; both enrichment joins have a
+    * component-sized small side that AQE broadcasts. */
+  def clusterKeepBest(spark: SparkSession, dir: String,
+                      n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50): DataFrame = {
+    graft.functions.TextStats.register(spark)
+    val comp = connectedComponents(
+      jaccardPairsRaw(spark, dir, n, threshold, maxDf).select(col("d1"), col("d2")))
+    // persisted: feeds the ranked join AND the final enrichment join —
+    // uncached, the documents scan + text_stats pass would run twice
+    val toks = Caches.persist(Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("text_stats(text)").getField("n_tokens").as("n_tokens")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("n_tokens").desc, col("doc_id"))
+    val ranked = comp.join(toks, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+    toks.join(ranked.select(col("doc_id"), col("cluster_id"), col("rn")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("n_tokens"),
+        coalesce(col("rn") === 1, lit(true)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q38 — benchmark decontamination: the training-data stage that
     * finds corpus documents overlapping an evaluation/benchmark set
     * (here: doc_id % `benchMod` == 0, the q27 query-subset

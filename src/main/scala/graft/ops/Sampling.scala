@@ -58,4 +58,78 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("lang"))
       .orderBy(col("doc_id"))
   }
+
+  /** q40 — per-stratum cap resampling: downsample every (source, lang)
+    * stratum to an EXPECTED `cap` documents, keeping the rest intact —
+    * the balancing stage that stops one over-crawled source from
+    * dominating the training mix. Acceptance rate per stratum is exact
+    * integer arithmetic (`1000·cap div n`, capped at 1000), so the
+    * DuckDB oracle replays it bit-for-bit; membership is the shared
+    * [[bucket1000]] hash — deterministic, engine- and
+    * partitioning-independent.
+    *
+    * Plan shape at 100 TB: the stratum-count aggregate is
+    * #strata-sized (map-side partials, tiny result), joins back
+    * broadcast (AQE picks it from the runtime size), and the
+    * acceptance filter rides the scan — the corpus is read once and
+    * dropped rows never materialize past the filter. */
+  def stratumCapSample(spark: SparkSession, dir: String,
+                       cap: Int = 5, salt: String = "cap-v1"): DataFrame = {
+    require(cap >= 0, "cap must be non-negative")
+    val docs = Tables.documents(spark, dir)
+    val rates = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("rate_permille",
+        least(lit(1000L), expr(s"(1000 * $cap) div n_stratum")))
+    // null-propagating concat (see bucket1000): null stratum keys null
+    // the hash and the row drops out, matching the oracle's `||`
+    val b = bucket1000(col("doc_id"),
+      concat(lit(salt + "/"), col("source"), lit("/"), col("lang")))
+    // explicit broadcast: the rate table is #strata-sized by
+    // construction (always broadcast-safe), and without the hint the
+    // static planner's stats put the RAW SCAN under the aggregate and
+    // broadcast the corpus side instead — exactly backwards at 100 TB
+    docs.join(broadcast(rates), Seq("source", "lang"))
+      .filter(b < col("rate_permille"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_stratum"), col("rate_permille"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q39 — sequence packing: lay documents end to end and cut
+    * fixed-size context windows of `contextLen` tokens — the batch
+    * assembly step between a curated corpus and a training run. Each
+    * document is assigned to the pack containing its FIRST token
+    * (GPT-style concatenation: documents may span pack boundaries);
+    * `start_tok` is the document's token offset in its shard's
+    * stream, `pack_id` = start_tok div contextLen.
+    *
+    * Packing is inherently sequential — a running total over an
+    * ordered stream — so the 100 TB form shards first:
+    * `shard = doc_id mod nShards` splits the corpus into independent
+    * streams, each packed by its own window (one shuffle on shard;
+    * the cumulative sum never crosses shards). nShards scales with
+    * the cluster — each shard's window is one task's sequential scan.
+    * Token counts are the q23/q25 whitespace rule via the codegen
+    * [[graft.functions.TextStats]] expression (zero interpretation on
+    * the scan side). Deterministic: (doc_id, nShards, contextLen) ↦
+    * (shard, pack_id, start_tok) is a pure function — the same corpus
+    * packs identically on any engine or cluster size, and the DuckDB
+    * oracle replays it exactly. */
+  def packSequences(spark: SparkSession, dir: String,
+                    contextLen: Int = 128, nShards: Int = 8): DataFrame = {
+    require(contextLen > 0 && nShards > 0, "contextLen and nShards must be positive")
+    graft.functions.TextStats.register(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        expr("text_stats(text)").getField("n_tokens").as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", expr(s"start_tok div $contextLen"))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("start_tok"), col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
 }

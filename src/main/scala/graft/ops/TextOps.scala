@@ -144,6 +144,45 @@ object TextOps {
     docs.select(col("doc_id"), cleaned.as("clean_text"), counts.as("n_redacted"))
   }
 
+  /** q41 — within-document repetition stats, the Gopher-style
+    * repetition filter of a training-data pipeline: documents whose
+    * text is dominated by a few repeated phrases (boilerplate,
+    * navigation chrome, generated spam) are low-value and get flagged
+    * by these two ratios per doc:
+    *  - `dup_frac`  = 1 − distinct_bigrams / total_bigrams — overall
+    *    repeatedness of the phrase stream;
+    *  - `top_frac`  = count(most frequent bigram) / total_bigrams —
+    *    single-phrase domination.
+    * Documents with fewer than 2 tokens (no bigrams) drop out — no
+    * ratio is defined for them.
+    *
+    * ZERO-SHUFFLE, ZERO-INTERPRETATION plan: the whole bigram count
+    * map lives inside the custom codegen expression
+    * [[graft.functions.BigramStats]] (one byte scan per row, struct
+    * fields CSE-shared). The explode→groupBy×2 formulation would
+    * amplify ~n_tokens rows per doc through two exchanges — at 100 TB
+    * the amplification IS the cost; per-row state that fits in memory
+    * (a doc's own bigram set) should never cross a shuffle. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BigramStats.register(spark)
+    Tables.documents(spark, dir)
+      // the ≥2-tokens gate as an INDEPENDENT cheap predicate (some
+      // non-space, ≥1 space, some non-space ⟺ n_bigrams ≥ 1): filtering
+      // on bigram_stats itself gets pushed below the project and
+      // SUBSTITUTED by the optimizer — the count map would build twice
+      // per row; this regex prunes before the expression runs at all
+      .filter(col("text").rlike("[^ ] +[^ ]"))
+      .withColumn("bs", expr("bigram_stats(text)"))
+      .select(
+        col("doc_id"),
+        col("bs.n_bigrams").as("n_bigrams"),
+        col("bs.n_distinct_bigrams").as("n_distinct_bigrams"),
+        col("bs.max_count").as("max_count"),
+        (lit(1.0) - col("bs.n_distinct_bigrams") / col("bs.n_bigrams")).as("dup_frac"),
+        (col("bs.max_count") / col("bs.n_bigrams")).as("top_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q26 — winnowing document fingerprint (MOSS-style): hash every
     * char k-gram, keep the minimum hash of each sliding window of w
     * positions, fingerprint = sorted distinct minima ('|'-joined —

@@ -111,6 +111,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === Seq((2L, 2L, true), (4L, 2L, false), (5L, 5L, true), (9L, 2L, false)))
   }
 
+  test("clusterKeepBest: survivor is the longest doc, not the min id; singletons keep") {
+    val base = "the quick brown fox jumps over the lazy dog again today"
+    val docs = Seq(
+      (2L, base), (9L, base),                               // 11 tokens each
+      (4L, base + " with extra trailing words appended here"), // 17 tokens — the best
+      (5L, "completely different words entirely here now for sure indeed")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", lit(0L))
+    val dir = writeDocsFixture(docs)
+    // sanity: same cluster as the min-id resolution...
+    val minId = LlmOps.nearDupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ops.Caches.releaseAll(spark)
+    assert(minId === Map(2L -> 2L, 4L -> 2L, 9L -> 2L, 5L -> 5L))
+    // ...but the keep flag goes to the token-count argmax (doc 4),
+    // min doc_id only breaking ties (9 loses to 2 on nothing here)
+    val got = LlmOps.clusterKeepBest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got === Seq((2L, 2L, 11L, false), (4L, 2L, 17L, true),
+      (5L, 5L, 9L, true), (9L, 2L, 11L, false)))
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("exact dedup keeps the minimum doc_id per content hash") {
     val docs = Seq(
       (7L, "Same   Text"), (3L, "same text"), (9L, "other text")

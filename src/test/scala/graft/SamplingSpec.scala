@@ -51,6 +51,57 @@ class SamplingSpec extends SparkSpec {
     assert(sample.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("packSequences: per-shard running offsets, pack boundaries, full coverage") {
+    assume(available, "testdata not present")
+    val nDocs = Tables.documents(spark, dir).count()
+    val rows = Sampling.packSequences(spark, dir).collect()
+    assert(rows.length == nDocs && rows.map(_.getLong(0)).distinct.length == nDocs)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(0) % 8)) // shard rule
+    // within each shard, in doc_id order: start_tok is the exact
+    // running token total and pack_id = start_tok div contextLen
+    rows.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) == cum, s"doc ${r.getLong(0)} start_tok")
+        assert(r.getLong(4) == cum / 128, s"doc ${r.getLong(0)} pack_id")
+        cum += r.getLong(2)
+      }
+    }
+    // docs span pack boundaries (GPT-style concatenation): some doc
+    // must start mid-pack — packing that padded every doc to a fresh
+    // pack would still pass the offset checks above
+    assert(rows.exists(r => r.getLong(3) % 128 != 0))
+    val again = Sampling.packSequences(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(4))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(4))).toSeq)
+  }
+
+  test("stratumCapSample: exact integer rates, uncapped strata intact, deterministic") {
+    assume(available, "testdata not present")
+    val totals = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = Sampling.stratumCapSample(spark, dir).collect()
+    // per-row: n_stratum and the integer rate formula are exact
+    got.foreach { r =>
+      val n = totals((r.getString(1), r.getString(2)))
+      assert(r.getLong(3) == n)
+      assert(r.getLong(4) == math.min(1000L, 5000L / n))
+    }
+    val keptBy = got.groupBy(r => (r.getString(1), r.getString(2)))
+      .view.mapValues(_.length.toLong).toMap
+    // strata at or under the cap keep every document (rate 1000)
+    totals.filter(_._2 <= 5).foreach { case (k, n) =>
+      assert(keptBy.getOrElse(k, 0L) == n, s"uncapped stratum $k lost docs")
+    }
+    // no stratum exceeds its population, and over-cap strata exist in
+    // the fixture (else this test certifies nothing)
+    keptBy.foreach { case (k, n) => assert(n <= totals(k)) }
+    assert(totals.values.exists(_ > 5), "fixture has no capped stratum")
+    val again = Sampling.stratumCapSample(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
+  }
+
   test("curateCorpus: reasons agree with the component operators, precedence holds") {
     assume(available, "testdata not present")
     val cur = LlmOps.curateCorpus(spark, dir).collect()

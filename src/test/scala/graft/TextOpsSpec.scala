@@ -104,6 +104,21 @@ class TextOpsSpec extends SparkSpec {
     assert(fp.subsetOf(gramHashes))
   }
 
+  test("repetitionStats: bigram counts on pinned docs; <2-token docs drop out") {
+    val dir = writeDocs(Seq(
+      (1L, "a b a b a b"), // bigrams: "a b"×3, "b a"×2 → n=5, distinct=2, max=3
+      (2L, "x y z"),       // n=2, distinct=2, max=1
+      (3L, "solo"),        // no bigrams → absent
+      (4L, "  a   b ")))   // empty-run splits ignored → one bigram "a b"
+    val got = TextOps.repetitionStats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set(1L, 2L, 4L))
+    assert(got(1L) == ((5L, 2L, 3L, 1.0 - 2.0 / 5.0, 3.0 / 5.0)))
+    assert(got(2L) == ((2L, 2L, 1L, 0.0, 0.5)))
+    assert(got(4L) == ((1L, 1L, 1L, 0.0, 1.0)))
+  }
+
   test("redactPii: emails/phones/IPs replaced with tokens, counts per pattern") {
     val docs = Seq(
       (1L, "contact bob.smith+x@example.co.uk or +1 (415) 555-0199 now"),
