@@ -70,6 +70,8 @@ object SparkEntry {
     "q40_stratum_cap"       -> ((s, d) => Sampling.stratumCapSample(s, d)),
     "q41_repetition_stats"  -> TextOps.repetitionStats _,
     "q42_cluster_keep_best" -> ((s, d) => LlmOps.clusterKeepBest(s, d)),
+    "q43_vocab_topk"        -> ((s, d) => TextOps.vocabTopK(s, d)),
+    "q44_cross_source_dups" -> ((s, d) => LlmOps.crossSourceDupReport(s, d)),
   )
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -721,5 +723,41 @@ object SparkEntry {
            coalesce(r.rn = 1, true) AS keep
          FROM tok t LEFT JOIN ranked r USING (doc_id)
          ORDER BY t.doc_id""",
+    // corpus vocabulary profile: top-50 tokens by total occurrences,
+    // with document frequency; ties at the cut break by token
+    "q43_vocab_topk" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS token
+           FROM documents),
+         perdoc AS (SELECT token, doc_id, count(*) AS c FROM toks GROUP BY 1, 2),
+         vocab AS (
+           SELECT token, CAST(sum(c) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+           FROM perdoc GROUP BY 1),
+         top AS (SELECT *, row_number() OVER (ORDER BY tf DESC, token) AS rank FROM vocab)
+         SELECT CAST(rank AS BIGINT) AS rank, token, tf, df
+         FROM top WHERE rank <= 50 ORDER BY rank""",
+    // q20's near-dup pairs rolled up to source level: which sources
+    // mirror each other (max jaccard is summation-order-independent —
+    // an avg of doubles would hash differently per engine)
+    "q44_cross_source_dups" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+                FROM words, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
+         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         pairs0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS jaccard
+                   FROM pairs0
+                   JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+                   WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.2),
+         srcd AS (
+           SELECT LEAST(a.source, b.source) AS src_a, GREATEST(a.source, b.source) AS src_b,
+                  p.jaccard
+           FROM pairs p JOIN documents a ON p.d1 = a.doc_id JOIN documents b ON p.d2 = b.doc_id)
+         SELECT src_a, src_b, count(*) AS n_pairs, max(jaccard) AS max_jaccard
+         FROM srcd GROUP BY 1, 2 ORDER BY src_a, src_b""",
   )
 }

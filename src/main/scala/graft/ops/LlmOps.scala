@@ -391,6 +391,36 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q44 — cross-source duplication report: q20's near-dup pairs
+    * rolled up to the (source, source) level — the diagnostic that
+    * tells a curation team WHICH sources mirror each other (and how
+    * strongly) before they decide drop policies. Pair endpoints are
+    * source-ordered (least/greatest) so A↔B and B↔A aggregate
+    * together; `max_jaccard` is an order-independent aggregate (an
+    * avg of doubles would hash differently per summation order).
+    *
+    * Scale: the pair stream is collision-proportional (q20's guards);
+    * the two source lookups join it against the (doc_id, source)
+    * projection with NO broadcast hint — on low-duplication corpora
+    * the pair side is small and AQE broadcasts it from runtime sizes,
+    * on duplicate-heavy ones both sides can be large and the planner
+    * must stay free to shuffle (the [[dropList]] argument). The final
+    * rollup is #source²-bounded, tiny by construction. */
+  def crossSourceDupReport(spark: SparkSession, dir: String,
+                           n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50): DataFrame = {
+    val pairs = jaccardPairsRaw(spark, dir, n, threshold, maxDf)
+      .select(col("d1"), col("d2"), col("jaccard"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("d1"), col("source").as("s1")), Seq("d1"))
+      .join(src.select(col("doc_id").as("d2"), col("source").as("s2")), Seq("d2"))
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"), col("jaccard"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("jaccard")).as("max_jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   val MinhashK = 16
 
   /** One pinned MinHash function: min over shingles of the portable

@@ -120,6 +120,32 @@ object TextOps {
         length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** q43 — corpus vocabulary profile: top-k tokens by total
+    * occurrence count with document frequency — the Zipf/vocabulary
+    * report a pipeline runs before tokenizer training or corpus-mix
+    * decisions. Deterministic: ties at the cut break by token.
+    *
+    * Plan shape at 100 TB: this is canonical wordcount — explode →
+    * partial-agg on (token, doc) map-side → shuffle by token → final
+    * agg; the cross-document aggregation genuinely requires the
+    * shuffle (unlike q41's per-doc counts, which stay row-local). The
+    * top-k is TakeOrderedAndProject (per-partition heaps + a k-row
+    * driver merge), never a global sort; the rank window then runs
+    * over k rows, not the vocabulary. */
+  def vocabTopK(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(filter(split(col("text"), " "), x => length(x) > 0)).as("token"))
+    val vocab = toks.groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+    vocab.orderBy(col("tf").desc, col("token")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("tf").desc, col("token"))).cast("long"))
+      .select(col("rank"), col("token"), col("tf"), col("df"))
+      .orderBy(col("rank"))
+  }
+
   /** PII redaction patterns: (label, regex, replacement token). Order
     * matters — applied sequentially, counts taken per pattern on the
     * ORIGINAL text (documented: overlapping patterns both count). */

@@ -134,6 +134,21 @@ class LlmOpsSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
   }
 
+  test("crossSourceDupReport: pairs roll up to ordered source pairs") {
+    val dup = "the quick brown fox jumps over the lazy dog again today"
+    val docs = Seq(
+      (1L, dup, "srcA"), (2L, dup, "srcB"), (3L, dup, "srcA"),
+      (4L, "completely different words entirely here now for sure indeed", "srcB")
+    ).toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+      .withColumn("n_chars", lit(0L))
+    val dir = writeDocsFixture(docs)
+    val got = LlmOps.crossSourceDupReport(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    // pairs (1,2) A↔B, (1,3) A↔A, (2,3) B↔A — endpoints source-ordered
+    assert(got == Seq(("srcA", "srcA", 1L, 1.0), ("srcA", "srcB", 2L, 1.0)))
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("exact dedup keeps the minimum doc_id per content hash") {
     val docs = Seq(
       (7L, "Same   Text"), (3L, "same text"), (9L, "other text")

@@ -104,6 +104,37 @@ class TextOpsSpec extends SparkSpec {
     assert(fp.subsetOf(gramHashes))
   }
 
+  test("BigramStats expression == the explode/groupBy SQL formulation, interpreted and codegen'd") {
+    val texts = Seq((1L, "a b a b a b"), (2L, "the quick brown fox the quick brown cat"),
+      (3L, "  padded   tokens  here "), (4L, "x"))
+    val df = texts.toDF("doc_id", "text")
+    // reference semantics spelled out with built-ins: consecutive pairs
+    // of the empty-filtered whitespace tokens, counted per doc
+    val viaSql = df.selectExpr("doc_id",
+      "filter(split(text, ' '), x -> length(x) > 0) AS ws")
+      .selectExpr("doc_id",
+        // sequence(1, 0) counts DOWN — guard like LlmOps.shingles does
+        "transform(CASE WHEN size(ws) >= 2 THEN sequence(1, size(ws) - 1) " +
+          "ELSE array() END, i -> concat_ws(' ', ws[i-1], ws[i])) AS bgs")
+      .selectExpr("doc_id", "size(bgs) AS n",
+        "size(array_distinct(bgs)) AS d",
+        "array_max(transform(array_distinct(bgs), b -> size(filter(bgs, x -> x = b)))) AS m")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1).toLong,
+        r.getInt(2).toLong, Option(r.get(3)).fold(0L)(_.asInstanceOf[Int].toLong)))).toMap
+    val viaExpr = {
+      graft.functions.BigramStats.register(spark)
+      df.select(col("doc_id"), expr("bigram_stats(text)").as("bs"))
+        .select(col("doc_id"), col("bs.n_bigrams"), col("bs.n_distinct_bigrams"), col("bs.max_count"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    }
+    // the no-bigram doc: SQL's array_max over empty is null → 0 above
+    assert(viaExpr == viaSql)
+    // direct (interpreted nullSafeEval path) agrees too
+    val direct = graft.functions.BigramStats.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b a b a b"))
+    assert((direct.getLong(0), direct.getLong(1), direct.getLong(2)) == ((5L, 2L, 3L)))
+  }
+
   test("repetitionStats: bigram counts on pinned docs; <2-token docs drop out") {
     val dir = writeDocs(Seq(
       (1L, "a b a b a b"), // bigrams: "a b"×3, "b a"×2 → n=5, distinct=2, max=3
@@ -117,6 +148,20 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L) == ((5L, 2L, 3L, 1.0 - 2.0 / 5.0, 3.0 / 5.0)))
     assert(got(2L) == ((2L, 2L, 1L, 0.0, 0.5)))
     assert(got(4L) == ((1L, 1L, 1L, 0.0, 1.0)))
+  }
+
+  test("vocabTopK: tf/df arithmetic, rank order, tie-break by token") {
+    val dir = writeDocs(Seq(
+      (1L, "a b a"),  // a×2, b×1
+      (2L, "b c"),
+      (3L, "a")))
+    val got = TextOps.vocabTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // tf: a=3 (df 2), b=2 (df 2), c=1 (df 1) — rank by tf desc then token
+    assert(got == Seq((1L, "a", 3L, 2L), (2L, "b", 2L, 2L), (3L, "c", 1L, 1L)))
+    // k truncates: top-2 keeps the same prefix
+    val top2 = TextOps.vocabTopK(spark, dir, k = 2).collect().map(_.getString(1)).toSeq
+    assert(top2 == Seq("a", "b"))
   }
 
   test("redactPii: emails/phones/IPs replaced with tokens, counts per pattern") {
