@@ -74,6 +74,46 @@ object SparkEntry {
     "q44_cross_source_dups" -> ((s, d) => LlmOps.crossSourceDupReport(s, d)),
   )
 
+  /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
+    * definition of the n=3 / maxDf=50 cap semantics, mirroring
+    * [[LlmOps]]' single `cappedShingles` on the Spark side: editing a
+    * default in one engine but not the other must fail EVERY query of
+    * the family, not silently diverge a single oracle. Used by q20,
+    * q32, q35, q38, q42, q44. */
+  private val ShingleCtes =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+                FROM words, unnest(generate_series(1, len(ws)-2)) AS t(i)),
+         hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
+         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)"""
+
+  /** Thresholded Jaccard pair stream over [[ShingleCtes]] (threshold
+    * 0.2); carries inter/n1/n2/jaccard so every consumer — the q20
+    * report, the component fixpoints, the q44 rollup — reads the one
+    * definition and ignores what it doesn't need. */
+  private val PairCtes =
+    """pairs0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pairs AS (SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+                     CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS jaccard
+                   FROM pairs0
+                   JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+                   WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.2)"""
+
+  /** Connected components over [[PairCtes]] by recursive reachability
+    * (requires WITH RECURSIVE at the consumer): comp = (doc_id,
+    * cluster_id = min reachable node). Used by q32, q35, q42. */
+  private val ComponentCtes =
+    """edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+         reach AS (
+           SELECT a AS node, a AS r FROM (SELECT DISTINCT a FROM edges) t
+           UNION
+           SELECT e.a AS node, r.r FROM edges e JOIN reach r ON e.b = r.node),
+         comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)"""
+
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
     * ORDER BY, explicit casts so dtypes line up (see Relational docs). */
   def oracleSql: Map[String, String] = Map(
@@ -218,19 +258,9 @@ object SparkEntry {
          min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY content_hash""",
     "q20_jaccard_pairs" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
-                FROM words, unnest(generate_series(1, len(ws)-2)) AS t(i)),
-         hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
-         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
-         SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
-                CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS jaccard
-         FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-         WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.2
+      s"""WITH $ShingleCtes,
+         $PairCtes
+         SELECT d1, d2, inter, n1, n2, jaccard FROM pairs
          ORDER BY d1, d2""",
     "q21_minhash_lsh_pairs" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -462,25 +492,9 @@ object SparkEntry {
          SELECT q_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dot, cosine
          FROM ranked WHERE rnk <= 5 ORDER BY q_id, rank""",
     "q32_neardup_clusters" ->
-      """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
-                FROM words, unnest(generate_series(1, len(ws)-2)) AS t(i)),
-         hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
-         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         pairs0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         pairs AS (SELECT d1, d2 FROM pairs0
-                   JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-                   WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.2),
-         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                   UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
-         reach AS (
-           SELECT a AS node, a AS r FROM (SELECT DISTINCT a FROM edges) t
-           UNION
-           SELECT e.a AS node, r.r FROM edges e JOIN reach r ON e.b = r.node),
-         comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+      s"""WITH RECURSIVE $ShingleCtes,
+         $PairCtes,
+         $ComponentCtes
          SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
                 coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
          FROM documents d LEFT JOIN comp c USING (doc_id)
@@ -562,26 +576,12 @@ object SparkEntry {
          ORDER BY d1, d2""",
     // the q32 component pipeline + exact-dup window + token gate,
     // composed with the same reason precedence as curateCorpus
+    // raw interpolator: the exact-dup regex '\s+' must not hit the s""
+    // interpolator's escape processing
     "q35_corpus_curation" ->
-      """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
-                FROM words, unnest(generate_series(1, len(ws)-2)) AS t(i)),
-         hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
-         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         pairs0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         pairs AS (SELECT d1, d2 FROM pairs0
-                   JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-                   WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.2),
-         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                   UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
-         reach AS (
-           SELECT a AS node, a AS r FROM (SELECT DISTINCT a FROM edges) t
-           UNION
-           SELECT e.a AS node, r.r FROM edges e JOIN reach r ON e.b = r.node),
-         comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+      raw"""WITH RECURSIVE $ShingleCtes,
+         $PairCtes,
+         $ComponentCtes,
          exact AS (
            SELECT doc_id,
              doc_id <> min(doc_id) OVER (
@@ -618,12 +618,7 @@ object SparkEntry {
     // q20's shingle machinery with one side restricted to the
     // benchmark subset (doc_id % 50 = 0) and a best-match argmax
     "q38_benchmark_overlap" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
-                FROM words, unnest(generate_series(1, len(ws)-2)) AS t(i)),
-         hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
-         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      s"""WITH $ShingleCtes,
          inter AS (
            SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS inter
            FROM sh c JOIN sh b ON c.shingle = b.shingle
@@ -655,19 +650,21 @@ object SparkEntry {
          SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_tok,
            (cum - n_tokens) // 128 AS pack_id
          FROM c ORDER BY doc_id""",
-    // per-(source,lang) cap at 5 expected docs: exact integer rate,
-    // hash membership — the same md5 primitive as q36/q37
+    // per-(source,lang) cap at 5 expected docs: the 60-bit hash is
+    // accepted below (2^60 div n)·5 (clamped to 2^60 when n ≤ 5) —
+    // full-granularity exact-integer rate, never floors to zero
     "q40_stratum_cap" ->
       """WITH strata AS (
            SELECT source, lang, CAST(count(*) AS BIGINT) AS n_stratum
            FROM documents GROUP BY 1, 2),
          r AS (
            SELECT source, lang, n_stratum,
-             LEAST(CAST(1000 AS BIGINT), (1000 * 5) // n_stratum) AS rate_permille
+             CASE WHEN n_stratum <= 5 THEN CAST(1152921504606846976 AS BIGINT)
+                  ELSE (CAST(1152921504606846976 AS BIGINT) // n_stratum) * 5 END AS accept_threshold
            FROM strata)
-         SELECT d.doc_id, d.source, d.lang, r.n_stratum, r.rate_permille
+         SELECT d.doc_id, d.source, d.lang, r.n_stratum, r.accept_threshold
          FROM documents d JOIN r USING (source, lang)
-         WHERE CAST(('0x' || substr(md5('cap-v1/' || d.source || '/' || d.lang || ':' || d.doc_id), 1, 15)) AS BIGINT) % 1000 < r.rate_permille
+         WHERE CAST(('0x' || substr(md5('cap-v1/' || d.source || '/' || d.lang || ':' || d.doc_id), 1, 15)) AS BIGINT) < r.accept_threshold
          ORDER BY d.doc_id""",
     // within-doc bigram repetition (Gopher-style): the explode/groupBy
     // formulation here IS the spec for the Spark side's one-pass
@@ -692,25 +689,9 @@ object SparkEntry {
     // q32's component pipeline resolved by keep-best (most tokens,
     // tie → min doc_id) instead of min doc_id
     "q42_cluster_keep_best" ->
-      """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
-                FROM words, unnest(generate_series(1, len(ws)-2)) AS t(i)),
-         hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
-         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         pairs0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         pairs AS (SELECT d1, d2 FROM pairs0
-                   JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-                   WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.2),
-         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                   UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
-         reach AS (
-           SELECT a AS node, a AS r FROM (SELECT DISTINCT a FROM edges) t
-           UNION
-           SELECT e.a AS node, r.r FROM edges e JOIN reach r ON e.b = r.node),
-         comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+      s"""WITH RECURSIVE $ShingleCtes,
+         $PairCtes,
+         $ComponentCtes,
          tok AS (
            SELECT doc_id,
              CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS n_tokens
@@ -740,19 +721,8 @@ object SparkEntry {
     // mirror each other (max jaccard is summation-order-independent —
     // an avg of doubles would hash differently per engine)
     "q44_cross_source_dups" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         sh0 AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
-                FROM words, unnest(generate_series(1, len(ws)-2)) AS t(i)),
-         hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) > 50),
-         sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
-         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         pairs0 AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2),
-         pairs AS (SELECT d1, d2, CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) AS jaccard
-                   FROM pairs0
-                   JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-                   WHERE CAST(inter AS DOUBLE)/(s1.n + s2.n - inter) >= 0.2),
+      s"""WITH $ShingleCtes,
+         $PairCtes,
          srcd AS (
            SELECT LEAST(a.source, b.source) AS src_a, GREATEST(a.source, b.source) AS src_b,
                   p.jaccard

@@ -62,11 +62,16 @@ object Sampling {
   /** q40 — per-stratum cap resampling: downsample every (source, lang)
     * stratum to an EXPECTED `cap` documents, keeping the rest intact —
     * the balancing stage that stops one over-crawled source from
-    * dominating the training mix. Acceptance rate per stratum is exact
-    * integer arithmetic (`1000·cap div n`, capped at 1000), so the
-    * DuckDB oracle replays it bit-for-bit; membership is the shared
-    * [[bucket1000]] hash — deterministic, engine- and
-    * partitioning-independent.
+    * dominating the training mix. A document survives iff its 60-bit
+    * hash is below the stratum's `accept_threshold` = `(2^60 div n) ·
+    * cap`, clamped to 2^60 when n ≤ cap — exact integer arithmetic
+    * the DuckDB oracle replays bit-for-bit, at FULL 60-bit granularity
+    * so the acceptance rate never floors to zero (a permille-granular
+    * rate would deterministically eliminate any stratum above
+    * 1000·cap docs — precisely the over-crawled stratum the operator
+    * exists to tame; this threshold only vanishes past 2^60 docs in
+    * one stratum). No overflow: for n > cap the product is < 2^60;
+    * for n ≤ cap the clamp short-circuits the multiply.
     *
     * Plan shape at 100 TB: the stratum-count aggregate is
     * #strata-sized (map-side partials, tiny result), joins back
@@ -76,23 +81,26 @@ object Sampling {
   def stratumCapSample(spark: SparkSession, dir: String,
                        cap: Int = 5, salt: String = "cap-v1"): DataFrame = {
     require(cap >= 0, "cap must be non-negative")
+    val hashRange = 1L << 60 // one past portableHash64's maximum
     val docs = Tables.documents(spark, dir)
     val rates = docs.groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_stratum"))
-      .withColumn("rate_permille",
-        least(lit(1000L), expr(s"(1000 * $cap) div n_stratum")))
+      .withColumn("accept_threshold",
+        when(col("n_stratum") <= cap, lit(hashRange))
+          .otherwise(expr(s"($hashRange div n_stratum) * $cap")))
     // null-propagating concat (see bucket1000): null stratum keys null
     // the hash and the row drops out, matching the oracle's `||`
-    val b = bucket1000(col("doc_id"),
-      concat(lit(salt + "/"), col("source"), lit("/"), col("lang")))
+    val h = LlmOps.portableHash64(
+      concat(lit(salt + "/"), col("source"), lit("/"), col("lang"),
+        lit(":"), col("doc_id").cast("string")))
     // explicit broadcast: the rate table is #strata-sized by
     // construction (always broadcast-safe), and without the hint the
     // static planner's stats put the RAW SCAN under the aggregate and
     // broadcast the corpus side instead — exactly backwards at 100 TB
     docs.join(broadcast(rates), Seq("source", "lang"))
-      .filter(b < col("rate_permille"))
+      .filter(h < col("accept_threshold"))
       .select(col("doc_id"), col("source"), col("lang"),
-        col("n_stratum"), col("rate_permille"))
+        col("n_stratum"), col("accept_threshold"))
       .orderBy(col("doc_id"))
   }
 

@@ -133,9 +133,13 @@ object TextOps {
     * driver merge), never a global sort; the rank window then runs
     * over k rows, not the vocabulary. */
   def vocabTopK(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    // empties dropped AFTER the explode with a plain codegen'd
+    // predicate — a pre-explode `filter(split(...), len > 0)` pays an
+    // interpreted higher-order lambda on every corpus row (the 5-8×
+    // interpretation tax the text family's codegen work removed)
     val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(filter(split(col("text"), " "), x => length(x) > 0)).as("token"))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
     val vocab = toks.groupBy(col("token"), col("doc_id")).agg(count(lit(1)).as("c"))
       .groupBy(col("token"))
       .agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))

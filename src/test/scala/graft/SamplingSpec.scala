@@ -82,15 +82,19 @@ class SamplingSpec extends SparkSpec {
       .groupBy(col("source"), col("lang")).count().collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val got = Sampling.stratumCapSample(spark, dir).collect()
-    // per-row: n_stratum and the integer rate formula are exact
+    // per-row: n_stratum and the 60-bit threshold formula are exact;
+    // the threshold is NEVER zero (the rate-floor cliff a
+    // permille-granular rate would have at n > 1000·cap)
     got.foreach { r =>
       val n = totals((r.getString(1), r.getString(2)))
       assert(r.getLong(3) == n)
-      assert(r.getLong(4) == math.min(1000L, 5000L / n))
+      assert(r.getLong(4) == (if (n <= 5) 1L << 60 else ((1L << 60) / n) * 5))
+      assert(r.getLong(4) > 0)
     }
     val keptBy = got.groupBy(r => (r.getString(1), r.getString(2)))
       .view.mapValues(_.length.toLong).toMap
-    // strata at or under the cap keep every document (rate 1000)
+    // strata at or under the cap keep every document (threshold 2^60
+    // is one past the 60-bit hash maximum)
     totals.filter(_._2 <= 5).foreach { case (k, n) =>
       assert(keptBy.getOrElse(k, 0L) == n, s"uncapped stratum $k lost docs")
     }
