@@ -56,15 +56,16 @@ case class BigramStatsExpr(child: Expression) extends UnaryExpression {
 
 object BigramStats {
 
+  /** SQL builder — shared by [[register]] and [[graft.GraftExtensions]]. */
+  private[graft] val builder: Seq[Expression] => Expression = {
+    case Seq(c) => BigramStatsExpr(c)
+    case _ => throw new IllegalArgumentException("bigram_stats(text) takes 1 argument")
+  }
+
   /** Register `bigram_stats(text)` as a session function. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bigram_stats",
-      exprs => exprs match {
-        case Seq(c) => BigramStatsExpr(c)
-        case _ => throw new IllegalArgumentException("bigram_stats(text) takes 1 argument")
-      },
-      "built-in")
+      "bigram_stats", builder, "built-in")
     ()
   }
 

@@ -67,15 +67,16 @@ object TextStats {
     s
   }
 
+  /** SQL builder — shared by [[register]] and [[graft.GraftExtensions]]. */
+  private[graft] val builder: Seq[Expression] => Expression = {
+    case Seq(c) => TextStatsExpr(c)
+    case _ => throw new IllegalArgumentException("text_stats(text) takes 1 argument")
+  }
+
   /** Register `text_stats(text)` as a session function. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "text_stats",
-      exprs => exprs match {
-        case Seq(c) => TextStatsExpr(c)
-        case _ => throw new IllegalArgumentException("text_stats(text) takes 1 argument")
-      },
-      "built-in")
+      "text_stats", builder, "built-in")
     ()
   }
 

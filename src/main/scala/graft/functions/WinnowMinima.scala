@@ -52,18 +52,20 @@ object WinnowMinima {
   /** Register `winnow_minima(text[, k, w])` as a session function —
     * the public seam for using a catalyst expression from the Column
     * API (`expr("winnow_minima(text)")`). Idempotent. */
+  /** SQL builder — shared by [[register]] and [[graft.GraftExtensions]]. */
+  private[graft] val builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      org.apache.spark.sql.catalyst.expressions.Expression = {
+    case Seq(c)       => WinnowMinima(c, 8, 4)
+    case Seq(c, k, w) => WinnowMinima(c,
+      k.eval().asInstanceOf[Number].intValue(),
+      w.eval().asInstanceOf[Number].intValue())
+    case _ => throw new IllegalArgumentException(
+      "winnow_minima(text[, k, w]) takes 1 or 3 arguments")
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "winnow_minima",
-      exprs => exprs match {
-        case Seq(c)       => WinnowMinima(c, 8, 4)
-        case Seq(c, k, w) => WinnowMinima(c,
-          k.eval().asInstanceOf[Number].intValue(),
-          w.eval().asInstanceOf[Number].intValue())
-        case _ => throw new IllegalArgumentException(
-          "winnow_minima(text[, k, w]) takes 1 or 3 arguments")
-      },
-      "built-in")
+      "winnow_minima", builder, "built-in")
     ()
   }
 
