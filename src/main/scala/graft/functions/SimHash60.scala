@@ -40,14 +40,13 @@ object SimHash60 {
 
   val Bits = 60
 
-  /** Register `simhash60(tokens)` as a session function. Idempotent. */
   /** SQL builder — shared by [[register]] and [[graft.GraftExtensions]]. */
-  private[graft] val builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-      org.apache.spark.sql.catalyst.expressions.Expression = {
+  private[graft] val builder: Seq[Expression] => Expression = {
     case Seq(c) => SimHash60(c)
     case _ => throw new IllegalArgumentException("simhash60(tokens) takes 1 argument")
   }
 
+  /** Register `simhash60(tokens)` as a session function. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", builder, "built-in")

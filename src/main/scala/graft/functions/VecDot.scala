@@ -71,14 +71,13 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
 object VecDot {
 
-  /** Register `vec_dot(a, b)` as a session function. Idempotent. */
   /** SQL builder — shared by [[register]] and [[graft.GraftExtensions]]. */
-  private[graft] val builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-      org.apache.spark.sql.catalyst.expressions.Expression = {
+  private[graft] val builder: Seq[Expression] => Expression = {
     case Seq(a, b) => VecDot(a, b)
     case _ => throw new IllegalArgumentException("vec_dot(a, b) takes 2 arguments")
   }
 
+  /** Register `vec_dot(a, b)` as a session function. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", builder, "built-in")

@@ -49,12 +49,8 @@ case class WinnowMinima(child: Expression, k: Int, w: Int)
 
 object WinnowMinima {
 
-  /** Register `winnow_minima(text[, k, w])` as a session function —
-    * the public seam for using a catalyst expression from the Column
-    * API (`expr("winnow_minima(text)")`). Idempotent. */
   /** SQL builder — shared by [[register]] and [[graft.GraftExtensions]]. */
-  private[graft] val builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-      org.apache.spark.sql.catalyst.expressions.Expression = {
+  private[graft] val builder: Seq[Expression] => Expression = {
     case Seq(c)       => WinnowMinima(c, 8, 4)
     case Seq(c, k, w) => WinnowMinima(c,
       k.eval().asInstanceOf[Number].intValue(),
@@ -63,6 +59,9 @@ object WinnowMinima {
       "winnow_minima(text[, k, w]) takes 1 or 3 arguments")
   }
 
+  /** Register `winnow_minima(text[, k, w])` as a session function —
+    * the public seam for using a catalyst expression from the Column
+    * API (`expr("winnow_minima(text)")`). Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_minima", builder, "built-in")

@@ -16,15 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Hash in [0, 1000) for doc `id` under `salt` — the shared
-    * assignment primitive (the hash is a positive 60-bit value, so
-    * the modulo is already non-negative). NULL-PROPAGATING `concat`,
-    * not concat_ws: a null salt component (e.g. a null `source`
-    * stratum) must null the hash so the row drops out of the sample —
-    * exactly what the oracle's SQL `||` does; concat_ws would silently
-    * skip the null and lump such rows into a phantom stratum. */
+  /** 60-bit hash of `"<salt>:<id>"` — the ONE definition of the
+    * salted membership key (the `'salt:id'` byte format is a bit-exact
+    * contract with every sampling oracle's `|| ':' ||`).
+    * NULL-PROPAGATING `concat`, not concat_ws: a null salt component
+    * (e.g. a null `source` stratum) must null the hash so the row
+    * drops out of the sample — exactly what the oracle's SQL `||`
+    * does; concat_ws would silently skip the null and lump such rows
+    * into a phantom stratum. */
+  private def saltedHash(id: Column, salt: Column): Column =
+    LlmOps.portableHash64(concat(salt, lit(":"), id.cast("string")))
+
+  /** [[saltedHash]] folded into [0, 1000) for the permille operators
+    * (the hash is non-negative, so pmod is a plain modulo). */
   private def bucket1000(id: Column, salt: Column): Column =
-    pmod(LlmOps.portableHash64(concat(salt, lit(":"), id.cast("string"))), lit(1000L))
+    pmod(saltedHash(id, salt), lit(1000L))
 
   /** q36 — deterministic train/val/test split: 80/10/10 by hash
     * bucket. Every document gets exactly one split label; the same
@@ -88,11 +94,10 @@ object Sampling {
       .withColumn("accept_threshold",
         when(col("n_stratum") <= cap, lit(hashRange))
           .otherwise(expr(s"($hashRange div n_stratum) * $cap")))
-    // null-propagating concat (see bucket1000): null stratum keys null
+    // null-propagating concat (see saltedHash): null stratum keys null
     // the hash and the row drops out, matching the oracle's `||`
-    val h = LlmOps.portableHash64(
-      concat(lit(salt + "/"), col("source"), lit("/"), col("lang"),
-        lit(":"), col("doc_id").cast("string")))
+    val h = saltedHash(col("doc_id"),
+      concat(lit(salt + "/"), col("source"), lit("/"), col("lang")))
     // explicit broadcast: the rate table is #strata-sized by
     // construction (always broadcast-safe), and without the hint the
     // static planner's stats put the RAW SCAN under the aggregate and

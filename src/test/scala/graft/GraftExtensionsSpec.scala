@@ -38,12 +38,17 @@ class GraftExtensionsSpec extends SparkSpec {
       assert(r.getLong(2) == 3L)    // bigrams: a b, b a, a b
       assert(r.getInt(3) == 5)      // 12 chars, k=8 → 5 gram positions
       assert(r.getLong(4) == 11L)   // 1·3 + 2·4
-      // the base session (no extension, nothing registered here) must
-      // NOT see the function — the injection is per-session opt-in
-      val missing = intercept[Exception] {
-        base.sql("SELECT bigram_stats_does_not_exist('x')").collect()
+      // the injection is per-session opt-in: a fresh session built
+      // WITHOUT the extension must not see the family. (Not asserted
+      // on `base` — earlier suites may have legitimately register()ed
+      // these functions there.)
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val plain = SparkSession.builder().master("local[4]").getOrCreate()
+      assert((plain ne ext) && (plain ne base))
+      intercept[org.apache.spark.sql.AnalysisException] {
+        plain.sql("SELECT bigram_stats('x')").collect()
       }
-      assert(missing != null)
     } finally {
       // do NOT stop `ext`: it shares base's SparkContext. Just restore
       // the session handles for every later suite.
