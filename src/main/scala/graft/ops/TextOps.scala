@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -164,13 +164,22 @@ object TextOps {
     * builtins, zero shuffle, linear at any scale). Spec-certified on
     * synthetic fixtures — the driver corpus contains no PII-shaped
     * tokens, so an oracle row would certify only the vacuous case. */
-  def redactPii(docs: DataFrame): DataFrame = {
+  /** The redaction as reusable COLUMNS over a `text` column —
+    * (clean_text, n_redacted) — so any projection (batch q-series,
+    * [[graft.stream.StreamingIngest]]'s per-row stage) applies the one
+    * pattern list without a join. */
+  def redactColumns: (Column, Column) = {
     val counts = PiiPatterns.map { case (_, re, _) =>
       size(regexp_extract_all(col("text"), lit(re), lit(0))).cast("long")
     }.reduce(_ + _)
     val cleaned = PiiPatterns.foldLeft(col("text")) { case (c, (_, re, repl)) =>
       regexp_replace(c, re, repl)
     }
+    (cleaned, counts)
+  }
+
+  def redactPii(docs: DataFrame): DataFrame = {
+    val (cleaned, counts) = redactColumns
     docs.select(col("doc_id"), cleaned.as("clean_text"), counts.as("n_redacted"))
   }
 
