@@ -37,10 +37,19 @@ object Sampling {
     * (doc_id, salt) maps to the same split forever. */
   def hashSplit(spark: SparkSession, dir: String,
                 salt: String = "split-v1",
-                trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
+                trainPermille: Int = 800, valPermille: Int = 100): DataFrame =
+    hashSplitDocs(Tables.documents(spark, dir), salt, trainPermille, valPermille)
+
+  /** [[hashSplit]] over an arbitrary documents DataFrame — the
+    * composition form (e.g. a curated subset): the assignment is a
+    * pure function of (doc_id, salt), so a doc's split NEVER changes
+    * with the surrounding set — curate-then-split and
+    * split-then-curate commute. */
+  def hashSplitDocs(docs: DataFrame, salt: String = "split-v1",
+                    trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
     require(trainPermille + valPermille <= 1000, "split fractions exceed 1")
     val b = bucket1000(col("doc_id"), lit(salt))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("source"),
         when(b < trainPermille, "train")
           .when(b < trainPermille + valPermille, "val")
@@ -130,13 +139,23 @@ object Sampling {
     * packs identically on any engine or cluster size, and the DuckDB
     * oracle replays it exactly. */
   def packSequences(spark: SparkSession, dir: String,
-                    contextLen: Int = 128, nShards: Int = 8): DataFrame = {
+                    contextLen: Int = 128, nShards: Int = 8): DataFrame =
+    packSequencesDocs(Tables.documents(spark, dir), contextLen, nShards)
+
+  /** [[packSequences]] over an arbitrary documents DataFrame — the
+    * composition form: packing runs over whatever survived curation /
+    * splitting upstream (offsets are relative to the INPUT SET, so
+    * unlike the hash-keyed operators this one intentionally depends
+    * on which docs are present — packing a curated corpus is exactly
+    * the point). */
+  def packSequencesDocs(docs: DataFrame,
+                        contextLen: Int = 128, nShards: Int = 8): DataFrame = {
     require(contextLen > 0 && nShards > 0, "contextLen and nShards must be positive")
-    graft.functions.TextStats.register(spark)
+    graft.functions.TextStats.register(docs.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
         expr("text_stats(text)").getField("n_tokens").as("n_tokens"))
       .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))

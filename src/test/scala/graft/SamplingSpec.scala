@@ -106,6 +106,36 @@ class SamplingSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("pipeline composition: curate → split → pack runs over the surviving subset") {
+    assume(available, "testdata not present")
+    val docs = Tables.documents(spark, dir)
+    val kept = LlmOps.curateCorpus(spark, dir).filter(col("keep")).select("doc_id")
+    val keptDocs = docs.join(kept, Seq("doc_id"))
+    val nKept = keptDocs.count()
+    assert(nKept > 0 && nKept < docs.count()) // curation actually dropped something
+    // hash splitting commutes with curation: a doc's split on the
+    // curated subset equals its split on the full corpus
+    val subsetSplit = Sampling.hashSplitDocs(keptDocs).collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+    val fullSplit = Sampling.hashSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    subsetSplit.foreach { case (id, sp) => assert(fullSplit(id) == sp) }
+    // pack ONLY the curated train subset: full coverage, offsets
+    // contiguous relative to the subset (not the original corpus)
+    val trainIds = subsetSplit.filter(_._2 == "train").map(_._1).toSet
+    val train = keptDocs.filter(col("doc_id").isin(trainIds.toSeq: _*))
+    val packed = Sampling.packSequencesDocs(train).collect()
+    assert(packed.length.toLong == train.count())
+    packed.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getLong(0)).foreach { r =>
+        assert(r.getLong(3) == cum, s"subset offsets must be contiguous (doc ${r.getLong(0)})")
+        cum += r.getLong(2)
+      }
+    }
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("curateCorpus: reasons agree with the component operators, precedence holds") {
     assume(available, "testdata not present")
     val cur = LlmOps.curateCorpus(spark, dir).collect()
