@@ -32,29 +32,41 @@ object Sampling {
   private def bucket1000(id: Column, salt: Column): Column =
     pmod(saltedHash(id, salt), lit(1000L))
 
+  /** One definition of the split defaults — shared by both entry
+    * points so a pipeline calling the Docs form and the dir wrapper
+    * can never land on different assignments. */
+  val DefaultSplitSalt = "split-v1"
+  val DefaultTrainPermille = 800
+  val DefaultValPermille = 100
+
   /** q36 — deterministic train/val/test split: 80/10/10 by hash
     * bucket. Every document gets exactly one split label; the same
     * (doc_id, salt) maps to the same split forever. */
   def hashSplit(spark: SparkSession, dir: String,
-                salt: String = "split-v1",
-                trainPermille: Int = 800, valPermille: Int = 100): DataFrame =
+                salt: String = DefaultSplitSalt,
+                trainPermille: Int = DefaultTrainPermille,
+                valPermille: Int = DefaultValPermille): DataFrame =
     hashSplitDocs(Tables.documents(spark, dir), salt, trainPermille, valPermille)
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
 
   /** [[hashSplit]] over an arbitrary documents DataFrame — the
-    * composition form (e.g. a curated subset): the assignment is a
-    * pure function of (doc_id, salt), so a doc's split NEVER changes
-    * with the surrounding set — curate-then-split and
-    * split-then-curate commute. */
-  def hashSplitDocs(docs: DataFrame, salt: String = "split-v1",
-                    trainPermille: Int = 800, valPermille: Int = 100): DataFrame = {
+    * composition form (e.g. a curated subset): APPENDS the `split`
+    * column, keeping every input column, so downstream stages
+    * (packing, export) filter server-side without re-joining the
+    * corpus; no presentation sort (the dir wrapper adds it). The
+    * assignment is a pure function of (doc_id, salt), so a doc's
+    * split NEVER changes with the surrounding set — curate-then-split
+    * and split-then-curate commute. */
+  def hashSplitDocs(docs: DataFrame, salt: String = DefaultSplitSalt,
+                    trainPermille: Int = DefaultTrainPermille,
+                    valPermille: Int = DefaultValPermille): DataFrame = {
     require(trainPermille + valPermille <= 1000, "split fractions exceed 1")
     val b = bucket1000(col("doc_id"), lit(salt))
-    docs
-      .select(col("doc_id"), col("source"),
-        when(b < trainPermille, "train")
-          .when(b < trainPermille + valPermille, "val")
-          .otherwise("test").as("split"))
-      .orderBy(col("doc_id"))
+    docs.withColumn("split",
+      when(b < trainPermille, "train")
+        .when(b < trainPermille + valPermille, "val")
+        .otherwise("test"))
   }
 
   /** q37 — per-stratum deterministic sample: keep `permille`/1000 of
@@ -138,8 +150,14 @@ object Sampling {
     * (shard, pack_id, start_tok) is a pure function — the same corpus
     * packs identically on any engine or cluster size, and the DuckDB
     * oracle replays it exactly. */
+  /** Shared packing defaults (same single-definition rationale as the
+    * split defaults). */
+  val DefaultContextLen = 128
+  val DefaultShards = 8
+
   def packSequences(spark: SparkSession, dir: String,
-                    contextLen: Int = 128, nShards: Int = 8): DataFrame =
+                    contextLen: Int = DefaultContextLen,
+                    nShards: Int = DefaultShards): DataFrame =
     packSequencesDocs(Tables.documents(spark, dir), contextLen, nShards)
 
   /** [[packSequences]] over an arbitrary documents DataFrame — the
@@ -149,7 +167,8 @@ object Sampling {
     * on which docs are present — packing a curated corpus is exactly
     * the point). */
   def packSequencesDocs(docs: DataFrame,
-                        contextLen: Int = 128, nShards: Int = 8): DataFrame = {
+                        contextLen: Int = DefaultContextLen,
+                        nShards: Int = DefaultShards): DataFrame = {
     require(contextLen > 0 && nShards > 0, "contextLen and nShards must be positive")
     graft.functions.TextStats.register(docs.sparkSession)
     val w = org.apache.spark.sql.expressions.Window

@@ -158,12 +158,6 @@ object TextOps {
     ("phone", "\\+?\\d[\\d() -]{7,}\\d", "<PHONE>"),
     ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
 
-  /** PII scrubbing — the redaction stage of a training-data pipeline:
-    * (doc_id, clean_text, n_redacted). Pure regexp_replace /
-    * regexp_extract_all expressions over the scan (codegen'd
-    * builtins, zero shuffle, linear at any scale). Spec-certified on
-    * synthetic fixtures — the driver corpus contains no PII-shaped
-    * tokens, so an oracle row would certify only the vacuous case. */
   /** The redaction as reusable COLUMNS over a `text` column —
     * (clean_text, n_redacted) — so any projection (batch q-series,
     * [[graft.stream.StreamingIngest]]'s per-row stage) applies the one
@@ -178,6 +172,12 @@ object TextOps {
     (cleaned, counts)
   }
 
+  /** PII scrubbing — the redaction stage of a training-data pipeline:
+    * (doc_id, clean_text, n_redacted). Pure regexp_replace /
+    * regexp_extract_all expressions over the scan (codegen'd
+    * builtins, zero shuffle, linear at any scale). Spec-certified on
+    * synthetic fixtures — the driver corpus contains no PII-shaped
+    * tokens, so an oracle row would certify only the vacuous case. */
   def redactPii(docs: DataFrame): DataFrame = {
     val (cleaned, counts) = redactColumns
     docs.select(col("doc_id"), cleaned.as("clean_text"), counts.as("n_redacted"))

@@ -115,15 +115,15 @@ class SamplingSpec extends SparkSpec {
     assert(nKept > 0 && nKept < docs.count()) // curation actually dropped something
     // hash splitting commutes with curation: a doc's split on the
     // curated subset equals its split on the full corpus
-    val subsetSplit = Sampling.hashSplitDocs(keptDocs).collect()
-      .map(r => r.getLong(0) -> r.getString(2))
+    val subsetSplit = Sampling.hashSplitDocs(keptDocs)
     val fullSplit = Sampling.hashSplit(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
-    subsetSplit.foreach { case (id, sp) => assert(fullSplit(id) == sp) }
-    // pack ONLY the curated train subset: full coverage, offsets
-    // contiguous relative to the subset (not the original corpus)
-    val trainIds = subsetSplit.filter(_._2 == "train").map(_._1).toSet
-    val train = keptDocs.filter(col("doc_id").isin(trainIds.toSeq: _*))
+    subsetSplit.collect().foreach(r =>
+      assert(fullSplit(r.getAs[Long]("doc_id")) == r.getAs[String]("split")))
+    // pack ONLY the curated train subset — SERVER-SIDE: the Docs form
+    // appends `split` keeping every input column, so the pipeline
+    // composes without a driver round-trip or corpus re-join
+    val train = subsetSplit.filter(col("split") === "train")
     val packed = Sampling.packSequencesDocs(train).collect()
     assert(packed.length.toLong == train.count())
     packed.groupBy(_.getLong(1)).foreach { case (_, rs) =>

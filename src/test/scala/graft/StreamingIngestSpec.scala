@@ -25,7 +25,14 @@ class StreamingIngestSpec extends SparkSpec {
         // survives: 5 tokens, one email scrubbed
         (ts(0), 1L, "contact us at bob@example.com today"),
         // dropped by the quality gate: 2 tokens
-        (ts(1), 2L, "too short"),
+        (ts(1), 2L, "too short"))
+      q.processAllAvailable()
+      // SECOND micro-batch: within one batch, which of two
+      // redaction-identical docs reaches the dedup state first is
+      // partition order, not arrival order — the batch boundary makes
+      // doc 1 the deterministic first arrival (SkewAndStreamDedupSpec
+      // pattern)
+      input.addData(
         // PII-only difference from doc 1 → SAME text after redaction →
         // deduped against doc 1 (hash must key on the REDACTED text)
         (ts(2), 3L, "contact us at alice@example.org today"),
