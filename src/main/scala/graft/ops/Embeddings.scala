@@ -185,8 +185,10 @@ object Embeddings {
 
   /** One trained centroid: id (seed vec_id), exact component SUMS, and
     * member count — the (s, n) pair represents the mean s/n without
-    * ever dividing, so every engine reproduces it bit-for-bit. */
-  private case class Centroid(j: Long, s: Seq[Long], n: Long)
+    * ever dividing, so every engine reproduces it bit-for-bit.
+    * Public: the persisted-quantizer artifact ([[saveQuantizer]] /
+    * [[loadQuantizer]]) hands these to serving jobs. */
+  case class Centroid(j: Long, s: Seq[Long], n: Long)
 
   /** Per-cell member bound for [[scaledDist]]'s exact-integer
     * arithmetic: the distance sum ≤ Dim·(2n·10³)² = 2.56e8·n²
@@ -246,7 +248,19 @@ object Embeddings {
     * drop out identically in both engines. */
   def ivfTopK(spark: SparkSession, dir: String,
               k: Int = 5, queryMod: Int = 50,
-              nCells: Int = 10, iters: Int = 2, nprobe: Int = 1): DataFrame = {
+              nCells: Int = 10, iters: Int = 2, nprobe: Int = 1): DataFrame =
+    ivfTopKServe(spark, dir, trainQuantizer(spark, dir, nCells, iters),
+      k, queryMod, nprobe)
+
+  /** The q31 training stage alone: Forgy seeding + `iters` Lloyd's
+    * rounds, returning the trained centroids. Factored out so a
+    * production deployment trains ONCE, persists the artifact
+    * ([[saveQuantizer]]), and every serving job loads it
+    * ([[loadQuantizer]] → [[ivfTopKServe]]) instead of re-running the
+    * training passes per query — at 100 TB the training scans are the
+    * dominant cost and re-paying them on the serving path is wrong. */
+  def trainQuantizer(spark: SparkSession, dir: String,
+                     nCells: Int = 10, iters: Int = 2): Seq[Centroid] = {
     val vecs = Caches.persist(quantized(spark, dir))
     // Forgy seeding, pinned: the nCells smallest vec_ids, each a
     // 1-member centroid (its own exact component vector).
@@ -266,6 +280,31 @@ object Embeddings {
         (0 until Dim).map(d => r.getAs[Long](s"s$d")),
         r.getAs[Long]("n"))).sortBy(_.j).toSeq
     }
+    cents
+  }
+
+  /** Persist a trained quantizer as a parquet artifact (j, s, n) —
+    * exact integers, so a load reproduces the training result
+    * bit-for-bit on any engine that can read parquet. */
+  def saveQuantizer(spark: SparkSession, cents: Seq[Centroid], path: String): Unit = {
+    import spark.implicits._
+    cents.toDF("j", "s", "n").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveQuantizer]] artifact, sorted by centroid id (the
+    * tie-break order serving depends on). */
+  def loadQuantizer(spark: SparkSession, path: String): Seq[Centroid] =
+    spark.read.parquet(path).collect().toSeq
+      .map(r => Centroid(r.getAs[Long]("j"),
+        r.getAs[collection.Seq[Long]]("s").toSeq, r.getAs[Long]("n")))
+      .sortBy(_.j)
+
+  /** The q31 serving stage alone, against a given (possibly loaded)
+    * quantizer: one equi-join on cell id, exact re-rank inside the
+    * probed cells. */
+  def ivfTopKServe(spark: SparkSession, dir: String, cents: Seq[Centroid],
+                   k: Int = 5, queryMod: Int = 50, nprobe: Int = 1): DataFrame = {
+    val vecs = Caches.persist(quantized(spark, dir))
     // serving: every vector's home cell (candidate side) ...
     val cands = vecs
       .select(col("vec_id").as("neighbor_id"), col("qv").as("c_v"),

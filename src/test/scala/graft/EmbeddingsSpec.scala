@@ -208,6 +208,23 @@ class EmbeddingsSpec extends SparkSpec {
       got.filter(t => t._1 == t._2).map(_._1).toSet).size)
   }
 
+  test("quantizer persists: train → save → load → serve equals the one-shot q31") {
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val oneShot = Embeddings.ivfTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    graft.ops.Caches.releaseAll(spark)
+    val trained = Embeddings.trainQuantizer(spark, dir)
+    val art = java.nio.file.Files.createTempDirectory("quant").toString + "/quantizer"
+    Embeddings.saveQuantizer(spark, trained, art)
+    val loaded = Embeddings.loadQuantizer(spark, art)
+    // the parquet round-trip is exact: same ids, SUMS, and counts
+    assert(loaded == trained)
+    val served = Embeddings.ivfTopKServe(spark, dir, loaded).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served == oneShot)
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("buckets are non-degenerate and candidates never include self") {
     val out = Embeddings.annTopK(spark, dir).collect()
     assert(out.nonEmpty)
