@@ -248,9 +248,14 @@ object Embeddings {
     * drop out identically in both engines. */
   def ivfTopK(spark: SparkSession, dir: String,
               k: Int = 5, queryMod: Int = 50,
-              nCells: Int = 10, iters: Int = 2, nprobe: Int = 1): DataFrame =
-    ivfTopKServe(spark, dir, trainQuantizer(spark, dir, nCells, iters),
-      k, queryMod, nprobe)
+              nCells: Int = 10, iters: Int = 2, nprobe: Int = 1): DataFrame = {
+    // ONE persisted quantized table threads through both stages — the
+    // public train/serve pair each persist their own (correct for the
+    // train-once/serve-many deployment, where they run in different
+    // jobs), but the one-shot query must not register the subtree twice
+    val vecs = Caches.persist(quantized(spark, dir))
+    ivfTopKServeOn(vecs, trainQuantizerOn(vecs, nCells, iters), k, queryMod, nprobe)
+  }
 
   /** The q31 training stage alone: Forgy seeding + `iters` Lloyd's
     * rounds, returning the trained centroids. Factored out so a
@@ -260,8 +265,11 @@ object Embeddings {
     * training passes per query — at 100 TB the training scans are the
     * dominant cost and re-paying them on the serving path is wrong. */
   def trainQuantizer(spark: SparkSession, dir: String,
-                     nCells: Int = 10, iters: Int = 2): Seq[Centroid] = {
-    val vecs = Caches.persist(quantized(spark, dir))
+                     nCells: Int = 10, iters: Int = 2): Seq[Centroid] =
+    trainQuantizerOn(Caches.persist(quantized(spark, dir)), nCells, iters)
+
+  private def trainQuantizerOn(vecs: DataFrame,
+                               nCells: Int, iters: Int): Seq[Centroid] = {
     // Forgy seeding, pinned: the nCells smallest vec_ids, each a
     // 1-member centroid (its own exact component vector).
     var cents: Seq[Centroid] = vecs.orderBy(col("vec_id")).limit(nCells)
@@ -294,17 +302,26 @@ object Embeddings {
   /** Load a [[saveQuantizer]] artifact, sorted by centroid id (the
     * tie-break order serving depends on). */
   def loadQuantizer(spark: SparkSession, path: String): Seq[Centroid] =
+    // driver-side collect is the artifact's contract: nCells rows
+    // (the quantizer IS a broadcast-sized table by construction)
     spark.read.parquet(path).collect().toSeq
       .map(r => Centroid(r.getAs[Long]("j"),
         r.getAs[collection.Seq[Long]]("s").toSeq, r.getAs[Long]("n")))
-      .sortBy(_.j)
 
   /** The q31 serving stage alone, against a given (possibly loaded)
     * quantizer: one equi-join on cell id, exact re-rank inside the
     * probed cells. */
   def ivfTopKServe(spark: SparkSession, dir: String, cents: Seq[Centroid],
-                   k: Int = 5, queryMod: Int = 50, nprobe: Int = 1): DataFrame = {
-    val vecs = Caches.persist(quantized(spark, dir))
+                   k: Int = 5, queryMod: Int = 50, nprobe: Int = 1): DataFrame =
+    ivfTopKServeOn(Caches.persist(quantized(spark, dir)), cents, k, queryMod, nprobe)
+
+  private def ivfTopKServeOn(vecs: DataFrame, rawCents: Seq[Centroid],
+                             k: Int, queryMod: Int, nprobe: Int): DataFrame = {
+    // the consumer owns its invariants: ties in nearestCell break to
+    // the FIRST array element, so centroids must arrive sorted by id,
+    // and an empty quantizer would return silently empty results
+    require(rawCents.nonEmpty, "quantizer has no centroids")
+    val cents = rawCents.sortBy(_.j)
     // serving: every vector's home cell (candidate side) ...
     val cands = vecs
       .select(col("vec_id").as("neighbor_id"), col("qv").as("c_v"),
