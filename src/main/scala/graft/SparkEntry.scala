@@ -72,6 +72,7 @@ object SparkEntry {
     "q42_cluster_keep_best" -> ((s, d) => LlmOps.clusterKeepBest(s, d)),
     "q43_vocab_topk"        -> ((s, d) => TextOps.vocabTopK(s, d)),
     "q44_cross_source_dups" -> ((s, d) => LlmOps.crossSourceDupReport(s, d)),
+    "q45_brute_topk"        -> ((s, d) => Embeddings.bruteTopK(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -729,5 +730,26 @@ object SparkEntry {
            FROM pairs p JOIN documents a ON p.d1 = a.doc_id JOIN documents b ON p.d2 = b.doc_id)
          SELECT src_a, src_b, count(*) AS n_pairs, max(jaccard) AS max_jaccard
          FROM srcd GROUP BY 1, 2 ORDER BY src_a, src_b""",
+    // exact full-scan cosine top-k — q27's scoring WITHOUT the bucket
+    // restriction: the recall-1.0 baseline the ANN variants trade away
+    "q45_brute_topk" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         nrm AS (
+           SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q),
+         scored AS (
+           SELECT a.vec_id AS q_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1,64), i -> a.qv[i]*c.qv[i])) AS BIGINT) AS dot,
+             a.nrm AS qn, c.nrm AS cn
+           FROM nrm a JOIN nrm c ON c.vec_id <> a.vec_id
+           WHERE a.vec_id % 50 = 0),
+         ranked AS (
+           SELECT q_id, neighbor_id, dot,
+             CAST(dot AS DOUBLE)/sqrt(CAST(qn AS DOUBLE)*CAST(cn AS DOUBLE)) AS cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY CAST(dot AS DOUBLE)/sqrt(CAST(qn AS DOUBLE)*CAST(cn AS DOUBLE)) DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT q_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dot, cosine
+         FROM ranked WHERE rnk <= 5 ORDER BY q_id, rank""",
   )
 }

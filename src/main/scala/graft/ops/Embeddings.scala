@@ -349,6 +349,39 @@ object Embeddings {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** q45 — brute-force exact cosine top-k: the BASELINE the ANN
+    * variants are measured against (q27's LSH buckets and q31's IVF
+    * cells trade recall for cost; this is recall 1.0 at full-scan
+    * cost — EmbeddingsSpec's recall numbers are relative to exactly
+    * this ranking).
+    *
+    * Plan: corpus scan × broadcast(query set) — brute force is
+    * DEFINITIONALLY all-pairs on the query side, so this is the one
+    * embedding query where a BroadcastNestedLoopJoin is the correct
+    * plan (build side = the query set, small by contract; the corpus
+    * side streams through the scan and never shuffles — per-query
+    * cost is one linear scan, the honest baseline price). Top-k
+    * prunes per-partition before the final per-query window. */
+  def bruteTopK(spark: SparkSession, dir: String,
+                k: Int = 5, queryMod: Int = 50): DataFrame = {
+    val vecs = Caches.persist(quantized(spark, dir))
+    val qs = vecs.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_v"), col("nrm").as("q_n"))
+    val scored = vecs
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("c_v"), col("nrm").as("c_n"))
+      .crossJoin(broadcast(qs))
+      .filter(col("neighbor_id") =!= col("q_id"))
+      .withColumn("dot", expr("vec_dot(q_v, c_v)"))
+      .withColumn("cosine",
+        col("dot").cast("double") / sqrt(col("q_n").cast("double") * col("c_n").cast("double")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("dot"), col("cosine"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** q27 — LSH-bucketed cosine top-k: for every query vector (vec_id
     * divisible by `queryMod`), the `k` nearest same-bucket neighbors by
     * exact quantized cosine. Candidates come from the bucket equi-join
