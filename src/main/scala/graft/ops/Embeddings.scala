@@ -336,7 +336,19 @@ object Embeddings {
     val qs = vecs.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("qv").as("q_v"),
         col("nrm").as("q_n"), explode(probeCells).as("cell"))
-    val scored = cands.join(broadcast(qs), Seq("cell"))
+    scoreTopK(cands.join(broadcast(qs), Seq("cell")), k)
+  }
+
+  /** Shared scoring tail of every top-k retrieval (q27 LSH, q31 IVF,
+    * q45 brute force): `joined` carries (q_id, q_v, q_n) × (neighbor_id,
+    * c_v, c_n) candidate rows from WHATEVER candidate generation ran
+    * upstream; this applies the self-filter, the codegen dot/cosine,
+    * and the per-query window top-k. ONE definition — the cosine
+    * expression and the (cosine DESC, neighbor_id) tie-break are a
+    * bit-exact contract with three DuckDB oracles and must never
+    * diverge between variants. */
+  private def scoreTopK(joined: DataFrame, k: Int): DataFrame = {
+    val scored = joined
       .filter(col("neighbor_id") =!= col("q_id"))
       .withColumn("dot", expr("vec_dot(q_v, c_v)"))
       .withColumn("cosine",
@@ -367,19 +379,9 @@ object Embeddings {
     val vecs = Caches.persist(quantized(spark, dir))
     val qs = vecs.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("qv").as("q_v"), col("nrm").as("q_n"))
-    val scored = vecs
+    scoreTopK(vecs
       .select(col("vec_id").as("neighbor_id"), col("qv").as("c_v"), col("nrm").as("c_n"))
-      .crossJoin(broadcast(qs))
-      .filter(col("neighbor_id") =!= col("q_id"))
-      .withColumn("dot", expr("vec_dot(q_v, c_v)"))
-      .withColumn("cosine",
-        col("dot").cast("double") / sqrt(col("q_n").cast("double") * col("c_n").cast("double")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("dot"), col("cosine"))
-      .orderBy(col("q_id"), col("rank"))
+      .crossJoin(broadcast(qs)), k)
   }
 
   /** q27 — LSH-bucketed cosine top-k: for every query vector (vec_id
@@ -412,16 +414,6 @@ object Embeddings {
           col("bucket").bitwiseXOR(lit(1L << s))): _*)))
     val cands = vecs.select(col("vec_id").as("neighbor_id"), col("qv").as("c_v"),
       col("nrm").as("c_n"), col("bucket"))
-    val scored = cands.join(broadcast(qs), Seq("bucket"))
-      .filter(col("neighbor_id") =!= col("q_id"))
-      .withColumn("dot", expr("vec_dot(q_v, c_v)"))
-      .withColumn("cosine",
-        col("dot").cast("double") / sqrt(col("q_n").cast("double") * col("c_n").cast("double")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("dot"), col("cosine"))
-      .orderBy(col("q_id"), col("rank"))
+    scoreTopK(cands.join(broadcast(qs), Seq("bucket")), k)
   }
 }

@@ -113,6 +113,10 @@ class EmbeddingsSpec extends SparkSpec {
       val hits = truth.map { case (q, t) => (got.getOrElse(q, Set.empty) & t).size }.sum
       hits.toDouble / truth.values.map(_.size).sum
     }
+    // q45 IS the ground truth: the brute-force query must reproduce
+    // this test's independently-coded exact ranking with recall 1.0
+    val brute = recall(Embeddings.bruteTopK(spark, dir))
+    assert(brute == 1.0, f"brute-force recall $brute%.2f != 1.0 — q45 is not exact")
     val lsh = recall(Embeddings.annTopK(spark, dir))
     val lshMp = recall(Embeddings.annTopK(spark, dir, multiProbe = 1))
     val ivf1 = recall(Embeddings.ivfTopK(spark, dir))
