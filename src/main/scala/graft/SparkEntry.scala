@@ -73,6 +73,7 @@ object SparkEntry {
     "q43_vocab_topk"        -> ((s, d) => TextOps.vocabTopK(s, d)),
     "q44_cross_source_dups" -> ((s, d) => LlmOps.crossSourceDupReport(s, d)),
     "q45_brute_topk"        -> ((s, d) => Embeddings.bruteTopK(s, d)),
+    "q46_sliding_chunks"    -> ((s, d) => Sampling.slidingChunks(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -751,5 +752,19 @@ object SparkEntry {
            FROM scored)
          SELECT q_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dot, cosine
          FROM ranked WHERE rnk <= 5 ORDER BY q_id, rank""",
+    // overlapping token windows (64 every 48): starts while inside the
+    // doc, final chunk partial — every token covered
+    "q46_sliding_chunks" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS BIGINT) AS n
+           FROM documents),
+         c AS (
+           SELECT doc_id, n, unnest(generate_series(0, (n - 1) // 48)) AS chunk_id
+           FROM tok WHERE n > 0)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 48 AS BIGINT) AS tok_start,
+           CAST(LEAST(64, n - chunk_id * 48) AS BIGINT) AS tok_len
+         FROM c ORDER BY doc_id, chunk_id""",
   )
 }

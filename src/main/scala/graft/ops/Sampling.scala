@@ -155,6 +155,35 @@ object Sampling {
   val DefaultContextLen = 128
   val DefaultShards = 8
 
+  /** q46 — sliding-window chunking: cut each document into overlapping
+    * token windows (`size` tokens every `stride`) — the INTRA-document
+    * counterpart of q39's cross-document packing, and the chunk table
+    * a retrieval/embedding pipeline feeds to its encoder. Emits
+    * (doc_id, chunk_id, tok_start, tok_len): starts at 0, stride,
+    * 2·stride … while the start is inside the document; the final
+    * chunk is partial (`tok_len = n − start`) rather than dropped, so
+    * every token is covered by ≥1 chunk whenever stride ≤ size.
+    *
+    * Plan: scan → codegen [[graft.functions.TextStats]] token count →
+    * per-row explode of the chunk index range — ZERO shuffle (the
+    * range exchange is output presentation only); the ~n/stride row
+    * amplification IS the product, not an intermediate. Deterministic
+    * pure function of (doc_id, n_tokens, size, stride). */
+  def slidingChunks(spark: SparkSession, dir: String,
+                    size: Int = 64, stride: Int = 48): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    graft.functions.TextStats.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("text_stats(text)").getField("n_tokens").as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"),
+        explode(expr(s"sequence(0L, (n - 1) div $stride)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_start"),
+        least(lit(size.toLong), col("n") - col("chunk_id") * stride).as("tok_len"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   def packSequences(spark: SparkSession, dir: String,
                     contextLen: Int = DefaultContextLen,
                     nShards: Int = DefaultShards): DataFrame =

@@ -136,6 +136,35 @@ class SamplingSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
   }
 
+  test("slidingChunks: start/len arithmetic on pinned docs, full token coverage") {
+    assume(available, "testdata not present")
+    // pinned arithmetic via an inline fixture: 10 tokens, size 4, stride 3
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("chunks").toString
+    Seq((1L, "a b c d e f g h i j"), (2L, "x"), (3L, ""))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", lit(0L))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Sampling.slidingChunks(spark, tmp, size = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 6L, 4L), (1L, 3L, 9L, 1L),
+      (2L, 0L, 0L, 1L)))          // empty doc 3 yields no chunks
+    // real corpus: every doc's chunks tile it — first start 0, steps of
+    // stride, last chunk ends exactly at n_tokens
+    val corpus = Sampling.slidingChunks(spark, dir).collect()
+      .groupBy(_.getLong(0)).values
+    corpus.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i && r.getLong(2) == i.toLong * 48)
+      }
+      val last = sorted.last
+      assert(last.getLong(3) >= 1 && last.getLong(3) <= 64)
+    }
+  }
+
   test("curateCorpus: reasons agree with the component operators, precedence holds") {
     assume(available, "testdata not present")
     val cur = LlmOps.curateCorpus(spark, dir).collect()
