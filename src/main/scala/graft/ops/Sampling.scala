@@ -174,8 +174,13 @@ object Sampling {
     require(size > 0 && stride > 0, "size and stride must be positive")
     graft.functions.TextStats.register(spark)
     Tables.documents(spark, dir)
+      // the n_tokens ≥ 1 gate as an INDEPENDENT cheap predicate (some
+      // non-space byte ⟺ at least one token): filtering on the
+      // projected text_stats field gets pushed below the project and
+      // SUBSTITUTED by the optimizer — the byte scan would run twice
+      // per row (the q41 pathology, same fix)
+      .filter(col("text").rlike("[^ ]"))
       .select(col("doc_id"), expr("text_stats(text)").getField("n_tokens").as("n"))
-      .filter(col("n") > 0)
       .select(col("doc_id"), col("n"),
         explode(expr(s"sequence(0L, (n - 1) div $stride)")).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),

@@ -5,8 +5,9 @@ import org.apache.spark.sql.Row
 
 /** q27 conformance: the LSH-bucketed top-k must agree exactly with an
   * independently-coded brute-force (computed here in plain Scala over
-  * the collected sf0.001 table — test-only; no crossJoin enters any
-  * production plan). */
+  * the collected sf0.001 table). The only production all-pairs plan is
+  * q45's intentional brute-force baseline BNLJ — every other
+  * embedding query keeps an equi-key (PlanAuditSpec's allow-list). */
 class EmbeddingsSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
