@@ -68,17 +68,42 @@ object Bench {
       graft.ops.Caches.releaseAll(spark)
       (name, math.min(first, second), first, second)
     }
+    // Values are rounded to milliseconds and the raw series live in a
+    // side file, NOT on stdout: the harness that collects this line
+    // keeps only the trailing ~2000 characters of the run's output, and
+    // the full-precision three-series line outgrew that window at 46
+    // queries — BENCH_r04/r05 captured a line whose START was cut off
+    // and recorded `parsed: null`. The graded map alone at 3 decimals
+    // is ~1.4 KB with headroom to ~60 queries.
     def jmap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val qs = jmap(results.map(r => r._1 -> r._2))
-    val firsts = jmap(results.map(r => r._1 -> r._3))
-    val seconds = jmap(results.map(r => r._1 -> r._4))
     val total = results.map(_._2).sum
     // protocol tag: graded value/queries are per-query MIN of two
     // back-to-back runs — r4 JSON graded the second run, r1-r3 single
     // cold samples; cross-round tooling must not mix the semantics
     // (ADVICE r4). BASELINE.md is recorded under the same protocol.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","protocol":"min-of-two-v3","warmup":$warmup,"queries":$qs,"queries_first_run":$firsts,"queries_second_run":$seconds,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","protocol":"min-of-two-v3","warmup":${f"$warmup%.1f"},"queries":$qs,"sf":"$sfDir"}"""
+    val detail =
+      s"""{"protocol":"min-of-two-v3","warmup":${f"$warmup%.3f"},"queries_first_run":${jmap(results.map(r => r._1 -> r._3))},"queries_second_run":${jmap(results.map(r => r._1 -> r._4))},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The line must reach the harness UNPREFIXED: sbt's in-process
+    // `run` routes System.out through its logger, which stamps every
+    // line with "[info] " — the r2/r3 capture tails show the complete
+    // JSON line present-but-prefixed and still recorded `parsed: null`.
+    // Writing the same bytes straight to the process's fd 1
+    // (/dev/stdout) bypasses the logger wrapper, so a bare `{"metric"…}`
+    // line lands on stdout; the println stays for humans and for
+    // harnesses that do strip the prefix.
+    println(line)
+    Console.out.flush()
+    scala.util.Try {
+      val fd1 = new java.io.FileOutputStream("/dev/stdout")
+      try fd1.write((line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally fd1.close()
+    }
     spark.stop()
   }
 }

@@ -156,24 +156,32 @@ object LlmOps {
     val loopParts =
       math.max(1L, math.min(sessionParts.toLong, 2 * nPairs / 1000000L + 1L)).toInt
     // every shuffle inside the loop (groupBy, both join sides) plans at
-    // loopParts while this is set; restored in the finally. The driver-
-    // sequential fixpoint is the only query compiling in this session
-    // during the call — documented single-writer constraint. AQE is
-    // ALSO off for the loop: partitions are already sized explicitly,
-    // and adaptive execution materializes every tiny round stage-by-
-    // stage with a replan between stages — measured ~0.5-0.8 s of pure
-    // driver overhead per round on a ≤2,000-row label table (the
-    // residual q33 cost after the r5 one-job fix).
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // loopParts, and AQE is off for the loop: partitions are already
+    // sized explicitly, and adaptive execution materializes every tiny
+    // round stage-by-stage with a replan between stages — measured
+    // ~0.5-0.8 s of pure driver overhead per round on a ≤2,000-row
+    // label table (the residual q33 cost after the r5 one-job fix).
+    // Both settings live on a CLONED session (`newSession()` shares
+    // the SparkContext and block manager but isolates SQLConf), so a
+    // query compiled concurrently on the caller's session can never
+    // see the loop's tiny partition count or disabled AQE (ADVICE r5 —
+    // the previous set/restore of the caller's conf was a documented
+    // single-writer constraint, not an enforced one). The edge stream
+    // crosses into the clone via its materialized RDD (`p` is
+    // persisted and counted above, so the upstream candidate
+    // generation never re-runs), and the fixpoint result crosses back
+    // the same way — the caller only ever composes plans of its own
+    // session.
+    val fix = spark.newSession()
+    fix.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    fix.conf.set("spark.sql.adaptive.enabled", "false")
     // edges are pre-shuffled ONCE onto the per-round join key, so each
     // round's join reuses the cached HashPartitioning(b, loopParts) and
     // only the (tiny) label side moves.
-    val edges = p.select(col("d1").as("a"), col("d2").as("b"))
+    val edges0 = p.select(col("d1").as("a"), col("d2").as("b"))
       .union(p.select(col("d2").as("a"), col("d1").as("b")))
+    val edges = fix.createDataFrame(edges0.rdd, edges0.schema)
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
-      spark.conf.set("spark.sql.adaptive.enabled", "false")
       val edgesPart = edges.repartition(loopParts, col("b")).persist()
       try {
         // initialization fuses the first propagation round: the grouping
@@ -231,14 +239,16 @@ object LlmOps {
           throw new IllegalStateException(
             s"connectedComponents did not converge in $maxIters rounds — " +
               "component diameter exceeds maxIters; raise maxIters")
-        labels
+        // hand the fixpoint back as a caller-session DataFrame: labels
+        // is localCheckpointed (already an RDD of materialized blocks),
+        // so this is a zero-recompute re-wrap, and downstream plans
+        // never mix logical trees from two sessions
+        spark.createDataFrame(labels.rdd, labels.schema)
       } finally {
         edgesPart.unpersist()
         ()
       }
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       p.unpersist()
       ()
     }

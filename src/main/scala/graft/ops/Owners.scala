@@ -98,7 +98,17 @@ object Owners {
     * downstream (`[].every` is true, yml:190-211), which
     * ReviewStateMachine.fullStatus encodes as its `true` fill.
     * `prFiles`: (pr, file) — file paths repo-relative POSIX, the form
-    * the GitHub API returns and [[graft.io.CorpusIO.corpus]] emits. */
+    * the GitHub API returns and [[graft.io.CorpusIO.corpus]] emits.
+    *
+    * Conformance note (ADVICE r5): the reference's `pattern === '*'`
+    * branch (yml:141) adds the bare-`*` owners UNCONDITIONALLY — even
+    * to a PR whose file list is empty — while this relation gives `*`
+    * its owners for every PR with ≥1 file row (identical outcome,
+    * since `^.*$` matches any file). The one divergent input, a
+    * zero-file PR, has no representation in a (pr, file) relation at
+    * all: callers gating such PRs must inject the `*` owners
+    * themselves. Real PRs always carry files, so the seam is
+    * documented rather than modeled. */
   def requiredTeams(prFiles: DataFrame, ownersLines: DataFrame): DataFrame =
     matchingTeams(prFiles, parseOwners(ownersLines), "file")
       .select(col("pr"), explode(col("teams")).as("team"))

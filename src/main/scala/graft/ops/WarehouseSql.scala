@@ -48,16 +48,67 @@ object WarehouseSql {
   // warehouse NUMBER(p[,s]) type (TRY_CAST targets) → Spark DECIMAL
   private val NumberTypeRe = """(?i)\bNUMBER\s*\(""".r
 
+  /** Spans of `sql` the rewrite must never touch: single-quoted string
+    * literals (with `''` escape doubling), double-quoted identifiers
+    * (with `""` doubling), `--` line comments and block comments.
+    * Returned half-open [start, end) intervals, in order. An unclosed
+    * literal/comment extends to end-of-text — the rewrite stays inert
+    * on text the SQL parser will reject anyway. */
+  private def protectedSpans(sql: String): Seq[(Int, Int)] = {
+    val spans = Seq.newBuilder[(Int, Int)]
+    val n = sql.length
+    var i = 0
+    def quoted(start: Int, q: Char): Int = {
+      var j = start + 1
+      while (j < n) {
+        if (sql.charAt(j) == q) {
+          if (j + 1 < n && sql.charAt(j + 1) == q) j += 2 // doubled quote = escape
+          else return j + 1
+        } else j += 1
+      }
+      n
+    }
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"') {
+        val end = quoted(i, c); spans += ((i, end)); i = end
+      } else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        val nl = sql.indexOf('\n', i)
+        val end = if (nl < 0) n else nl // keep the newline as code
+        spans += ((i, end)); i = end
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        val close = sql.indexOf("*/", i + 2)
+        val end = if (close < 0) n else close + 2
+        spans += ((i, end)); i = end
+      } else i += 1
+    }
+    spans.result()
+  }
+
   /** Rewrite the warehouse call grammar to Spark-resolvable tokens:
     * any `…KIMBALL.F(` chain becomes the registered flattened name
     * `kimball_f(`, and the `NUMBER(` type constructor becomes
-    * `DECIMAL(` (same precision/scale text). */
+    * `DECIMAL(` (same precision/scale text). String literals,
+    * double-quoted identifiers and comments pass through byte-for-byte
+    * — a literal containing `KIMBALL.F(x)` or a commented-out
+    * `NUMBER(38,0)` is data, not call grammar (ADVICE r5). */
   def rewriteCalls(sql: String): String = {
-    // quoteReplacement: '$' is legal in the identifier class and must
-    // not be read as a group reference in the replacement
-    val calls = CallRe.replaceAllIn(sql, m =>
-      scala.util.matching.Regex.quoteReplacement(s"kimball_${m.group(1).toLowerCase}("))
-    NumberTypeRe.replaceAllIn(calls, _ => "DECIMAL(")
+    def rewriteCode(s: String): String = {
+      // quoteReplacement: '$' is legal in the identifier class and must
+      // not be read as a group reference in the replacement
+      val calls = CallRe.replaceAllIn(s, m =>
+        scala.util.matching.Regex.quoteReplacement(s"kimball_${m.group(1).toLowerCase}("))
+      NumberTypeRe.replaceAllIn(calls, _ => "DECIMAL(")
+    }
+    val sb = new StringBuilder
+    var pos = 0
+    protectedSpans(sql).foreach { case (a, b) =>
+      sb.append(rewriteCode(sql.substring(pos, a)))
+      sb.append(sql.substring(a, b))
+      pos = b
+    }
+    sb.append(rewriteCode(sql.substring(pos)))
+    sb.toString
   }
 
   /** Full preparation of a reference .sql text: template substitution

@@ -93,11 +93,44 @@ object StreamingNearDedup {
       .select(col("ts"), col("doc_id"), col("idx_doc_id").as("match_id"), col("hamming"))
   }
 
+  /** Resolve the newest COMPLETE index snapshot under `indexPath`.
+    *
+    * Versioned layout: each rebuild writes a NEW subdirectory (any
+    * lexicographically sortable name — `v00042`, a timestamp) and the
+    * greatest subdir carrying a `_SUCCESS` commit marker wins. The
+    * writer never overwrites the snapshot a running micro-batch may be
+    * mid-scan on, and a new version becomes visible atomically when
+    * its marker lands — a half-written rebuild (no marker yet) is
+    * invisible. This is the vanilla-parquet answer to the
+    * rebuild/scan race (ADVICE r5): an in-place `overwrite` of a
+    * plain dir can fail a concurrent batch with missing part files or
+    * feed it a partial index.
+    *
+    * Back-compat: a path with no complete versioned subdir is itself
+    * the index (the original flat layout) — callers who accept the
+    * overwrite race keep working. */
+  private[graft] def resolveSnapshot(spark: SparkSession, indexPath: String): String = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions =
+      if (fs.exists(root))
+        fs.listStatus(root).filter(_.isDirectory)
+          .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+          .map(_.getPath.getName).sorted
+      else Array.empty[String]
+    versions.lastOption.map(v => new org.apache.hadoop.fs.Path(root, v).toString)
+      .getOrElse(indexPath)
+  }
+
   /** [[nearDupMatches]] against a file-backed index that is rebuilt
     * while the stream runs (nightly-rebuild intake): the stream side
     * sketches and explodes bands as usual, but the index is re-read
     * from `indexPath` inside foreachBatch, so each micro-batch joins
     * against a FRESH file listing — no stream restart after a rebuild.
+    * Each batch reads the newest complete snapshot via
+    * [[resolveSnapshot]] (versioned subdirs + `_SUCCESS` marker; a
+    * flat dir still works but is exposed to the overwrite race
+    * documented there).
     * Trade-off vs the frozen-snapshot form: match dedup is per-batch
     * (`dropDuplicates` on the batch), not watermark-global — a doc
     * re-arriving in a later batch re-reports its matches, which is
@@ -122,7 +155,8 @@ object StreamingNearDedup {
     sketched.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val index = spark.read.parquet(indexPath) // fresh listing per batch
+        // fresh resolution per batch: newest complete snapshot wins
+        val index = spark.read.parquet(resolveSnapshot(spark, indexPath))
         val matches = batch
           .join(broadcast(index), Seq("band", "band_val"))
           .withColumn("hamming", bit_count(col("simhash").bitwiseXOR(col("idx_simhash"))))

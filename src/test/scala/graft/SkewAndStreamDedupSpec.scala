@@ -128,4 +128,45 @@ class SkewAndStreamDedupSpec extends SparkSpec {
       assert(seen.keySet == Set((100L, 10L), (102L, 30L)))
     } finally q.stop()
   }
+
+  test("index refresh: versioned snapshots — newest complete subdir wins, partial ones invisible") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def ts(m: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 12:$m%02d:00")
+    val alpha = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val numbers = "one two three four five six seven eight nine ten eleven twelve"
+
+    val root = java.nio.file.Files.createTempDirectory("shidxv").toString + "/index"
+    def publish(version: String, corpus: org.apache.spark.sql.DataFrame): Unit =
+      StreamingNearDedup.simhashIndex(spark, corpus).write.parquet(s"$root/$version")
+    publish("v0001", Seq((10L, alpha)).toDF("doc_id", "text"))
+
+    // a newer but INCOMPLETE snapshot (no _SUCCESS) must stay invisible
+    publish("v0002", Seq((30L, numbers)).toDF("doc_id", "text"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/v0002/_SUCCESS"), false)
+    assert(StreamingNearDedup.resolveSnapshot(spark, root).endsWith("v0001"))
+
+    val seen = scala.collection.concurrent.TrieMap.empty[(Long, Long), Int]
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamingNearDedup.nearDupMatchesRefreshing(
+      input.toDF().toDF("ts", "doc_id", "text"), root) { matches =>
+      matches.collect().foreach(r => seen.put((r.getLong(1), r.getLong(2)), r.getInt(3)))
+    }
+    try {
+      // batch 1 resolves v0001 (v0002 has no marker): alpha matches doc 10
+      input.addData((ts(0), 100L, alpha), (ts(1), 101L, numbers))
+      q.processAllAvailable()
+      assert(seen.keySet == Set((100L, 10L)))
+
+      // the rebuild COMPLETES (marker lands) → atomically visible;
+      // v0001 is untouched on disk, so no in-flight scan could break
+      fs.create(new org.apache.hadoop.fs.Path(s"$root/v0002/_SUCCESS"), true).close()
+      assert(StreamingNearDedup.resolveSnapshot(spark, root).endsWith("v0002"))
+      input.addData((ts(2), 102L, alpha), (ts(3), 103L, numbers))
+      q.processAllAvailable()
+      assert(seen.keySet == Set((100L, 10L), (103L, 30L)))
+    } finally q.stop()
+  }
 }

@@ -53,6 +53,27 @@ class WarehouseSqlSpec extends SparkSpec {
       "A ${nope}")
   }
 
+  test("rewriteCalls never touches string literals, quoted identifiers or comments") {
+    // call grammar inside a literal is data
+    assert(WarehouseSql.rewriteCalls("SELECT 'KIMBALL.F(x)' AS s") ==
+      "SELECT 'KIMBALL.F(x)' AS s")
+    // '' escape keeps the literal span intact past the doubled quote
+    assert(WarehouseSql.rewriteCalls("SELECT 'it''s NUMBER(38,0)' , NUMBER(2,1)") ==
+      "SELECT 'it''s NUMBER(38,0)' , DECIMAL(2,1)")
+    // a user function literally named NUMBER survives when quoted
+    assert(WarehouseSql.rewriteCalls("SELECT \"NUMBER\"(x) FROM t") ==
+      "SELECT \"NUMBER\"(x) FROM t")
+    // line comment shields to end-of-line only
+    assert(WarehouseSql.rewriteCalls("-- KIMBALL.F(a)\nKIMBALL.F(a)") ==
+      "-- KIMBALL.F(a)\nkimball_f(a)")
+    // block comment shields its span, code resumes after */
+    assert(WarehouseSql.rewriteCalls("/* NUMBER(1) */ KIMBALL.G(b)") ==
+      "/* NUMBER(1) */ kimball_g(b)")
+    // unclosed literal: rewrite stays inert (parser will reject anyway)
+    assert(WarehouseSql.rewriteCalls("SELECT 'open KIMBALL.F(") ==
+      "SELECT 'open KIMBALL.F(")
+  }
+
   test("CPA-WEB-COSTS.sql WHERE fragment runs verbatim and matches the Column twin") {
     val frag = refSql("superset_objects/datasets/CPA-WEB-COSTS.sql")
     assume(refTreeAvailable && frag.isDefined, "reference tree not present (or skipped via GRAFT_SKIP_REF_GOLDEN)")
