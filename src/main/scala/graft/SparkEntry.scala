@@ -74,6 +74,10 @@ object SparkEntry {
     "q44_cross_source_dups" -> ((s, d) => LlmOps.crossSourceDupReport(s, d)),
     "q45_brute_topk"        -> ((s, d) => Embeddings.bruteTopK(s, d)),
     "q46_sliding_chunks"    -> ((s, d) => Sampling.slidingChunks(s, d)),
+    "q47_session_stats"     -> graft.stream.EventWindows.sessionStatsBatch _,
+    "q48_source_mix"        -> ((s, d) => Sampling.sourceMix(s, d)),
+    "q49_corpus_profile"    -> Relational.corpusProfile _,
+    "q50_overlap_bloom"     -> ((s, d) => LlmOps.benchmarkOverlapBloom(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -766,5 +770,73 @@ object SparkEntry {
            CAST(chunk_id * 48 AS BIGINT) AS tok_start,
            CAST(LEAST(64, n - chunk_id * 48) AS BIGINT) AS tok_len
          FROM c ORDER BY doc_id, chunk_id""",
+    // gaps-and-islands replay of session_window's merge rule: touching
+    // windows MERGE (a gap of exactly 30 minutes continues the
+    // session — pinned by EventWindowsSpec), so a session breaks only
+    // on a STRICTLY greater gap; session_end = last event + gap
+    "q47_session_stats" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+           FROM g)
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM s GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
+    // weighted source mixing: T = min over sources of supply/weight
+    // (exact integer), per-source expected target (T·w) div 1000
+    // applied via the shared 60-bit hash threshold (q40's rule)
+    "q48_source_mix" ->
+      """WITH w AS (
+           SELECT source, CAST(substr(source, 4) AS BIGINT) % 4 + 1 AS wt, count(*) AS n
+           FROM documents GROUP BY source),
+         t AS (SELECT min(n * 1000 // wt) AS t FROM w WHERE wt > 0),
+         r AS (
+           SELECT w.source, w.n, (t.t * w.wt) // 1000 AS target_n,
+             CASE WHEN (t.t * w.wt) // 1000 >= w.n THEN 1152921504606846976
+                  ELSE (1152921504606846976 // w.n) * ((t.t * w.wt) // 1000) END AS thr
+           FROM w, t WHERE w.wt > 0)
+         SELECT d.doc_id, d.source, r.n AS n_stratum, r.target_n
+         FROM documents d JOIN r ON d.source = r.source
+         WHERE CAST(('0x' || substr(md5('mix-v1/' || d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) < r.thr
+         ORDER BY d.doc_id""",
+    // exact quantiles: DuckDB quantile_cont interpolates at p·(n−1),
+    // the same rule as Spark's percentile
+    "q49_corpus_profile" ->
+      """SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           quantile_cont(n_chars, 0.5) AS median_chars,
+           quantile_cont(n_chars, 0.9) AS p90_chars
+         FROM documents GROUP BY source ORDER BY source""",
+    // q38's oracle VERBATIM: the Bloom pre-filter has no false
+    // negatives and the exact join removes its false positives, so the
+    // scale path must produce byte-identical results
+    "q50_overlap_bloom" ->
+      s"""WITH $ShingleCtes,
+         inter AS (
+           SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS inter
+           FROM sh c JOIN sh b ON c.shingle = b.shingle
+           WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+           GROUP BY 1, 2),
+         scored AS (
+           SELECT i.doc_id, i.bench_id, i.inter,
+             CAST(i.inter AS DOUBLE)/(s1.n + s2.n - i.inter) AS jaccard
+           FROM inter i JOIN sizes s1 ON i.doc_id = s1.doc_id
+                        JOIN sizes s2 ON i.bench_id = s2.doc_id
+           WHERE CAST(i.inter AS DOUBLE)/(s1.n + s2.n - i.inter) >= 0.2),
+         best AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, bench_id) AS rn
+           FROM scored)
+         SELECT doc_id, bench_id, inter, jaccard FROM best WHERE rn = 1
+         ORDER BY doc_id""",
   )
 }

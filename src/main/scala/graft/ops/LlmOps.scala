@@ -385,6 +385,15 @@ object LlmOps {
     val bench = sh.filter(col("doc_id") % benchMod === 0)
       .select(col("doc_id").as("bench_id"), col("shingle"))
     val corpus = sh.filter(col("doc_id") % benchMod =!= 0)
+    overlapBestMatch(corpus, bench, sizes, minJaccard)
+  }
+
+  /** Shared scoring tail of the decontamination pair (q38/q50): count
+    * shared shingles per (corpus doc, bench doc), exact Jaccard from
+    * the capped shingle counts, threshold, argmax bench doc per
+    * contaminated corpus doc. */
+  private def overlapBestMatch(corpus: DataFrame, bench: DataFrame,
+                               sizes: DataFrame, minJaccard: Double): DataFrame = {
     val inter = corpus.join(bench, Seq("shingle"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("inter"))
@@ -399,6 +408,50 @@ object LlmOps {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("bench_id"), col("inter"), col("jaccard"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q50 — [[benchmarkOverlap]] with a BLOOM-FILTER pre-filter on the
+    * corpus side: the decontamination shape for when the benchmark
+    * shingle set is too large to broadcast as a hash relation but its
+    * Bloom bits still fit on every executor (say 10⁹ shingles ·
+    * 1% fpp ≈ 1.2 GB as a hash set's strings, ~1.1 GB as exact rows,
+    * but ~1.2 bytes/item ≈ 1.2 GB→0.15 GB as Bloom bits — an
+    * order-of-magnitude smaller broadcast for the same corpus-side
+    * reduction). Corpus shingles failing the membership probe are
+    * dropped AT THE SCAN, before the shuffle join — at 100 TB the
+    * shuffle carries only probable matches, and the exact join then
+    * removes the false positives, so the RESULT is provably identical
+    * to [[benchmarkOverlap]]: Bloom filters have no false negatives
+    * (every true match survives the pre-filter), and every false
+    * positive joins against the real benchmark table and disappears.
+    * The q50 oracle is therefore q38's oracle verbatim — the
+    * certification that the scale path changes the plan, not the
+    * answer.
+    *
+    * The probe is a closure over broadcast Bloom bits (a UDF — no
+    * Catalyst expression can host driver-built sketch state); it sits
+    * on a single already-pruned string column behind the scan filter,
+    * OUTSIDE the join/aggregate hot path, mirroring the seam Spark's
+    * own runtime row-level bloom join filters use. */
+  def benchmarkOverlapBloom(spark: SparkSession, dir: String,
+                            benchMod: Int = 50, n: Int = 3,
+                            minJaccard: Double = 0.2, maxDf: Int = 50,
+                            fpp: Double = 0.01): DataFrame = {
+    val (sh, sizes) = cappedShingles(spark, dir, n, maxDf)
+    val bench = sh.filter(col("doc_id") % benchMod === 0)
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    // expectedNumItems from an exact count over the (cached) bench
+    // shingles: benchmark-set-sized, and sizing the sketch from the
+    // real cardinality keeps the fpp honest (an undersized filter
+    // degrades silently toward pass-everything — still correct here,
+    // just no reduction)
+    val nBench = math.max(1L, bench.count())
+    val bloom = bench.stat.bloomFilter("shingle", nBench, fpp)
+    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val mightMatch = udf((s: String) => s != null && bloomBc.value.mightContain(s))
+    val corpus = sh.filter(col("doc_id") % benchMod =!= 0)
+      .filter(mightMatch(col("shingle")))
+    overlapBestMatch(corpus, bench, sizes, minJaccard)
   }
 
   /** q44 — cross-source duplication report: q20's near-dup pairs

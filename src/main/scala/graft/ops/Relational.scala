@@ -227,4 +227,29 @@ object Relational {
         dbl(sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2))).as("sum_price"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
+
+  /** q49 — per-source corpus profile: the know-your-data report a
+    * curation team reads before deciding mix weights — document count,
+    * language spread, and the length distribution (min/max/exact
+    * median/p90 of `n_chars`) per source.
+    *
+    * Plan shape at 100 TB: one shuffle on `source` with map-side
+    * partials for count/min/max; the exact percentiles are the one
+    * non-partial aggregate (Spark's `percentile` buffers each group's
+    * values), bounded per group by the stratum size, and #source
+    * groups spread across the cluster — the standard exact-quantile
+    * trade. A monitoring pipeline that can tolerate error swaps in
+    * `approx_percentile` (t-digest partials) with the same plan shape;
+    * the oracle pins the exact form (`quantile_cont` twin in DuckDB,
+    * identical (p·(n−1)) linear interpolation). */
+  def corpusProfile(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        percentile(col("n_chars"), lit(0.5)).as("median_chars"),
+        percentile(col("n_chars"), lit(0.9)).as("p90_chars"))
+      .orderBy(col("source"))
 }

@@ -130,6 +130,59 @@ object Sampling {
       .orderBy(col("doc_id"))
   }
 
+  /** q48 — weighted source mixing: downsample sources so the mixed
+    * corpus approaches TARGET PROPORTIONS (domain reweighting — the
+    * "20% code, 30% web, …" stage of a training mix), keeping the mix
+    * as LARGE as possible. With integer weights `w_s` (permille-like,
+    * any positive scale; weight 0 or absent = excluded) and stratum
+    * counts `n_s`, the largest total `T` respecting every stratum's
+    * supply is `T = min_s (n_s·1000 div w_s)`; each source then
+    * contributes an expected `target_n = (T·w_s) div 1000 ≤ n_s`
+    * documents via the shared 60-bit hash-threshold primitive (q40's
+    * acceptance rule — `(2^60 div n_s)·target_n`, clamped at full
+    * acceptance). All arithmetic is exact-integer, so the DuckDB
+    * oracle replays the mix bit-for-bit and the same corpus mixes
+    * identically on any engine or cluster size.
+    *
+    * Plan shape at 100 TB: one #source-sized aggregate (map-side
+    * partials), a 1-row global min under it, the threshold table
+    * broadcast back onto the scan (explicit hint — the q40 static-
+    * stats argument), and the acceptance filter rides the scan: the
+    * corpus is read once, dropped rows never materialize. */
+  def sourceMixDocs(docs: DataFrame, weight: Column,
+                    salt: String = "mix-v1"): DataFrame = {
+    val hashRange = 1L << 60 // one past portableHash64's maximum
+    val weighted = docs.select(col("doc_id"), col("source"), weight.as("wt"))
+    val strata = weighted.filter(col("wt") > 0)
+      .groupBy(col("source"), col("wt"))
+      .agg(count(lit(1)).as("n_stratum"))
+    // global min over a #source-sized table: a 1-row subtree joined by
+    // a broadcast nested loop of one row — not a data-path cross join
+    val t = strata.agg(min(expr("n_stratum * 1000 div wt")).as("t"))
+    val rates = strata.crossJoin(broadcast(t))
+      .withColumn("target_n", expr("(t * wt) div 1000"))
+      .withColumn("accept_threshold",
+        when(col("target_n") >= col("n_stratum"), lit(hashRange))
+          .otherwise(expr(s"($hashRange div n_stratum) * target_n")))
+      .select(col("source"), col("n_stratum"), col("target_n"), col("accept_threshold"))
+    // null-propagating concat (see saltedHash): a null source nulls the
+    // hash and the row drops out, matching the oracle's `||`
+    val h = saltedHash(col("doc_id"), concat(lit(salt + "/"), col("source")))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(h < col("accept_threshold"))
+      .select(col("doc_id"), col("source"), col("n_stratum"), col("target_n"))
+  }
+
+  /** [[sourceMixDocs]] over the `documents` table with the pinned
+    * demo weight rule (numeric source suffix mod 4, plus 1 — any
+    * per-source weight expression works; a real pipeline passes a
+    * `typedLit(map)` lookup of its mix config). */
+  def sourceMix(spark: SparkSession, dir: String,
+                salt: String = "mix-v1"): DataFrame =
+    sourceMixDocs(Tables.documents(spark, dir),
+      expr("CAST(substr(source, 4) AS BIGINT) % 4 + 1"), salt)
+      .orderBy(col("doc_id"))
+
   /** q39 — sequence packing: lay documents end to end and cut
     * fixed-size context windows of `contextLen` tokens — the batch
     * assembly step between a curated corpus and a training run. Each

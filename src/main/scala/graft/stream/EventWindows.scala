@@ -40,4 +40,45 @@ object EventWindows {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
       .orderBy(col("window_start"), col("event_type"))
+
+  /** Per-user sessionization: group each user's events into sessions
+    * separated by inactivity gaps longer than `gap`, via Spark's
+    * merging [[session_window]] (batch or streaming input). Two events
+    * land in one session iff consecutive gaps are AT MOST `gap`:
+    * session windows that merely TOUCH are merged — an event exactly
+    * `gap` after the previous one continues the session (pinned by
+    * spec); `session_end` is last-event-time + gap on both engines.
+    *
+    * Scale: state/shuffle is keyed on (user, merged window) — the
+    * canonical session shape. In streaming the watermark bounds state:
+    * a session closes (and in append mode emits exactly once) when the
+    * watermark passes its end, so open-ended users cannot accumulate
+    * unbounded session state. `sum_value` follows the oracle decimal
+    * rule (per-element DECIMAL(18,2) cast, summed exactly, emitted as
+    * double). */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_dec"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"),
+        col("sum_dec").cast("double").as("sum_value"))
+
+  /** [[sessionStats]] with a watermark — the streaming form: append
+    * mode emits each session once, `lateness` bounds both late data
+    * and session state. */
+  def sessionStatsStreaming(events: DataFrame, gap: String = "30 minutes",
+                            lateness: String = "2 hours"): DataFrame =
+    sessionStats(events.withWatermark("ts", lateness), gap)
+
+  /** q47 — the batch twin over the `events` table. The DuckDB oracle
+    * replays the same sessions via gaps-and-islands (lag + running
+    * sum of session-break flags), with the break condition
+    * `ts - prev_ts > gap` matching the touching-windows-merge rule
+    * above. */
+  def sessionStatsBatch(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): DataFrame =
+    sessionStats(graft.ops.Tables.events(spark, dir))
+      .orderBy(col("user_id"), col("session_start"))
 }

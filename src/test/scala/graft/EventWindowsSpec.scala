@@ -54,4 +54,58 @@ class EventWindowsSpec extends SparkSpec {
       assert(after.contains((ts(10), "click", 2L)))
     } finally q.stop()
   }
+
+  test("sessionStats batch: gaps ≤ 30min merge (boundary INCLUSIVE), above splits, end = last + gap") {
+    val s = spark
+    import s.implicits._
+    // user 1: 10:00, 10:29 merge (gap 29min); 10:59 is EXACTLY 30min
+    //         after 10:29 — touching windows MERGE (session_window's
+    //         closed merge rule, pinned here because the oracle must
+    //         break on strictly-greater gaps); 11:30 is 31min after
+    //         10:59 → new session
+    // user 2: one event → singleton session
+    val events = Seq(
+      (1L, ts(10, 0), 1.0), (1L, ts(10, 29), 2.0), (1L, ts(10, 59), 3.0),
+      (1L, ts(11, 30), 4.0),
+      (2L, ts(12, 0), 5.0)
+    ).toDF("user_id", "ts", "value")
+    val got = EventWindows.sessionStats(events).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      (1L, ts(10, 0), ts(11, 29), 3L, 6.0),   // end = 10:59 + 30min
+      (1L, ts(11, 30), ts(12, 0), 1L, 4.0),
+      (2L, ts(12, 0), ts(12, 30), 1L, 5.0)))
+  }
+
+  test("sessionStats streaming append: session emits once watermark passes its end") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = EventWindows.sessionStatsStreaming(
+      input.toDF().toDF("user_id", "ts", "value"))
+    val q = sessions.writeStream.format("memory")
+      .queryName("sess_stats").outputMode("append").start()
+    try {
+      input.addData((1L, ts(10, 0), 1.0), (1L, ts(10, 20), 2.0))
+      q.processAllAvailable()
+      // watermark = 10:20 - 2h — session [10:00, 10:50) still open
+      assert(spark.table("sess_stats").count() == 0)
+
+      // late-but-in-bounds event EXTENDS the open session…
+      input.addData((1L, ts(10, 40), 3.0))
+      q.processAllAvailable()
+      // …then a far-future event closes it (watermark 13:00 > end 11:10)
+      input.addData((2L, ts(15, 0), 9.0))
+      q.processAllAvailable()
+      input.addData((2L, ts(15, 10), 1.0))
+      q.processAllAvailable()
+      val emitted = spark.table("sess_stats").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(emitted == Set((1L, ts(10, 0), ts(11, 10), 3L, 6.0)))
+    } finally q.stop()
+  }
 }

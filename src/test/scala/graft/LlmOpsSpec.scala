@@ -149,6 +149,20 @@ class LlmOpsSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
   }
 
+  test("benchmarkOverlapBloom: byte-identical to the exact path (no false negatives)") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val exact = LlmOps.benchmarkOverlap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    graft.ops.Caches.releaseAll(spark)
+    // aggressive fpp exercises the false-positive path: FPs enter the
+    // join and must vanish against the real benchmark table
+    val bloom = LlmOps.benchmarkOverlapBloom(spark, dir, fpp = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(bloom == exact)
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("exact dedup keeps the minimum doc_id per content hash") {
     val docs = Seq(
       (7L, "Same   Text"), (3L, "same text"), (9L, "other text")

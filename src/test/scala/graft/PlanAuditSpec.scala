@@ -10,12 +10,14 @@ class PlanAuditSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  // the two INTENTIONAL BroadcastNestedLoopJoins: q16's owners glob
-  // theta join (build side = a config-file-sized pattern table) and
+  // the INTENTIONAL BroadcastNestedLoopJoins: q16's owners glob
+  // theta join (build side = a config-file-sized pattern table),
   // q45's brute-force cosine baseline (definitionally all-pairs on
-  // the query side; build side = the query set). Everything else must
-  // keep an equi-key.
-  private val BnljAllowed = Set("q16_owners_glob_join", "q45_brute_topk")
+  // the query side; build side = the query set), and q48's global-T
+  // attach (build side = ONE row, the min over per-source supply).
+  // Everything else must keep an equi-key.
+  private val BnljAllowed =
+    Set("q16_owners_glob_join", "q45_brute_topk", "q48_source_mix")
 
   test("no CartesianProduct in any query plan; BNLJ only where all-pairs IS the operator") {
     assume(new java.io.File(dir).isDirectory, "testdata not present")

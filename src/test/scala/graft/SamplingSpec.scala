@@ -106,6 +106,41 @@ class SamplingSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq == again.map(_.getLong(0)).toSeq)
   }
 
+  test("sourceMix: T maximal, targets respect supply, weight-0 excluded, map-lookup form") {
+    assume(available, "testdata not present")
+    val docs = Tables.documents(spark, dir)
+    val totals = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def wt(src: String): Long = src.drop(3).toLong % 4 + 1
+    // replay the exact-integer sizing: T = min over sources of
+    // supply·1000 div weight, target = (T·w) div 1000
+    val t = totals.map { case (s, n) => n * 1000 / wt(s) }.min
+    val got = Sampling.sourceMix(spark, dir).collect()
+    val bySrc = got.groupBy(_.getString(1))
+    bySrc.foreach { case (src, rows) =>
+      val target = t * wt(src) / 1000
+      assert(rows.forall(_.getLong(3) == target), s"$src target_n mismatch")
+      assert(rows.forall(_.getLong(2) == totals(src)))
+      assert(rows.length <= totals(src), s"$src kept more than its supply")
+    }
+    // the kept set is binomial around the target sum (the hash
+    // threshold gives EXPECTED counts): allow a generous ±20% band
+    val targetSum = totals.keys.toSeq.map(s => t * wt(s) / 1000).sum
+    assert(math.abs(got.length - targetSum) <= targetSum / 5,
+      s"kept ${got.length} of expected ~$targetSum")
+    // a weight-0 source is excluded entirely and the mix re-sizes
+    val zeroed = Sampling.sourceMixDocs(docs,
+      when(col("source") === "src0", 0L).otherwise(lit(1L))).collect()
+    assert(!zeroed.exists(_.getString(1) == "src0"))
+    // map-lookup weights (the real-pipeline form) agree with the
+    // equivalent expression form
+    val m = totals.keys.map(s => s -> wt(s)).toMap
+    val viaMap = Sampling.sourceMixDocs(docs,
+      element_at(typedLit(m), col("source"))).collect()
+    assert(viaMap.map(_.getLong(0)).sorted.toSeq ==
+      got.map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("pipeline composition: curate → split → pack runs over the surviving subset") {
     assume(available, "testdata not present")
     val docs = Tables.documents(spark, dir)
