@@ -78,6 +78,9 @@ object SparkEntry {
     "q48_source_mix"        -> ((s, d) => Sampling.sourceMix(s, d)),
     "q49_corpus_profile"    -> Relational.corpusProfile _,
     "q50_overlap_bloom"     -> ((s, d) => LlmOps.benchmarkOverlapBloom(s, d)),
+    "q51_lang_pivot"        -> Relational.langPivot _,
+    "q52_range_join"        -> ((s, d) => Temporal.rangeJoinConversions(s, d)),
+    "q53_asof_join"         -> Temporal.asofLastClick _,
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -838,5 +841,41 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, bench_id, inter, jaccard FROM best WHERE rn = 1
          ORDER BY doc_id""",
+    // pivot = conditional counts per fixed language column; FILTER
+    // counts give 0 for missing cells, matching the Spark side's fill
+    "q51_lang_pivot" ->
+      """SELECT source,
+           count(*) FILTER (WHERE lang = 'de') AS de,
+           count(*) FILTER (WHERE lang = 'en') AS en,
+           count(*) FILTER (WHERE lang = 'es') AS es,
+           count(*) FILTER (WHERE lang = 'fr') AS fr,
+           count(*) FILTER (WHERE lang = 'zh') AS zh
+         FROM documents GROUP BY source ORDER BY source""",
+    // range join: equi on user + micros window predicate, exact
+    // integer gaps on both engines
+    "q52_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         c AS (SELECT user_id, event_id AS click_id, us AS click_us FROM e WHERE event_type = 'click'),
+         v AS (SELECT user_id, event_id AS view_id, us AS view_us FROM e WHERE event_type = 'view')
+         SELECT c.user_id, c.click_id, v.view_id, v.view_us - c.click_us AS gap_us
+         FROM c JOIN v ON c.user_id = v.user_id
+          AND v.view_us > c.click_us AND v.view_us <= c.click_us + 600000000
+         ORDER BY click_id, view_id""",
+    // as-of join as the running-max window replay — the same
+    // preceding-rows frame the Spark side executes, so the strictly-
+    // before tie rule is one definition on both engines
+    "q53_asof_join" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+           WHERE event_type IN ('click', 'purchase')),
+         w AS (
+           SELECT *, max(CASE WHEN event_type = 'click' THEN us END)
+             OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+           FROM e)
+         SELECT user_id, event_id, make_timestamp(us) AS ts,
+           make_timestamp(last_click_us) AS last_click_ts,
+           us - last_click_us AS gap_us
+         FROM w WHERE event_type = 'purchase' ORDER BY event_id""",
   )
 }

@@ -242,6 +242,25 @@ object Relational {
     * `approx_percentile` (t-digest partials) with the same plan shape;
     * the oracle pins the exact form (`quantile_cont` twin in DuckDB,
     * identical (p·(n−1)) linear interpolation). */
+  /** q51 — pivot (§2.4-adjacent engine completeness): the source ×
+    * language document-count matrix, via `RelationalGroupedDataset
+    * .pivot` with an EXPLICIT value list. The explicit list is the
+    * production form at scale: it fixes the output schema up front
+    * (no extra distinct-values pass over the corpus — implicit pivot
+    * runs one, capped by `spark.sql.pivotMaxValues`), and the plan is
+    * then a single two-phase aggregate over one corpus scan, exactly
+    * a groupBy with conditional counts. Missing cells are 0, matching
+    * the oracle's FILTER-count semantics. */
+  val PivotLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  def langPivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .pivot("lang", PivotLangs)
+      .count()
+      .na.fill(0L, PivotLangs)
+      .orderBy(col("source"))
+
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(col("source"))
