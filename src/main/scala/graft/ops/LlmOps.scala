@@ -44,15 +44,19 @@ object LlmOps {
 
   /** Distinct word n-gram shingles per doc: (doc_id, shingle).
     * Short docs (< n words) yield no shingles and drop out of the
-    * near-dup surface, matching standard practice. */
+    * near-dup surface, matching standard practice.
+    *
+    * The per-doc distinct set is computed INSIDE the row by the
+    * codegen [[graft.functions.ShingleSet]] expression, so this is a
+    * pure scan-side projection + explode with NO exchange — the
+    * previous `split → explode → concat_ws → distinct()` formulation
+    * shuffled every shingle OCCURRENCE (~n_tokens rows per document)
+    * just to dedup within documents, a full-corpus exchange paid by
+    * all seven n-gram-family queries before any real work started
+    * (ShingleSetSpec pins bit-identical semantics). */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val idx = when(size(col("ws")) >= n, sequence(lit(1), size(col("ws")) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), explode(idx).as("i"), col("ws"))
-      .select(col("doc_id"), concat_ws(" ", slice(col("ws"), col("i"), lit(n))).as("shingle"))
-      .distinct()
+    graft.functions.ShingleSet.register(docs.sparkSession)
+    docs.select(col("doc_id"), explode(expr(s"shingle_set(text, $n)")).as("shingle"))
   }
 
   /** q20 — n-gram Jaccard near-dup pairs. Candidates = pairs sharing
