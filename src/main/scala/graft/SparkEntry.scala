@@ -81,6 +81,8 @@ object SparkEntry {
     "q51_lang_pivot"        -> Relational.langPivot _,
     "q52_range_join"        -> ((s, d) => Temporal.rangeJoinConversions(s, d)),
     "q53_asof_join"         -> Temporal.asofLastClick _,
+    "q54_cube_orders"       -> Relational.cubeOrders _,
+    "q55_daily_gap_fill"    -> Relational.dailyGapFill _,
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -877,5 +879,27 @@ object SparkEntry {
            make_timestamp(last_click_us) AS last_click_ts,
            us - last_click_us AS gap_us
          FROM w WHERE event_type = 'purchase' ORDER BY event_id""",
+    // cube: all four grouping combinations + GROUPING() bitmask
+    // (same bit order as Spark's grouping_id: first column = MSB)
+    "q54_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    // gap-fill: per-user daily grid over each user's own span,
+    // missing days zero-filled
+    "q55_daily_gap_fill" ->
+      """WITH d AS (
+           SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         s AS (
+           SELECT user_id, min(day) AS d0, max(day) AS d1 FROM d GROUP BY 1),
+         grid AS (
+           SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM s)
+         SELECT g.user_id, g.day, CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events
+         FROM grid g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day
+         ORDER BY g.user_id, g.day""",
   )
 }

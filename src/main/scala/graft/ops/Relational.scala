@@ -228,6 +228,48 @@ object Relational {
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
+  /** q54 — cube (§2.4 completeness alongside q14's rollup): all four
+    * grouping combinations of (status, priority) in one pass, with
+    * `grouping_id` disambiguating a NULL group value from a NULL-as-
+    * total row — the other grouping-sets shape Spark compiles to a
+    * single Expand + two-phase aggregate (no re-scan per set). */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    ord.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        dbl(sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2))).as("sum_price"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
+
+  /** q55 — time-series gap-fill (resample): per-user DAILY event
+    * counts with missing days emitted as ZERO rows, over each user's
+    * own [first, last] day span — the densification step before any
+    * window/trend computation (a moving average over a sparse series
+    * silently skips quiet days; over the filled grid it is correct).
+    *
+    * Plan shape at 100 TB: two #user-bounded aggregates off one scan
+    * (daily counts; per-user spans), the grid generated by a per-row
+    * `sequence` explode of the span (the amplification IS the
+    * product), and one left join grid ⋈ counts on (user, day) — all
+    * keys are user-prefixed, so every shuffle is the natural
+    * per-user one and the filled series never crosses users. */
+  def dailyGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+    val daily = ev.groupBy(col("user_id"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   /** q49 — per-source corpus profile: the know-your-data report a
     * curation team reads before deciding mix weights — document count,
     * language spread, and the length distribution (min/max/exact
