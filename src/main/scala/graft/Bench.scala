@@ -75,8 +75,13 @@ object Bench {
     // queries — BENCH_r04/r05 captured a line whose START was cut off
     // and recorded `parsed: null`. The graded map alone at 3 decimals
     // is ~1.4 KB with headroom to ~60 queries.
+    // Locale.ROOT: f"%.3f" uses the JVM default locale — under a
+    // comma-decimal locale (de_DE etc.) it would emit 42,000 and break
+    // the very JSON parse this formatting exists to protect
+    def num(v: Double, decimals: Int = 3): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     def jmap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      kv.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
     val qs = jmap(results.map(r => r._1 -> r._2))
     val total = results.map(_._2).sum
     // protocol tag: graded value/queries are per-query MIN of two
@@ -84,11 +89,15 @@ object Bench {
     // cold samples; cross-round tooling must not mix the semantics
     // (ADVICE r4). BASELINE.md is recorded under the same protocol.
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","protocol":"min-of-two-v3","warmup":${f"$warmup%.1f"},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","protocol":"min-of-two-v3","warmup":${num(warmup, 1)},"queries":$qs,"sf":"$sfDir"}"""
     val detail =
-      s"""{"protocol":"min-of-two-v3","warmup":${f"$warmup%.3f"},"queries_first_run":${jmap(results.map(r => r._1 -> r._3))},"queries_second_run":${jmap(results.map(r => r._1 -> r._4))},"sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      s"""{"protocol":"min-of-two-v3","warmup":${num(warmup)},"queries_first_run":${jmap(results.map(r => r._1 -> r._3))},"queries_second_run":${jmap(results.map(r => r._1 -> r._4))},"sf":"$sfDir"}"""
+    // best-effort side file: an unwritable cwd must not discard the
+    // graded line below after a full timed run
+    scala.util.Try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     // The line must reach the harness UNPREFIXED: sbt's in-process
     // `run` routes System.out through its logger, which stamps every
     // line with "[info] " — the r2/r3 capture tails show the complete

@@ -444,12 +444,16 @@ object LlmOps {
     val (sh, sizes) = cappedShingles(spark, dir, n, maxDf)
     val bench = sh.filter(col("doc_id") % benchMod === 0)
       .select(col("doc_id").as("bench_id"), col("shingle"))
-    // expectedNumItems from an exact count over the (cached) bench
-    // shingles: benchmark-set-sized, and sizing the sketch from the
-    // real cardinality keeps the fpp honest (an undersized filter
-    // degrades silently toward pass-everything — still correct here,
-    // just no reduction)
-    val nBench = math.max(1L, bench.count())
+    // expectedNumItems = DISTINCT bench shingles off the cached
+    // shingle table (benchmark-set-sized): sizing from the real
+    // cardinality keeps the fpp honest in both directions — an
+    // undersized filter degrades silently toward pass-everything
+    // (still correct, no reduction), an occurrence-count overestimate
+    // allocates broadcast bytes every executor pays for nothing. The
+    // broadcast itself is GC-scoped (torn down with the closure when
+    // the returned plan is released), matching how Spark's own
+    // runtime bloom join filters manage theirs.
+    val nBench = math.max(1L, bench.select(col("shingle")).distinct().count())
     val bloom = bench.stat.bloomFilter("shingle", nBench, fpp)
     val bloomBc = spark.sparkContext.broadcast(bloom)
     val mightMatch = udf((s: String) => s != null && bloomBc.value.mightContain(s))

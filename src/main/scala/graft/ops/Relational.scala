@@ -270,20 +270,6 @@ object Relational {
       .orderBy(col("user_id"), col("day"))
   }
 
-  /** q49 — per-source corpus profile: the know-your-data report a
-    * curation team reads before deciding mix weights — document count,
-    * language spread, and the length distribution (min/max/exact
-    * median/p90 of `n_chars`) per source.
-    *
-    * Plan shape at 100 TB: one shuffle on `source` with map-side
-    * partials for count/min/max; the exact percentiles are the one
-    * non-partial aggregate (Spark's `percentile` buffers each group's
-    * values), bounded per group by the stratum size, and #source
-    * groups spread across the cluster — the standard exact-quantile
-    * trade. A monitoring pipeline that can tolerate error swaps in
-    * `approx_percentile` (t-digest partials) with the same plan shape;
-    * the oracle pins the exact form (`quantile_cont` twin in DuckDB,
-    * identical (p·(n−1)) linear interpolation). */
   /** q51 — pivot (§2.4-adjacent engine completeness): the source ×
     * language document-count matrix, via `RelationalGroupedDataset
     * .pivot` with an EXPLICIT value list. The explicit list is the
@@ -303,6 +289,20 @@ object Relational {
       .na.fill(0L, PivotLangs)
       .orderBy(col("source"))
 
+  /** q49 — per-source corpus profile: the know-your-data report a
+    * curation team reads before deciding mix weights — document count,
+    * language spread, and the length distribution (min/max/exact
+    * median/p90 of `n_chars`) per source.
+    *
+    * Plan shape at 100 TB: one shuffle on `source` with map-side
+    * partials for count/min/max; the exact percentiles are the one
+    * non-partial aggregate (Spark's `percentile` buffers each group's
+    * values), bounded per group by the stratum size, and #source
+    * groups spread across the cluster — the standard exact-quantile
+    * trade. A monitoring pipeline that can tolerate error swaps in
+    * `approx_percentile` (t-digest partials) with the same plan shape;
+    * the oracle pins the exact form (`quantile_cont` twin in DuckDB,
+    * identical (p·(n−1)) linear interpolation). */
   def corpusProfile(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .groupBy(col("source"))

@@ -153,9 +153,20 @@ object Sampling {
                     salt: String = "mix-v1"): DataFrame = {
     val hashRange = 1L << 60 // one past portableHash64's maximum
     val weighted = docs.select(col("doc_id"), col("source"), weight.as("wt"))
+    // ONE rate row per source, enforced: `weight` is an arbitrary
+    // Column, and a weight that varies WITHIN a source would fan the
+    // source's documents out across multiple rate rows in the join
+    // below (silent duplicates). raise_error fires during the
+    // aggregate if any source carries two distinct weights.
     val strata = weighted.filter(col("wt") > 0)
-      .groupBy(col("source"), col("wt"))
-      .agg(count(lit(1)).as("n_stratum"))
+      .groupBy(col("source"))
+      .agg(max(col("wt")).as("wt"), count(lit(1)).as("n_stratum"),
+        countDistinct(col("wt")).as("n_wt"))
+      .withColumn("wt",
+        when(col("n_wt") === 1, col("wt")).otherwise(raise_error(concat(
+          lit("sourceMix weight must be constant per source; source "),
+          col("source"), lit(" has multiple weights")))))
+      .drop("n_wt")
     // global min over a #source-sized table: a 1-row subtree joined by
     // a broadcast nested loop of one row — not a data-path cross join
     val t = strata.agg(min(expr("n_stratum * 1000 div wt")).as("t"))

@@ -49,11 +49,14 @@ object WarehouseSql {
   private val NumberTypeRe = """(?i)\bNUMBER\s*\(""".r
 
   /** Spans of `sql` the rewrite must never touch: single-quoted string
-    * literals (with `''` escape doubling), double-quoted identifiers
-    * (with `""` doubling), `--` line comments and block comments.
-    * Returned half-open [start, end) intervals, in order. An unclosed
-    * literal/comment extends to end-of-text — the rewrite stays inert
-    * on text the SQL parser will reject anyway. */
+    * literals (with `''` doubling AND `\'` backslash escapes — Spark's
+    * default parser honors both, and a scanner ignoring backslashes
+    * would end the span early and rewrite text Spark executes as
+    * literal data), double-quoted strings/identifiers (same two escape
+    * forms), `--` line comments and block comments. Returned half-open
+    * [start, end) intervals, in order. An unclosed literal/comment
+    * extends to end-of-text — the rewrite stays inert on text the SQL
+    * parser will reject anyway. */
   private def protectedSpans(sql: String): Seq[(Int, Int)] = {
     val spans = Seq.newBuilder[(Int, Int)]
     val n = sql.length
@@ -61,7 +64,9 @@ object WarehouseSql {
     def quoted(start: Int, q: Char): Int = {
       var j = start + 1
       while (j < n) {
-        if (sql.charAt(j) == q) {
+        val c = sql.charAt(j)
+        if (c == '\\') j += 2 // backslash escape: skip the escaped char
+        else if (c == q) {
           if (j + 1 < n && sql.charAt(j + 1) == q) j += 2 // doubled quote = escape
           else return j + 1
         } else j += 1

@@ -132,6 +132,14 @@ class SamplingSpec extends SparkSpec {
     val zeroed = Sampling.sourceMixDocs(docs,
       when(col("source") === "src0", 0L).otherwise(lit(1L))).collect()
     assert(!zeroed.exists(_.getString(1) == "src0"))
+    // a weight that varies WITHIN a source is a caller bug — the
+    // duplicate-fanout hazard is fenced with raise_error, not silence
+    val varying = intercept[Exception] {
+      Sampling.sourceMixDocs(docs, (col("doc_id") % 3 + 1).cast("long")).collect()
+    }
+    assert(varying.getMessage.contains("constant per source") ||
+      Option(varying.getCause).exists(_.getMessage.contains("constant per source")),
+      varying.toString)
     // map-lookup weights (the real-pipeline form) agree with the
     // equivalent expression form
     val m = totals.keys.map(s => s -> wt(s)).toMap

@@ -46,9 +46,9 @@ class StorageSpec extends SparkSpec {
   test("bucketed tables: equi-join on the bucket key plans ZERO exchanges") {
     val s = spark
     import s.implicits._
-    val wh = java.nio.file.Files.createTempDirectory("graftwh").toString
-    // bucketed catalog tables need a metastore-backed name; point the
-    // session's warehouse at a temp dir and clean the tables up after
+    // bucketed catalog tables need a metastore-backed NAME (bucket
+    // metadata lives in the catalog, not the files); they land in the
+    // session's default warehouse dir and are dropped in the finally
     val docs = (1L to 100L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val scores = (1L to 100L).map(i => (i, i * 2.0)).toDF("doc_id", "score")
     try {

@@ -72,6 +72,11 @@ class WarehouseSqlSpec extends SparkSpec {
     // unclosed literal: rewrite stays inert (parser will reject anyway)
     assert(WarehouseSql.rewriteCalls("SELECT 'open KIMBALL.F(") ==
       "SELECT 'open KIMBALL.F(")
+    // backslash escape: Spark's parser reads \' as an escaped quote, so
+    // the literal extends to the LAST quote — call grammar inside it is
+    // data (a ''-only scanner would end the span early and corrupt it)
+    assert(WarehouseSql.rewriteCalls("SELECT 'it\\'s KIMBALL.F(x)' , KIMBALL.G(y)") ==
+      "SELECT 'it\\'s KIMBALL.F(x)' , kimball_g(y)")
   }
 
   test("CPA-WEB-COSTS.sql WHERE fragment runs verbatim and matches the Column twin") {
