@@ -78,6 +78,43 @@ class EventWindowsSpec extends SparkSpec {
       (2L, ts(12, 0), ts(12, 30), 1L, 5.0)))
   }
 
+  test("sessionStats randomized parity: session_window agrees with a gaps-and-islands reference") {
+    val s = spark
+    import s.implicits._
+    // seeded: the sample is fixed, failures reproduce. Minute-granular
+    // timestamps make EXACT-gap collisions (the merge-rule boundary)
+    // common instead of measure-zero.
+    val rnd = new scala.util.Random(20260812L)
+    val events = Seq.fill(400) {
+      (rnd.nextInt(5).toLong + 1L,
+        ts(rnd.nextInt(13) + 8, rnd.nextInt(60)),
+        (rnd.nextInt(500) + 1) / 100.0)
+    }.distinct
+    val got = EventWindows.sessionStats(events.toDF("user_id", "ts", "value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+
+    // reference: break strictly-greater-than-30min gaps (touching
+    // windows merge), end = last + 30min — the oracle's exact rule
+    val expected = events.groupBy(_._1).flatMap { case (uid, evs) =>
+      val sorted = evs.map(_._2).sorted(Ordering.by((t: Timestamp) => t.getTime))
+      val sessions = sorted.foldLeft(List.empty[List[Timestamp]]) {
+        case (acc, t) => acc match {
+          case cur :: rest if t.getTime - cur.head.getTime <= 30 * 60 * 1000 =>
+            (t :: cur) :: rest // cur.head = last event of the open session
+          case _ => List(t) :: acc
+        }
+      }
+      sessions.map { ses =>
+        val startT = ses.last
+        val endT = new Timestamp(ses.head.getTime + 30 * 60 * 1000)
+        (uid, startT, endT, ses.size.toLong)
+      }
+    }.toSet
+    assert(got == expected)
+  }
+
   test("sessionStats streaming append: session emits once watermark passes its end") {
     val s = spark
     import s.implicits._
