@@ -129,6 +129,57 @@ class SkewAndStreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: checkpointed restart carries dedup state across the stop") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ckptdedup")
+    val srcDir = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    new java.io.File(srcDir).mkdirs()
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    def base = 1700000000000L
+    def writeFile(name: String, rows: Seq[(Long, Long, String)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(srcDir, name),
+        rows.map { case (ms, id, t) =>
+          s"""{"ts_ms":$ms,"doc_id":$id,"text":"$t"}""" }.mkString("\n").getBytes)
+    // foreachBatch sink: the memory sink refuses checkpoint recovery;
+    // a per-run collector also shows exactly what each RUN emitted
+    def start(sink: scala.collection.concurrent.TrieMap[Long, Int]) =
+      StreamingDedup.dedupStream(
+          spark.readStream.schema(sch).json(srcDir)
+            .withColumn("ts",
+              org.apache.spark.sql.functions.timestamp_millis(
+                org.apache.spark.sql.functions.col("ts_ms")))
+            .select("ts", "doc_id", "text"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => sink.put(r.getAs[Long]("doc_id"), 1))
+        }
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // run 1: two distinct documents pass
+    writeFile("f1.json", Seq((base, 1L, "alpha beta gamma"), (base + 60000, 2L, "one two three")))
+    val run1 = scala.collection.concurrent.TrieMap.empty[Long, Int]
+    val q1 = start(run1)
+    try { q1.processAllAvailable() } finally q1.stop()
+    assert(run1.keySet == Set(1L, 2L))
+
+    // run 2, SAME checkpoint: a re-arrival of doc 1's content (within
+    // the watermark horizon) must be dropped by the RESTORED state —
+    // the state store, not the sink, carries the dedup across the
+    // restart; the fresh document still passes
+    writeFile("f2.json", Seq((base + 120000, 3L, "alpha  BETA gamma"), (base + 180000, 4L, "four five six")))
+    val run2 = scala.collection.concurrent.TrieMap.empty[Long, Int]
+    val q2 = start(run2)
+    try {
+      q2.processAllAvailable()
+      assert(run2.keySet == Set(4L), s"restart re-emitted or missed docs: ${run2.keySet}")
+    } finally q2.stop()
+  }
+
   test("index refresh: versioned snapshots — newest complete subdir wins, partial ones invisible") {
     val s = spark
     import s.implicits._
