@@ -13,7 +13,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * and every session — including ones the user builds themselves, and
   * SQL-only clients that never touch the Scala API — has
   * `simhash60` / `text_stats` / `bigram_stats` / `winnow_minima` /
-  * `vec_dot` / `shingle_set` available in SQL without any
+  * `vec_dot` / `shingle_set` / `shingle_list` / `remove_spans` /
+  * `nfc` available in SQL without any
   * per-operator `register()` call. The operator objects keep their own idempotent `register`
   * methods (used internally) — both paths share one builder per
   * function, so the SQL surface cannot diverge.
@@ -44,5 +45,8 @@ object GraftExtensions {
     ("bigram_stats", "graft.functions.BigramStatsExpr", functions.BigramStats.builder),
     ("winnow_minima", "graft.functions.WinnowMinima", functions.WinnowMinima.builder),
     ("vec_dot", "graft.functions.VecDot", functions.VecDot.builder),
-    ("shingle_set", "graft.functions.ShingleSetExpr", functions.ShingleSet.builder))
+    ("shingle_set", "graft.functions.ShingleSetExpr", functions.ShingleSet.builder),
+    ("shingle_list", "graft.functions.ShingleListExpr", functions.ShingleList.builder),
+    ("remove_spans", "graft.functions.RemoveSpansExpr", functions.RemoveSpans.builder),
+    ("nfc", "graft.functions.NfcNormalizeExpr", functions.NfcNormalize.builder))
 }

@@ -83,6 +83,8 @@ object SparkEntry {
     "q53_asof_join"         -> Temporal.asofLastClick _,
     "q54_cube_orders"       -> Relational.cubeOrders _,
     "q55_daily_gap_fill"    -> Relational.dailyGapFill _,
+    "q56_substring_dedup"   -> ((s, d) => LlmOps.substringDedup(s, d)),
+    "q57_nfc_normalize"     -> TextOps.nfcNormalize _,
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -901,5 +903,52 @@ object SparkEntry {
          SELECT g.user_id, g.day, CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events
          FROM grid g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day
          ORDER BY g.user_id, g.day""",
+    // exact duplicated-substring removal (Lee et al. 2021 semantics):
+    // any 8-token shingle occurring >= 2 times anywhere marks all its
+    // occurrences' tokens for removal; survivors re-join with single
+    // spaces. Tokens = split-on-single-space keeping empties, the
+    // shingle family's pinned convention. Parallel unnests zip in
+    // DuckDB, giving (token, 0-based position) with no join.
+    "q56_substring_dedup" ->
+      """WITH tok AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         shl AS (
+           SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS spos, toks
+           FROM tok WHERE len(toks) >= 8),
+         shs AS (
+           SELECT doc_id, spos, array_to_string(toks[spos + 1 : spos + 8], ' ') AS shingle
+           FROM shl),
+         dup AS (SELECT shingle FROM shs GROUP BY shingle HAVING count(*) >= 2),
+         spans AS (SELECT s.doc_id, s.spos FROM shs s JOIN dup d USING (shingle)),
+         cov AS (
+           SELECT DISTINCT doc_id, cp FROM (
+             SELECT doc_id, unnest(generate_series(spos, spos + 7)) AS cp FROM spans) t),
+         tokpos AS (
+           SELECT doc_id, unnest(toks) AS tok,
+             unnest(generate_series(1, len(toks))) - 1 AS p
+           FROM tok),
+         kept AS (
+           SELECT t.doc_id, t.tok, t.p
+           FROM tokpos t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.cp
+           WHERE c.cp IS NULL),
+         agg AS (
+           SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS text_clean
+           FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(a.text_clean, '') AS text_clean
+         FROM tok t LEFT JOIN agg a USING (doc_id)
+         ORDER BY t.doc_id""",
+    // NFC canonicalization: the corpus is ASCII, so both engines
+    // prepend the same pinned DECOMPOSED prefix (Cafe+U+0301,
+    // nai+U+0308) to make the normalization observable — DuckDB's
+    // nfc_normalize and the JDK's Normalizer implement the same
+    // Unicode canonical composition, len_nfc = len_raw - 2
+    "q57_nfc_normalize" ->
+      ("WITH r AS (SELECT doc_id, 'Cafe\u0301 nai\u0308ve ' || substr(text, 1, 40) AS raw FROM documents) " +
+        "SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw, " +
+        "CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc, " +
+        "nfc_normalize(raw) AS text_nfc FROM r ORDER BY doc_id"),
   )
 }

@@ -84,21 +84,30 @@ object ShingleSet {
     ()
   }
 
-  /** Called from generated code — one byte scan per row. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
-    val bytes = text.getBytes
+  /** Word-start byte offsets under split-on-single-space-keeping-
+    * empties: a word starts at 0 and right after every space byte;
+    * word i ends at the next space (or end of text). Shared by
+    * [[compute]], [[ShingleList.compute]] and
+    * [[RemoveSpans.compute]] so the three keep one tokenization. */
+  private[functions] def wordStarts(bytes: Array[Byte]): Array[Int] = {
     val len = bytes.length
-    // word-start offsets under split-on-single-space-keeping-empties:
-    // a word starts at 0 and right after every space byte; word i ends
-    // at the next space (or end of text)
     var nWords = 1
     var i = 0
     while (i < len) { if (bytes(i) == ' ') nWords += 1; i += 1 }
-    if (nWords < n) return new GenericArrayData(Array.empty[Any])
     val starts = new Array[Int](nWords)
     var w = 1
     i = 0
     while (i < len) { if (bytes(i) == ' ') { starts(w) = i + 1; w += 1 }; i += 1 }
+    starts
+  }
+
+  /** Called from generated code — one byte scan per row. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    val len = bytes.length
+    val starts = wordStarts(bytes)
+    val nWords = starts.length
+    if (nWords < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var s = 0
     while (s + n <= nWords) {

@@ -492,6 +492,56 @@ object LlmOps {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** q56 — exact duplicated-substring removal (the span-level dedup of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better": drop every occurrence of any ≥k-token span that
+    * appears more than once in the corpus). Exact dedup (q19) removes
+    * whole-document copies; this removes the shared boilerplate
+    * — license headers, navigation chrome, quoted passages — that
+    * survives document-level dedup because the surrounding text
+    * differs. Semantics: a k-token shingle occurring ≥2 times anywhere
+    * (across documents OR repeated within one) marks every token of
+    * every occurrence for removal; survivors re-join with single
+    * spaces. ALL occurrences are removed, per the paper — run q19
+    * first if one canonical copy should survive.
+    *
+    * The reference paper builds a suffix array; single-node and
+    * sequential. The Spark-first shape is three shuffles, all linear:
+    *  1. positional shingles (codegen [[graft.functions.ShingleList]]
+    *     + posexplode — no window, no lambda) hash-aggregated by
+    *     shingle with map-side partials to find the duplicated ones;
+    *  2. the same shingle table joined back on shingle (AQE skew-join
+    *     spreads boilerplate-heavy shingles) → span starts per doc;
+    *  3. starts collected per doc_id and joined to the documents scan,
+    *     where the codegen [[graft.functions.RemoveSpans]] expression
+    *     merges overlapping spans and rebuilds the cleaned text in one
+    *     byte scan — the corpus itself is never exploded per-position
+    *     and never crosses the network.
+    * The shingle table is persisted (feeds the df-count AND the
+    * join-back; recomputing the scan→shingle subtree twice is a
+    * full-input tax at 100 TB). */
+  def substringDedup(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    graft.functions.ShingleList.register(spark)
+    graft.functions.RemoveSpans.register(spark)
+    val docs = Tables.documents(spark, dir)
+    val sh = Caches.persist(
+      docs.select(col("doc_id"),
+        posexplode(expr(s"shingle_list(text, $k)")).as(Seq("spos", "shingle"))))
+    val dup = sh.groupBy(col("shingle")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select(col("shingle"))
+    val starts = sh.join(dup, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("spos"))).as("starts"))
+    docs.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        expr(s"remove_spans(text, coalesce(starts, cast(array() as array<int>)), $k)").as("r"))
+      .select(col("doc_id"),
+        col("r.n_tokens").cast("long").as("n_tokens"),
+        col("r.n_kept").cast("long").as("n_kept"),
+        col("r.text_clean").as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   val MinhashK = 16
 
   /** One pinned MinHash function: min over shingles of the portable

@@ -120,6 +120,29 @@ object TextOps {
         length(col("text")).cast("long").as("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** q57 — Unicode canonical normalization (NFC) via the codegen
+    * [[graft.functions.NfcNormalize]] expression: the canonicalization
+    * stage every text pipeline runs before hashing/shingling, since a
+    * decomposed `e`+U+0301 and a precomposed `é` are different bytes
+    * for the same grapheme. The synthetic corpus is pure ASCII (NFC =
+    * identity, exercising only the expression's zero-copy fast path),
+    * so the query prepends a pinned decomposed prefix on BOTH engines
+    * — `Cafe`+U+0301 + ` nai`+U+0308+`ve ` — making the normalization
+    * observable in the oracle: len_nfc = len_raw − 2 on every row
+    * (two combining marks compose away). Per-row projection, no
+    * shuffle; linear in the scan at any scale. */
+  def nfcNormalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.NfcNormalize.register(spark)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(lit("Cafe\u0301 nai\u0308ve "), substring(col("text"), 1, 40)).as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(expr("nfc(raw)")).cast("long").as("len_nfc"),
+        expr("nfc(raw)").as("text_nfc"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q43 — corpus vocabulary profile: top-k tokens by total
     * occurrence count with document frequency — the Zipf/vocabulary
     * report a pipeline runs before tokenizer training or corpus-mix

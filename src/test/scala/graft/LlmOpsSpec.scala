@@ -163,6 +163,42 @@ class LlmOpsSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
   }
 
+  test("substringDedup removes every occurrence of a duplicated span, merging overlaps") {
+    // docs 1 and 2 share the 8-token run "one two three four five six
+    // seven eight" (doc 2 shifted by one token, so its covered span
+    // starts at position 1); doc 3 shares nothing. Unique suffixes
+    // survive, the duplicated run is removed from BOTH docs.
+    val docs = Seq(
+      (1L, "one two three four five six seven eight keep1 keep2"),
+      (2L, "lead one two three four five six seven eight tail"),
+      (3L, "totally different words with no duplicated span at all")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", lit(0L))
+    val dir = writeDocsFixture(docs)
+    val got = LlmOps.substringDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((10L, 2L, "keep1 keep2")))
+    assert(got(2L) === ((10L, 2L, "lead tail")))
+    assert(got(3L) === ((9L, 9L, "totally different words with no duplicated span at all")))
+    graft.ops.Caches.releaseAll(spark)
+  }
+
+  test("substringDedup: a span repeated WITHIN one doc is removed (both occurrences)") {
+    val eight = "a b c d e f g h"
+    val docs = Seq(
+      (1L, s"$eight middle $eight trailer"),
+      (2L, "unrelated text content here entirely fresh words now")
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", lit(0L))
+    val dir = writeDocsFixture(docs)
+    val got = LlmOps.substringDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // 18 tokens; the two 8-token runs go, "middle" and "trailer" stay
+    assert(got(1L) === ((18L, 2L, "middle trailer")))
+    assert(got(2L)._2 === 8L)
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("exact dedup keeps the minimum doc_id per content hash") {
     val docs = Seq(
       (7L, "Same   Text"), (3L, "same text"), (9L, "other text")

@@ -164,6 +164,32 @@ class TextOpsSpec extends SparkSpec {
     assert(top2 == Seq("a", "b"))
   }
 
+  test("nfc expression: composes decomposed sequences, ASCII passes through untouched") {
+    graft.functions.NfcNormalize.register(spark)
+    val decomposed = "Cafe\u0301 nai\u0308ve"     // e + U+0301, i + U+0308
+    val composed = "Caf\u00e9 na\u00efve"          // é, ï precomposed
+    val r = spark.sql(
+      s"SELECT nfc('$decomposed') AS a, nfc('$composed') AS b, " +
+        "nfc('plain ascii') AS c, nfc(CAST(NULL AS STRING)) AS d").collect()(0)
+    assert(r.getString(0) === composed)            // NFC composes
+    assert(r.getString(1) === composed)            // already-NFC unchanged
+    assert(r.getString(2) === "plain ascii")       // ASCII fast path
+    assert(r.isNullAt(3))
+    // char length shrinks by the number of combining marks composed
+    assert(decomposed.codePointCount(0, decomposed.length) ===
+      composed.codePointCount(0, composed.length) + 2)
+  }
+
+  test("nfcNormalize query: every row shows the 2-char composition delta") {
+    val dir = writeDocs(Seq((1L, "alpha beta"), (2L, "x")))
+    val got = TextOps.nfcNormalize(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val (lenRaw, lenNfc, nfc1) = got(1L)
+    assert(lenRaw - lenNfc === 2L)
+    assert(nfc1 === "Caf\u00e9 na\u00efve alpha beta")
+    assert(got(2L)._3 === "Caf\u00e9 na\u00efve x")
+  }
+
   test("redactPii: emails/phones/IPs replaced with tokens, counts per pattern") {
     val docs = Seq(
       (1L, "contact bob.smith+x@example.co.uk or +1 (415) 555-0199 now"),
