@@ -14,7 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * SQL-only clients that never touch the Scala API — has
   * `simhash60` / `text_stats` / `bigram_stats` / `winnow_minima` /
   * `vec_dot` / `shingle_set` / `shingle_list` / `remove_spans` /
-  * `nfc` available in SQL without any
+  * `nfc` / `char_pairs` available in SQL without any
   * per-operator `register()` call. The operator objects keep their own idempotent `register`
   * methods (used internally) — both paths share one builder per
   * function, so the SQL surface cannot diverge.
@@ -48,5 +48,6 @@ object GraftExtensions {
     ("shingle_set", "graft.functions.ShingleSetExpr", functions.ShingleSet.builder),
     ("shingle_list", "graft.functions.ShingleListExpr", functions.ShingleList.builder),
     ("remove_spans", "graft.functions.RemoveSpansExpr", functions.RemoveSpans.builder),
-    ("nfc", "graft.functions.NfcNormalizeExpr", functions.NfcNormalize.builder))
+    ("nfc", "graft.functions.NfcNormalizeExpr", functions.NfcNormalize.builder),
+    ("char_pairs", "graft.functions.CharPairsExpr", functions.CharPairs.builder))
 }

@@ -85,6 +85,12 @@ object SparkEntry {
     "q55_daily_gap_fill"    -> Relational.dailyGapFill _,
     "q56_substring_dedup"   -> ((s, d) => LlmOps.substringDedup(s, d)),
     "q57_nfc_normalize"     -> TextOps.nfcNormalize _,
+    "q58_rolling_revenue"   -> Relational.rollingRevenue _,
+    "q59_length_deciles"    -> Relational.lengthDeciles _,
+    "q60_profile_unpivot"   -> Relational.profileUnpivot _,
+    "q61_bpe_pairs"         -> ((s, d) => TextOps.bpePairCounts(s, d)),
+    "q62_label_centroids"   -> Embeddings.labelCentroids _,
+    "q63_engaged_purchasers" -> Relational.engagedPurchasers _,
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -950,5 +956,84 @@ object SparkEntry {
         "SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw, " +
         "CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc, " +
         "nfc_normalize(raw) AS text_nfc FROM r ORDER BY doc_id"),
+    // rolling RANGE-frame window over the daily rollup: both engines
+    // order by the identical integer day number, sum in exact decimal,
+    // and cast only the final columns to double
+    "q58_rolling_revenue" ->
+      """WITH daily AS (
+           SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders GROUP BY 1),
+         d2 AS (
+           SELECT *, datediff('day', DATE '1970-01-01', CAST(day AS DATE)) AS day_num
+           FROM daily)
+         SELECT day, n_orders, CAST(rev AS DOUBLE) AS day_rev,
+           CAST(sum(rev) OVER w AS DOUBLE) AS rev7,
+           count(*) OVER w AS days7,
+           CAST(sum(rev) OVER w AS DOUBLE) / (count(*) OVER w) AS avg7
+         FROM d2
+         WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY day""",
+    // rank-function family over a TOTAL order key (n_chars, doc_id):
+    // ntile/percent_rank/cume_dist are deterministic on both engines
+    "q59_length_deciles" ->
+      """SELECT doc_id, source, n_chars,
+           ntile(10) OVER w AS decile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+         FROM documents
+         WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+         ORDER BY source, doc_id""",
+    // unpivot of q49's wide profile: the UNION ALL is the portable
+    // spelling of UNPIVOT; every stat cast to double (one value type)
+    "q60_profile_unpivot" ->
+      """WITH p AS (
+           SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+             min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+             quantile_cont(n_chars, 0.5) AS median_chars,
+             quantile_cont(n_chars, 0.9) AS p90_chars
+           FROM documents GROUP BY source)
+         SELECT source, stat, value FROM (
+           SELECT source, 'n_docs' AS stat, CAST(n_docs AS DOUBLE) AS value FROM p
+           UNION ALL SELECT source, 'n_langs', CAST(n_langs AS DOUBLE) FROM p
+           UNION ALL SELECT source, 'min_chars', CAST(min_chars AS DOUBLE) FROM p
+           UNION ALL SELECT source, 'max_chars', CAST(max_chars AS DOUBLE) FROM p
+           UNION ALL SELECT source, 'median_chars', CAST(median_chars AS DOUBLE) FROM p
+           UNION ALL SELECT source, 'p90_chars', CAST(p90_chars AS DOUBLE) FROM p)
+         ORDER BY source, stat""",
+    // BPE pair counts: character-addressed substr(w, i, 2) within each
+    // word replays char_pairs' code-point slices; ties broken by pair
+    "q61_bpe_pairs" ->
+      """WITH words AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         prs AS (
+           SELECT doc_id, substr(w, i, 2) AS pair
+           FROM words, unnest(generate_series(1, length(w) - 1)) AS t(i)
+           WHERE length(w) >= 2),
+         cnt AS (
+           SELECT pair, count(*) AS n, count(DISTINCT doc_id) AS df
+           FROM prs GROUP BY pair)
+         SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS BIGINT) AS rank,
+           pair, n, df
+         FROM cnt ORDER BY n DESC, pair LIMIT 50""",
+    // dim-wise centroid sums on round(x·1e6) BIGINTs — exact integer
+    // partial-agg on both engines; DuckDB's BIGINT sum widens to
+    // HUGEINT, cast back; mean is one identical IEEE division
+    "q62_label_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim, count(*) AS n,
+           CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
+           CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / count(*) AS mean_q
+         FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+         GROUP BY label, dim ORDER BY label, dim""",
+    // INTERSECT binds tighter than EXCEPT (both DISTINCT semantics) —
+    // parenthesized anyway so both engines read one grouping; value
+    // thresholds keep every operand a strict subset (non-vacuous rows)
+    "q63_engaged_purchasers" ->
+      """(SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 50
+          INTERSECT
+          SELECT user_id FROM events WHERE event_type = 'click' AND value > 50)
+         EXCEPT
+         SELECT user_id FROM events WHERE event_type = 'error' AND value > 90
+         ORDER BY user_id""",
   )
 }

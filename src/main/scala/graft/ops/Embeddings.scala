@@ -416,4 +416,28 @@ object Embeddings {
       col("nrm").as("c_n"), col("bucket"))
     scoreTopK(cands.join(broadcast(qs), Seq("bucket")), k)
   }
+
+  /** q62 — per-label embedding centroids (dim-wise): the aggregation
+    * kernel of embedding-space work — k-means' M-step (q31's trainer
+    * runs exactly this over assigned cells), class prototypes for
+    * nearest-centroid classification, per-source embedding drift
+    * monitors. Emits (label, dim, n, sum_q, mean_q) with components
+    * quantized to exact integers (`round(x·10⁶)` as BIGINT), so the
+    * dim-wise sums are order-independent — float sums would hash-
+    * diverge under Spark's partial-agg reordering — and the mean is
+    * one identical IEEE division on both engines.
+    *
+    * Plan shape at 100 TB: posexplode is a codegen generator (no
+    * interpreted lambda), dim-wise partial sums fold map-side, and the
+    * ONE shuffle carries #labels × dim rows — the aggregate table,
+    * never the corpus. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x").cast("double") * lit(1000000)).cast("long")).as("sum_q"))
+      .select(col("label"), col("dim"), col("n"), col("sum_q"),
+        (col("sum_q").cast("double") / col("n")).as("mean_q"))
+      .orderBy(col("label"), col("dim"))
 }

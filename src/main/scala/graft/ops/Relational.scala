@@ -313,4 +313,92 @@ object Relational {
         percentile(col("n_chars"), lit(0.5)).as("median_chars"),
         percentile(col("n_chars"), lit(0.9)).as("p90_chars"))
       .orderBy(col("source"))
+
+  /** q58 — rolling time-window aggregate (RANGE frame): 7-day moving
+    * revenue over the DAILY series — the other window-frame class
+    * (q07/q08 use unbounded/rows frames; this one is a sliding RANGE
+    * keyed on a gap-ful time axis, where `ROWS 6 PRECEDING` would be
+    * wrong whenever a day is missing).
+    *
+    * Plan shape at 100 TB: the corpus-sized work is the daily rollup —
+    * one shuffle with map-side partials down to #days rows (~365/yr;
+    * decades fit in one task). The window then runs over that
+    * BOUNDED aggregate table, so the single-partition global sort the
+    * unpartitioned window implies is #days-sized, never corpus-sized —
+    * the standard shape for a global time series. Revenue is summed in
+    * exact decimal (order-independent) and only the final columns cast
+    * to double. */
+  def rollingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(date_trunc("DAY", col("o_orderdate")).as("day"),
+        dec(col("o_totalprice")).as("p"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("p")).as("rev"))
+      // integer day number (days since epoch): RANGE frames need a
+      // numeric ordering key, and both engines derive the identical
+      // integer from the same date
+      .withColumn("day_num", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val w7 = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rev7", sum(col("rev")).over(w7))
+      .withColumn("days7", count(lit(1)).over(w7))
+      .select(col("day"), col("n_orders"), dbl(col("rev")).as("day_rev"),
+        dbl(col("rev7")).as("rev7"), col("days7"),
+        (dbl(col("rev7")) / col("days7")).as("avg7"))
+      .orderBy(col("day"))
+  }
+
+  /** q59 — quantile bucketing (§2.5 completeness beyond q07/q08's
+    * row_number): per-source `ntile` deciles plus `percent_rank` /
+    * `cume_dist` over document length — the length-distribution
+    * bucketing a curation pipeline uses to drop tails or stratify.
+    * The order key (n_chars, doc_id) is total, so every rank function
+    * is deterministic on both engines; the ratios are single IEEE
+    * divisions of small exact integers. One shuffle on `source`;
+    * each source's sort is stratum-bounded. */
+  def lengthDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** q60 — UNPIVOT / melt (the inverse of q51's pivot, §2.4
+    * completeness): q49's wide per-source profile to long
+    * (source, stat, value) form — the shape metric stores and plotting
+    * layers ingest. Spark's `unpivot` compiles to a single Expand over
+    * the #source-sized aggregate (no join, no re-scan per stat); all
+    * six stats cast to double up front (unpivot requires one value
+    * type; exact small ints and q49's deterministic percentiles are
+    * both exact in double). */
+  def profileUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val stats = Seq("n_docs", "n_langs", "min_chars", "max_chars",
+      "median_chars", "p90_chars")
+    corpusProfile(spark, dir)
+      .select(col("source") +: stats.map(s => dbl(col(s)).as(s)): _*)
+      .unpivot(Array(col("source")), stats.map(col).toArray, "stat", "value")
+      .orderBy(col("source"), col("stat"))
+  }
+
+  /** q63 — INTERSECT / EXCEPT (§2.6 completeness beyond q12's UNION):
+    * users with a big purchase AND a big click but no severe error —
+    * composed set semantics with DISTINCT de-duplication, exactly
+    * SQL's `INTERSECT` / `EXCEPT`. Catalyst plans both as left-semi /
+    * left-anti hash joins on the distinct key sets, so the plan is
+    * three pushed-filter scans of one table + two key-sized joins —
+    * no corpus-sized shuffle beyond the distincts. (The value
+    * thresholds keep each operand a strict subset of the dense user
+    * universe — with bare event-type sets every user lands in every
+    * operand and the result certifies only the empty case.) */
+  def engagedPurchasers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def ids(t: String, minValue: Double) =
+      ev.filter(col("event_type") === t && col("value") > minValue)
+        .select(col("user_id"))
+    ids("purchase", 50).intersect(ids("click", 50)).except(ids("error", 90))
+      .orderBy(col("user_id"))
+  }
 }

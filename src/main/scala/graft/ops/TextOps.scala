@@ -270,4 +270,34 @@ object TextOps {
         (length(col("text")) - (k - 1)).cast("long").as("n_grams"))
       .orderBy(col("doc_id"))
   }
+
+  /** q61 — BPE merge-candidate pair counts, the statistics kernel of
+    * tokenizer training: corpus-wide frequency of every adjacent
+    * character pair within words (merges never cross whitespace), with
+    * document frequency alongside, top-k by count. Re-run over the
+    * partially-merged symbol stream, this exact job is every
+    * subsequent BPE round; round one is directly computable from raw
+    * text and is what this query pins.
+    *
+    * Plan shape at 100 TB: the per-row pair stream comes from the
+    * custom codegen expression [[graft.functions.CharPairs]] (one byte
+    * scan per row, code-point addressed — no interpreted lambdas, no
+    * pre-explode amplification), then explode → the canonical
+    * word-count two-phase aggregate: map-side partials shrink each
+    * task to its distinct-pair set (bounded by alphabet², tiny) before
+    * the ONE shuffle keyed by pair, and top-k is TakeOrdered — never a
+    * global sort. */
+  def bpePairCounts(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    graft.functions.CharPairs.register(spark)
+    val pairs = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr("char_pairs(text)")).as("pair"))
+    val counts = pairs.groupBy(col("pair"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("pair"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("df"))
+    counts.orderBy(col("n").desc, col("pair")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("pair"))).cast("long"))
+      .select(col("rank"), col("pair"), col("n"), col("df"))
+      .orderBy(col("rank"))
+  }
 }

@@ -33,13 +33,15 @@ class GraftExtensionsSpec extends SparkSpec {
              size(winnow_minima('abcdefghijkl', 8, 4)) AS nw,
              vec_dot(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
                      array(CAST(3 AS BIGINT), CAST(4 AS BIGINT))) AS vd,
-             shingle_set('a b c d', 3) AS ss""").collect()(0)
+             shingle_set('a b c d', 3) AS ss,
+             char_pairs('abc de') AS cp""").collect()(0)
       assert(!r.isNullAt(0))        // simhash evaluates
       assert(r.getLong(1) == 3L)    // 'a b b' → 3 tokens
       assert(r.getLong(2) == 3L)    // bigrams: a b, b a, a b
       assert(r.getInt(3) == 5)      // 12 chars, k=8 → 5 gram positions
       assert(r.getLong(4) == 11L)   // 1·3 + 2·4
       assert(r.getSeq[String](5).toSet == Set("a b c", "b c d"))
+      assert(r.getSeq[String](6) == Seq("ab", "bc", "de"))
       // the injection is per-session opt-in: a fresh session built
       // WITHOUT the extension must not see the family. (Not asserted
       // on `base` — earlier suites may have legitimately register()ed

@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.{Embeddings, Relational, TextOps}
+
+/** Semantics specs for the q58-q63 relational/embedding completions —
+  * each pins the one behavior its oracle alone can't isolate (the
+  * RANGE-vs-ROWS frame distinction needs a gap-ful fixture; the
+  * brute-force twins need driver-side recomputation). */
+class RelationalOpsSpec extends SparkSpec {
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  test("q58 rolling revenue: RANGE frame skips missing days (not ROWS)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("roll").toString
+    // days 1, 2, then a 7-day gap to day 10: a ROWS 6-PRECEDING frame
+    // would include days 1-2 in day 10's window; RANGE must not.
+    Seq(
+      ("2020-01-01 00:00:00", 100.0),
+      ("2020-01-02 00:00:00", 50.0),
+      ("2020-01-10 00:00:00", 10.0),
+      ("2020-01-10 00:00:00", 20.0))
+      .toDF("d", "o_totalprice")
+      .select(col("d").cast("timestamp").as("o_orderdate"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val rows = Relational.rollingRevenue(spark, dir)
+      .select("day", "n_orders", "day_rev", "rev7", "days7", "avg7").collect()
+    assert(rows.length == 3)
+    val byDay = rows.map(r => r.getAs[Timestamp]("day").toString.take(10) -> r).toMap
+    assert(byDay("2020-01-01").getAs[Double]("rev7") == 100.0)
+    assert(byDay("2020-01-02").getAs[Double]("rev7") == 150.0)
+    assert(byDay("2020-01-02").getAs[Long]("days7") == 2L)
+    val d10 = byDay("2020-01-10")
+    assert(d10.getAs[Long]("n_orders") == 2L)
+    assert(d10.getAs[Double]("day_rev") == 30.0)
+    assert(d10.getAs[Double]("rev7") == 30.0, "RANGE frame must exclude the pre-gap days")
+    assert(d10.getAs[Long]("days7") == 1L)
+    assert(d10.getAs[Double]("avg7") == 30.0)
+  }
+
+  test("q59 deciles: ntile balance and rank ratios per source") {
+    val rows = Relational.lengthDeciles(spark, SfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, grp) =>
+      val byDecile = grp.groupBy(_.getAs[Long]("decile")).view.mapValues(_.length)
+      assert(byDecile.keys.forall(d => d >= 1 && d <= 10))
+      // ntile invariant: bucket sizes differ by at most 1
+      assert(byDecile.values.max - byDecile.values.min <= 1)
+      // percent_rank/cume_dist are ratios in [0, 1], monotone in n_chars
+      val sorted = grp.sortBy(r => (r.getAs[Long]("n_chars"), r.getAs[Long]("doc_id")))
+      val prs = sorted.map(_.getAs[Double]("pct_rank"))
+      assert(prs.head == 0.0 && prs.forall(p => p >= 0.0 && p <= 1.0))
+      assert(prs.zip(prs.tail).forall { case (a, b) => a <= b })
+      val cds = sorted.map(_.getAs[Double]("cume"))
+      assert(cds.last == 1.0 && cds.zip(cds.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("q60 unpivot: long form carries exactly the wide profile's cells") {
+    val wide = Relational.corpusProfile(spark, SfDir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val long = Relational.profileUnpivot(spark, SfDir).collect()
+    assert(long.length == wide.size * 6)
+    long.foreach { r =>
+      val w = wide(r.getAs[String]("source"))
+      val expected = r.getAs[String]("stat") match {
+        case "n_docs" => w.getAs[Long]("n_docs").toDouble
+        case "n_langs" => w.getAs[Long]("n_langs").toDouble
+        case "min_chars" => w.getAs[Long]("min_chars").toDouble
+        case "max_chars" => w.getAs[Long]("max_chars").toDouble
+        case "median_chars" => w.getAs[Double]("median_chars")
+        case "p90_chars" => w.getAs[Double]("p90_chars")
+      }
+      assert(r.getAs[Double]("value") == expected, s"cell $r")
+    }
+  }
+
+  test("q61 BPE pairs: agrees with a driver-side brute force at sf0.001") {
+    import spark.implicits._
+    val docs = graft.ops.Tables.documents(spark, SfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val occ = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).flatMap(w => w.sliding(2).filter(_.length == 2)).map(p => (p, id))
+    }
+    val brute = occ.groupBy(_._1).map { case (p, xs) =>
+      (p, xs.length.toLong, xs.map(_._2).distinct.length.toLong)
+    }.toSeq.sortBy(x => (-x._2, x._1)).take(50)
+    val got = TextOps.bpePairCounts(spark, SfDir)
+      .select("pair", "n", "df").as[(String, Long, Long)].collect().toSeq
+    assert(got == brute)
+  }
+
+  test("q62 centroids: dim-wise quantized sums match a driver-side brute force") {
+    import spark.implicits._
+    val vecs = graft.ops.Tables.embeddings(spark, SfDir)
+      .select("label", "embedding").as[(Int, Seq[Float])].collect()
+    val brute = vecs.flatMap { case (l, v) =>
+      v.zipWithIndex.map { case (x, d) => ((l, d), math.round(x.toDouble * 1e6)) }
+    }.groupBy(_._1).map { case ((l, d), xs) =>
+      ((l, d), (xs.length.toLong, xs.map(_._2).sum))
+    }
+    val got = Embeddings.labelCentroids(spark, SfDir)
+      .select("label", "dim", "n", "sum_q", "mean_q").collect()
+    assert(got.length == brute.size)
+    got.foreach { r =>
+      val key = (r.getAs[Int]("label"), r.getAs[Int]("dim"))
+      val (n, sum) = brute(key)
+      assert(r.getAs[Long]("n") == n && r.getAs[Long]("sum_q") == sum, s"at $key")
+      assert(r.getAs[Double]("mean_q") == sum.toDouble / n)
+    }
+  }
+
+  test("q63 set ops: intersect-then-except over a controlled fixture") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("setops").toString
+    // thresholds: purchase/click qualify at value > 50, error excludes
+    // at value > 90. user 1: big purchase+click (in); 2: + severe
+    // error (excluded); 3: purchase only; 4: click only; 5: two big
+    // purchases + click (distinct semantics — appears once); 6: click
+    // below threshold (out); 7: error below threshold (kept)
+    Seq(
+      (1L, "purchase", 60.0), (1L, "click", 60.0),
+      (2L, "purchase", 60.0), (2L, "click", 60.0), (2L, "error", 95.0),
+      (3L, "purchase", 60.0), (4L, "click", 60.0),
+      (5L, "purchase", 60.0), (5L, "purchase", 70.0), (5L, "click", 60.0),
+      (6L, "purchase", 60.0), (6L, "click", 40.0),
+      (7L, "purchase", 60.0), (7L, "click", 60.0), (7L, "error", 50.0))
+      .zipWithIndex
+      .map { case ((u, t, v), i) => (i.toLong, i.toLong * 1000000000L, u, t, v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.engagedPurchasers(spark, dir).as[Long].collect().toSeq
+    assert(got == Seq(1L, 5L, 7L))
+  }
+}
