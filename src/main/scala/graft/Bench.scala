@@ -68,30 +68,39 @@ object Bench {
       graft.ops.Caches.releaseAll(spark)
       (name, math.min(first, second), first, second)
     }
-    // Values are rounded to milliseconds and the raw series live in a
-    // side file, NOT on stdout: the harness that collects this line
-    // keeps only the trailing ~2000 characters of the run's output, and
-    // the full-precision three-series line outgrew that window at 46
-    // queries — BENCH_r04/r05 captured a line whose START was cut off
-    // and recorded `parsed: null`. The graded map alone at 3 decimals
-    // is ~1.4 KB with headroom to ~60 queries.
-    // Locale.ROOT: f"%.3f" uses the JVM default locale — under a
-    // comma-decimal locale (de_DE etc.) it would emit 42,000 and break
+    // Values are rounded (2 decimals = 10 ms resolution) and
+    // EVERYTHING non-graded (protocol tag, warmup, raw series, full
+    // precision) lives in the side file, NOT on stdout: the harness
+    // that collects this line keeps only the trailing ~2000 characters
+    // of the run's output, and the full-precision three-series line
+    // outgrew that window at 46 queries — BENCH_r04/r05 captured a
+    // line whose START was cut off and recorded `parsed: null`. The
+    // stripped graded line is ~1.75 KB at 63 queries; with sbt's
+    // trailing "[success]" line (~75 chars) inside the same window the
+    // headroom is ~160 chars ≈ 6 more queries — recompute before
+    // growing the surface past that.
+    // Locale.ROOT: f"%.2f" uses the JVM default locale — under a
+    // comma-decimal locale (de_DE etc.) it would emit 42,00 and break
     // the very JSON parse this formatting exists to protect
-    def num(v: Double, decimals: Int = 3): String =
+    def num(v: Double, decimals: Int = 2): String =
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
-    def jmap(kv: Seq[(String, Double)]): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + num(v) }.mkString("{", ",", "}")
+    def jmap(kv: Seq[(String, Double)], decimals: Int = 2): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + num(v, decimals) }.mkString("{", ",", "}")
     val qs = jmap(results.map(r => r._1 -> r._2))
     val total = results.map(_._2).sum
-    // protocol tag: graded value/queries are per-query MIN of two
-    // back-to-back runs — r4 JSON graded the second run, r1-r3 single
-    // cold samples; cross-round tooling must not mix the semantics
-    // (ADVICE r4). BASELINE.md is recorded under the same protocol.
+    // numeric sf parsed from the dir name ("sf0.1" → 0.1): shorter than
+    // the path and what the harness records at top level anyway
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
+      .getOrElse("\"" + sfDir + "\"")
+    // Graded value/queries are per-query MIN of two back-to-back runs
+    // (protocol "min-of-two-v3", tagged in the detail file) — r4 JSON
+    // graded the second run, r1-r3 single cold samples; cross-round
+    // tooling must not mix the semantics (ADVICE r4). BASELINE.md is
+    // recorded under the same protocol.
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","protocol":"min-of-two-v3","warmup":${num(warmup, 1)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
     val detail =
-      s"""{"protocol":"min-of-two-v3","warmup":${num(warmup)},"queries_first_run":${jmap(results.map(r => r._1 -> r._3))},"queries_second_run":${jmap(results.map(r => r._1 -> r._4))},"sf":"$sfDir"}"""
+      s"""{"protocol":"min-of-two-v3","warmup":${num(warmup, 3)},"queries_min":${jmap(results.map(r => r._1 -> r._2), 3)},"queries_first_run":${jmap(results.map(r => r._1 -> r._3), 3)},"queries_second_run":${jmap(results.map(r => r._1 -> r._4), 3)},"sf":"$sfDir"}"""
     // best-effort side file: an unwritable cwd must not discard the
     // graded line below after a full timed run
     scala.util.Try {
