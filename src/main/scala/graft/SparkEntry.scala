@@ -91,6 +91,12 @@ object SparkEntry {
     "q61_bpe_pairs"         -> ((s, d) => TextOps.bpePairCounts(s, d)),
     "q62_label_centroids"   -> Embeddings.labelCentroids _,
     "q63_engaged_purchasers" -> Relational.engagedPurchasers _,
+    "q64_event_navigation"  -> Temporal.eventNavigation _,
+    // q65 has NO oracleSql entry BY DESIGN (driver contract: omitted →
+    // rows-only check): HLL/t-digest estimates are engine-specific and
+    // DuckDB cannot replay them; the accuracy bound vs the exact twins
+    // is certified by RelationalOpsSpec instead.
+    "q65_approx_profile"    -> Relational.approxProfile _,
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -1035,5 +1041,18 @@ object SparkEntry {
          EXCEPT
          SELECT user_id FROM events WHERE event_type = 'error' AND value > 90
          ORDER BY user_id""",
+    // navigation windows over the identical total order key; the
+    // default running frame makes first_value the partition's first
+    "q64_event_navigation" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events)
+         SELECT user_id, event_id, event_type,
+           lag(event_type) OVER w AS prev_type,
+           us - lag(us) OVER w AS gap_us,
+           lead(us) OVER w - us AS next_gap_us,
+           us - first_value(us) OVER w AS since_first_us
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+         ORDER BY user_id, event_id""",
   )
 }

@@ -401,4 +401,33 @@ object Relational {
     ids("purchase", 50).intersect(ids("click", 50)).except(ids("error", 90))
       .orderBy(col("user_id"))
   }
+
+  /** q65 — APPROXIMATE aggregates (sketches), the monitoring-scale
+    * forms of q49/q43's exact report: per-source HyperLogLog++ vocab
+    * size (`approx_count_distinct` — mergeable fixed-size registers
+    * instead of the exact count-distinct's expand+two-level agg) and
+    * t-digest length quantiles (`approx_percentile` — constant-memory
+    * partials instead of buffering each group's values). At 100 TB
+    * the exact forms are the bounded-but-costly path; these sketches
+    * are what a recurring data-quality monitor actually runs — same
+    * plan shape, partial-aggregatable all the way down.
+    *
+    * NO SQL oracle by design: sketch internals (register layouts,
+    * compression constants) are engine-specific, so DuckDB cannot
+    * replay Spark's estimates bit-for-bit. The driver records a
+    * rows-only check; the accuracy contract (relative error vs the
+    * exact twins) is spec-certified in RelationalOpsSpec instead. */
+  def approxProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val vocab = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("source"))
+      .agg(approx_count_distinct(col("token"), rsd = 0.02).as("approx_vocab"))
+    val lengths = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("approx_median"),
+        percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("approx_p90"))
+    lengths.join(vocab, Seq("source")).orderBy(col("source"))
+  }
 }

@@ -72,4 +72,33 @@ object Temporal {
         (col("us") - col("last_click_us")).as("gap_us"))
       .orderBy(col("event_id"))
   }
+
+  /** q64 — window NAVIGATION functions (§2.5 completeness beyond
+    * ranking/dedup): per-user event-stream context — previous event
+    * type, inter-event gaps backward and forward (`lag`/`lead`), and
+    * time since the user's first event (`first_value` under the
+    * default running frame) — the sequence features behind funnel and
+    * churn analyses. The window order key (us, event_id) is total, so
+    * every offset function is deterministic; gaps are exact integer
+    * micros on both engines.
+    *
+    * Plan shape at 100 TB: all four navigation functions ride ONE
+    * per-user window pass — one shuffle keyed on user_id, per-user
+    * state a single row of look-back/look-ahead, no self-join (the
+    * naive formulation joins the stream to itself offset by one). */
+  def eventNavigation(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("next_gap_us", lead(col("us"), 1).over(w) - col("us"))
+      .withColumn("since_first_us", col("us") - first(col("us")).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("prev_type"), col("gap_us"), col("next_gap_us"), col("since_first_us"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
 }

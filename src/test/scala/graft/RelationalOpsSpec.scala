@@ -113,6 +113,66 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("q64 navigation windows: lag/lead/first_value over a controlled fixture") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("nav").toString
+    // user 1: events at t=10,20,50 (ns = us*1000); user 2: single event
+    Seq(
+      (1L, 10L, 1L, "view"), (2L, 20L, 1L, "click"), (3L, 50L, 1L, "purchase"),
+      (4L, 30L, 2L, "view"))
+      .map { case (id, us, u, t) => (id, us * 1000, u, t, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.ops.Temporal.eventNavigation(spark, dir).collect()
+    val byId = rows.map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("prev_type")))
+    assert(byId(1L).isNullAt(byId(1L).fieldIndex("gap_us")))
+    assert(byId(1L).getAs[Long]("next_gap_us") == 10L)
+    assert(byId(1L).getAs[Long]("since_first_us") == 0L)
+    assert(byId(2L).getAs[String]("prev_type") == "view")
+    assert(byId(2L).getAs[Long]("gap_us") == 10L)
+    assert(byId(2L).getAs[Long]("next_gap_us") == 30L)
+    assert(byId(2L).getAs[Long]("since_first_us") == 10L)
+    assert(byId(3L).getAs[String]("prev_type") == "click")
+    assert(byId(3L).getAs[Long]("gap_us") == 30L)
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("next_gap_us")))
+    assert(byId(3L).getAs[Long]("since_first_us") == 40L)
+    // single-event user: every offset null, since_first = 0
+    assert(byId(4L).isNullAt(byId(4L).fieldIndex("prev_type")))
+    assert(byId(4L).isNullAt(byId(4L).fieldIndex("gap_us")))
+    assert(byId(4L).isNullAt(byId(4L).fieldIndex("next_gap_us")))
+    assert(byId(4L).getAs[Long]("since_first_us") == 0L)
+  }
+
+  test("q65 sketches: approx vocab/percentiles within bounds of the exact twins") {
+    import spark.implicits._
+    val approx = Relational.approxProfile(spark, SfDir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // exact twins, computed the q43/q49 way
+    val docs = graft.ops.Tables.documents(spark, SfDir)
+    val exactVocab = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("source").agg(countDistinct(col("token")).as("v"))
+      .as[(String, Long)].collect().toMap
+    val exactPcts = Relational.corpusProfile(spark, SfDir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("median_chars"), r.getAs[Double]("p90_chars"))).toMap
+    assert(approx.keySet == exactVocab.keySet)
+    approx.foreach { case (src, r) =>
+      val av = r.getAs[Long]("approx_vocab").toDouble
+      val ev = exactVocab(src).toDouble
+      assert(math.abs(av - ev) / ev <= 0.10, s"$src vocab: approx $av vs exact $ev")
+      // percentile_approx with accuracy 10000 on these group sizes is
+      // near-exact: allow one length-value of slack either side
+      val (em, ep) = exactPcts(src)
+      assert(math.abs(r.getAs[Long]("approx_median") - em) <= em * 0.05 + 2,
+        s"$src median: ${r.getAs[Long]("approx_median")} vs $em")
+      assert(math.abs(r.getAs[Long]("approx_p90") - ep) <= ep * 0.05 + 2,
+        s"$src p90: ${r.getAs[Long]("approx_p90")} vs $ep")
+    }
+  }
+
   test("q63 set ops: intersect-then-except over a controlled fixture") {
     import spark.implicits._
     val dir = Files.createTempDirectory("setops").toString
