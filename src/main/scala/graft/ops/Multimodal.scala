@@ -24,11 +24,12 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
   * formats: [[AudioDecoder]] parses WAV/AIFF/AU with
   * `javax.sound.sampled` — sample rate/channels/frame count from the
   * actual header, RMS features from the actual PCM samples. VIDEO
-  * decode stays the one declared STUB — no JDK video codec exists —
-  * so [[StubDecoder]] derives deterministic fake dimensions and
-  * features from a hash of the bytes (and remains the q28 oracle
-  * twin, whose fixture payloads are text, not real media).
-  * [[JdkDecoder]] composes all three on the one seam.
+  * decode is REAL for MJPEG/AVI: [[VideoDecoder]] parses the RIFF
+  * container (header metadata from `avih`) and ImageIO-decodes
+  * sampled movi frames. Formats beyond the JDK's reach fall back to
+  * [[StubDecoder]]'s deterministic hash-derived values (which remain
+  * the q28 oracle twin — the fixture payloads are text, not real
+  * media). [[JdkDecoder]] composes all four on the one seam.
   * Everything around the seam is the real Spark plumbing a production
   * decoder drops into:
   *  - assets are `binary` columns in a columnar table (parquet keeps
@@ -86,7 +87,7 @@ object Multimodal {
     * serialization contract — `ImageIO` readers are created per call,
     * so there is no shared mutable codec state across threads. */
   object ImageIODecoder extends Decoder {
-    private def luminanceGrid(img: java.awt.image.BufferedImage): Array[Float] = {
+    private[ops] def luminanceGrid(img: java.awt.image.BufferedImage): Array[Float] = {
       val (w, h) = (img.getWidth, img.getHeight)
       Array.tabulate(8) { i =>
         val (gr, gc) = (i / 4, i % 4)
@@ -187,16 +188,105 @@ object Multimodal {
     }
   }
 
+  /** REAL video decode on the same seam, pure JDK: a RIFF/AVI
+    * container parser + per-frame `ImageIO` decode — covers MJPEG
+    * (motion-JPEG) AVI, the one video format decodable with nothing
+    * but the JDK (each '##dc' movi chunk IS a complete JPEG). Width /
+    * height / total frame count come from the parsed `avih` main
+    * header; the 8-float feature is [[ImageIODecoder.luminanceGrid]]
+    * averaged over up to [[MaxSampledFrames]] evenly spaced REAL
+    * decoded frames (temporal mean of the spatial statistic — the
+    * video-embedding stand-in). Non-AVI containers, codecs ImageIO
+    * can't read (h264 etc. — their frame decodes fail, header metadata
+    * is still real), and corrupt payloads fall back per the
+    * [[ImageIODecoder]] contract: header-parseable-but-undecodable
+    * gets real metadata + zero features; unparseable gets
+    * [[StubDecoder]]. A production deployment swaps in ffmpeg/JNI
+    * here with the same signature. */
+  object VideoDecoder extends Decoder {
+    /** Frame-decode bound: statistics converge in a few frames and a
+      * long clip must not cost a full per-frame decode pass. */
+    val MaxSampledFrames: Int = 4
+
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    private case class Avi(width: Int, height: Int, totalFrames: Int,
+                           frames: Vector[(Int, Int)]) // (offset, length) into the payload
+
+    /** Walk the RIFF chunk tree: `avih` for the main header, LIST
+      * `movi` children `##dc`/`##db` for frame payloads. Chunks are
+      * word-aligned (odd sizes pad one byte). Bounds-checked walk —
+      * a truncated file yields what was parsed before the break. */
+    private def parseAvi(b: Array[Byte]): Option[Avi] = {
+      if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
+      var avih: Option[Int] = None
+      var frames = Vector.newBuilder[(Int, Int)]
+      def walk(from: Int, until: Int): Unit = {
+        var off = from
+        while (off + 8 <= until) {
+          val id = fourcc(b, off)
+          val size = u32(b, off + 4).toInt
+          val data = off + 8
+          if (size < 0 || data + size > until) return // truncated/corrupt tail
+          if (id == "LIST" && size >= 4) walk(data + 4, data + size)
+          else if (id == "avih" && size >= 40) avih = Some(data)
+          else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
+                   id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') && size > 0)
+            frames += ((data, size))
+          off = data + size + (size & 1)
+        }
+      }
+      walk(12, math.min(b.length, 8 + u32(b, 4).toInt))
+      avih.map { a =>
+        Avi(u32(b, a + 32).toInt, u32(b, a + 36).toInt, u32(b, a + 16).toInt,
+          frames.result())
+      }
+    }
+
+    def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { m =>
+      val parsed =
+        if (m.kind == "video")
+          try parseAvi(m.content) catch { case scala.util.control.NonFatal(_) => None }
+        else None
+      parsed match {
+        case Some(avi) =>
+          val n = avi.frames.length
+          val sampleIdx =
+            if (n <= MaxSampledFrames) avi.frames.indices
+            else (0 until MaxSampledFrames).map(i => i * n / MaxSampledFrames)
+          val grids = sampleIdx.flatMap { i =>
+            val (off, len) = avi.frames(i)
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.content, off, len)))
+              .map(ImageIODecoder.luminanceGrid)
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
+          val feat =
+            if (grids.isEmpty) new Array[Float](8)
+            else Array.tabulate(8)(d => grids.map(_(d)).sum / grids.length)
+          MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+            avi.width, avi.height,
+            if (avi.totalFrames > 0) avi.totalFrames else n, feat)
+        case None => StubDecoder.decodeBatch(Seq(m)).head
+      }
+    }
+  }
+
   /** The full JDK decode surface on one seam: real image decode
     * ([[ImageIODecoder]]), real audio decode ([[AudioDecoder]]), and
-    * the deterministic stub for video — the one media family with no
-    * JDK codec (a production deployment swaps in ffmpeg/JNI here with
-    * the same signature). */
+    * real MJPEG/AVI video decode ([[VideoDecoder]]); every decoder
+    * falls back to the deterministic stub on formats outside the
+    * JDK's reach, keeping the operator total. */
   object JdkDecoder extends Decoder {
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { m =>
       m.kind match {
         case "image" => ImageIODecoder.decodeBatch(Seq(m)).head
         case "audio" => AudioDecoder.decodeBatch(Seq(m)).head
+        case "video" => VideoDecoder.decodeBatch(Seq(m)).head
         case _       => StubDecoder.decodeBatch(Seq(m)).head
       }
     }

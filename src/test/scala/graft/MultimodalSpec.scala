@@ -131,6 +131,67 @@ class MultimodalSpec extends SparkSpec {
       viaJdk(2).feature.toSeq == stubVideo.feature.toSeq)
   }
 
+  // --- minimal RIFF/AVI writer for the MJPEG video fixture ---
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 255).toByte, ((v >> 8) & 255).toByte,
+      ((v >> 16) & 255).toByte, ((v >>> 24) & 255).toByte)
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le32(data.length) ++ data ++
+      (if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+  private def riffList(typ: String, children: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", typ.getBytes("US-ASCII") ++ children)
+
+  /** A standard minimal MJPEG AVI: avih main header (width/height/
+    * totalFrames) + movi LIST of '00dc' JPEG frame chunks. */
+  private def aviBytes(frames: Seq[Array[Byte]], w: Int, h: Int,
+                       totalFrames: Int): Array[Byte] = {
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(totalFrames), 0, avih, 16, 4)
+    System.arraycopy(le32(1), 0, avih, 24, 4) // dwStreams
+    System.arraycopy(le32(w), 0, avih, 32, 4)
+    System.arraycopy(le32(h), 0, avih, 36, 4)
+    val hdrl = riffList("hdrl", riffChunk("avih", avih))
+    val movi = riffList("movi", frames.flatMap(f => riffChunk("00dc", f)).toArray)
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+  }
+
+  test("VideoDecoder decodes real MJPEG/AVI bytes: header metadata and frame features") {
+    val white = imageBytes(8, 6, 0xffffff, "jpg")
+    val black = imageBytes(8, 6, 0x000000, "jpg")
+    // header declares 320x240 — decoded values must come from the
+    // container header, not the frame raster (proves the parse)
+    val avi = aviBytes(Seq(white, black, white), 320, 240, 3)
+    // valid container whose frames ImageIO can't decode (h264 stand-in)
+    val aviBadFrames = aviBytes(Seq("not-jpeg-payload".getBytes("US-ASCII")), 64, 48, 99)
+    val ds = Seq(
+      MediaRecord(0L, "video", avi),
+      MediaRecord(1L, "video", aviBadFrames),
+      MediaRecord(2L, "video", "not a riff container".getBytes("UTF-8")), // unparseable
+      MediaRecord(3L, "image", avi)                                        // non-video kind
+    ).toDS()
+    val got = Multimodal.extractFeatures(ds, Multimodal.VideoDecoder, batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(got(0L).width == 320 && got(0L).height == 240 && got(0L).n_frames == 3)
+    // temporal mean of real per-frame luminance grids: (1 + 0 + 1)/3
+    assert(got(0L).feature.length == 8 &&
+      got(0L).feature.forall(v => (v - 2f / 3f).abs < 0.05f))
+    // parseable header, undecodable frames: real metadata, zero features
+    assert(got(1L).width == 64 && got(1L).height == 48 && got(1L).n_frames == 99)
+    assert(got(1L).feature.forall(_ == 0f))
+    // fallback paths reproduce the stub exactly
+    val stub = Multimodal.StubDecoder.decodeBatch(Seq(
+      MediaRecord(2L, "video", "not a riff container".getBytes("UTF-8")),
+      MediaRecord(3L, "image", avi))).map(f => f.media_id -> f).toMap
+    Seq(2L, 3L).foreach { id =>
+      assert(got(id).width == stub(id).width && got(id).height == stub(id).height &&
+        got(id).feature.toSeq == stub(id).feature.toSeq)
+    }
+    // the composite now routes video to the real decoder
+    val viaJdk = Multimodal.JdkDecoder.decodeBatch(Seq(MediaRecord(0L, "video", avi))).head
+    assert(viaJdk.width == 320 && viaJdk.n_frames == 3)
+  }
+
   test("frameSample explodes video payloads into fixed-size windows only") {
     val media = records.toDS().toDF()
     val frames = Multimodal.frameSample(media, frameBytes = 16, stride = 4).collect()
