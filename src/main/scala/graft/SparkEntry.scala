@@ -97,6 +97,8 @@ object SparkEntry {
     // DuckDB cannot replay them; the accuracy bound vs the exact twins
     // is certified by RelationalOpsSpec instead.
     "q65_approx_profile"    -> Relational.approxProfile _,
+    "q66_price_stats"       -> Relational.priceStats _,
+    "q67_order_marginals"   -> Relational.orderMarginals _,
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -1054,5 +1056,36 @@ object SparkEntry {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
          ORDER BY user_id, event_id""",
+    // moments from EXACT decimal co-moment sums (order-independent),
+    // derived by the identical IEEE double formula tree on both
+    // engines — never the engines' own streaming stddev/corr, whose
+    // partial-merge order drifts
+    "q66_price_stats" ->
+      """WITH s AS (
+           SELECT l_returnflag AS flag, count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+             sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sqq,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+             sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp
+           FROM lineitem GROUP BY 1)
+         SELECT flag, n,
+           CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
+           CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS mean_p,
+           sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) / CAST(n AS DOUBLE) AS stddev_q,
+           sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) / CAST(n AS DOUBLE) AS stddev_p,
+           (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
+             (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
+              sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS corr_qp
+         FROM s ORDER BY flag""",
+    // the two one-dimension marginals in one pass; GROUPING() bitmask
+    // in Spark's bit order (first listed column = MSB)
+    "q67_order_marginals" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           count(*) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+         ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
   )
 }

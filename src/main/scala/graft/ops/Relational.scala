@@ -430,4 +430,54 @@ object Relational {
         percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("approx_p90"))
     lengths.join(vocab, Seq("source")).orderBy(col("source"))
   }
+
+  /** q66 — statistical aggregates (§2.4 completeness: second moments):
+    * per-returnflag mean / population stddev / Pearson correlation of
+    * lineitem quantity vs extended price. NOT Spark's `stddev`/`corr`
+    * builtins: those stream FP co-moments whose partial-merge order
+    * differs per partitioning (and per engine), so they can never
+    * hash-match an oracle. Instead the aggregate computes the five
+    * EXACT decimal co-moment sums (Σq, Σp, Σq², Σp², Σqp —
+    * order-independent by exactness), and the moments are derived
+    * AFTER aggregation by one identical IEEE double expression tree on
+    * both engines (+, −, ×, ÷, √ are all correctly rounded — identical
+    * inputs give identical bits). Same two-phase map-side-partial plan
+    * shape as the builtins, exactness where they have drift. */
+  def priceStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag").as("flag"),
+      dec(col("l_quantity")).as("q"), dec(col("l_extendedprice")).as("p"))
+    val sums = li.groupBy(col("flag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("q")).as("sq"), sum(col("p")).as("sp"),
+      sum(col("q") * col("q")).as("sqq"), sum(col("p") * col("p")).as("spp"),
+      sum(col("q") * col("p")).as("sqp"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    sums.select(col("flag"), col("n"),
+        (d("sq") / n).as("mean_q"), (d("sp") / n).as("mean_p"),
+        (sqrt(n * d("sqq") - d("sq") * d("sq")) / n).as("stddev_q"),
+        (sqrt(n * d("spp") - d("sp") * d("sp")) / n).as("stddev_p"),
+        ((n * d("sqp") - d("sq") * d("sp")) /
+          (sqrt(n * d("sqq") - d("sq") * d("sq")) *
+            sqrt(n * d("spp") - d("sp") * d("sp")))).as("corr_qp"))
+      .orderBy(col("flag"))
+  }
+
+  /** q67 — explicit GROUPING SETS (completing q14 rollup / q54 cube):
+    * the two one-dimension marginals (by status; by priority) in ONE
+    * pass — a set combination neither rollup nor cube expresses
+    * (no grand total, no cross cells). Same single Expand + two-phase
+    * aggregate physical shape; `grouping_id` disambiguates which
+    * marginal a row belongs to. */
+  def orderMarginals(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    ord.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        dbl(sum(dec(col("o_totalprice"))).cast(DecimalType(38, 2))).as("sum_price"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+  }
 }

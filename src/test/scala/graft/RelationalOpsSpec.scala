@@ -173,6 +173,37 @@ class RelationalOpsSpec extends SparkSpec {
     }
   }
 
+  test("q66 exact-moment stats: agrees with Spark's streaming corr/stddev to FP tolerance") {
+    val got = Relational.priceStats(spark, SfDir).collect()
+      .map(r => r.getAs[String]("flag") -> r).toMap
+    // Spark's own streaming aggregates as an independent witness: the
+    // exact-decimal derivation must land within FP-drift distance
+    val ref = graft.ops.Tables.lineitem(spark, SfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(stddev_pop(col("l_quantity")).as("sd_q"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    got.foreach { case (flag, r) =>
+      assert(math.abs(r.getAs[Double]("stddev_q") - ref(flag).getAs[Double]("sd_q")) < 1e-6)
+      val c = r.getAs[Double]("corr_qp")
+      assert(c >= -1.0 && c <= 1.0)
+      assert(math.abs(c - ref(flag).getAs[Double]("c")) < 1e-6)
+    }
+  }
+
+  test("q67 grouping sets: exactly the two marginals, no totals or cross cells") {
+    val rows = Relational.orderMarginals(spark, SfDir).collect()
+    // every row is one of the two marginals: exactly one dimension null
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("o_orderstatus")) ^
+      r.isNullAt(r.fieldIndex("o_orderpriority"))))
+    // each marginal's counts sum to the table size
+    val total = graft.ops.Tables.orders(spark, SfDir).count()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    assert(byGid.keySet == Set(1L, 2L)) // status kept (gid=1), priority kept (gid=2)
+    byGid.values.foreach(g => assert(g.map(_.getAs[Long]("n")).sum == total))
+  }
+
   test("q63 set ops: intersect-then-except over a controlled fixture") {
     import spark.implicits._
     val dir = Files.createTempDirectory("setops").toString
