@@ -81,9 +81,14 @@ object Bench {
     // growing the surface past that.
     // Locale.ROOT: f"%.2f" uses the JVM default locale — under a
     // comma-decimal locale (de_DE etc.) it would emit 42,00 and break
-    // the very JSON parse this formatting exists to protect
-    def num(v: Double, decimals: Int = 2): String =
-      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    // the very JSON parse this formatting exists to protect.
+    // Trailing zeros are stripped ("0.30" → "0.3", "3.00" → "3" —
+    // both valid JSON numbers): ~1 char per query, a full extra
+    // query's worth of line budget per ~25 queries.
+    def num(v: Double, decimals: Int = 2): String = {
+      val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+    }
     def jmap(kv: Seq[(String, Double)], decimals: Int = 2): String =
       kv.map { case (k, v) => "\"" + k + "\":" + num(v, decimals) }.mkString("{", ",", "}")
     val qs = jmap(results.map(r => r._1 -> r._2))
