@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The determinism contract behind every oracle row, certified
+  * mechanically: EVERY SparkEntry query must produce identical rows —
+  * values and order — under a different shuffle-partition count. This
+  * is what the repo's exactness rules (decimal sums, integer
+  * quantization, total order keys, hash-derived sampling) exist to
+  * guarantee; a query whose result drifts with partitioning can never
+  * hash-match DuckDB from the driver's 8-cpu run if it was developed
+  * under 32.
+  *
+  * q65 is the ONE documented exclusion: `percentile_approx`'s t-digest
+  * merge tree follows the partitioning, so its estimates may
+  * legitimately differ by a few units across partition counts (the
+  * accuracy band is its contract, spec'd in RelationalOpsSpec; the
+  * driver's check is rows-only). HLL would be invariant, but the query
+  * carries both sketches.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val Excluded = Set("q65_approx_profile")
+
+  test("every query returns identical rows under a different shuffle partitioning") {
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    // a cloned session shares the context/catalog but isolates SQLConf
+    // — the same seam connectedComponents uses for its loop conf
+    val alt: SparkSession = spark.newSession()
+    alt.conf.set("spark.sql.shuffle.partitions", "5")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => Excluded(name) }
+      .foreach { case (name, fn) =>
+        val base = fn(spark, dir).collect()
+        graft.ops.Caches.releaseAll(spark)
+        val other = fn(alt, dir).collect()
+        graft.ops.Caches.releaseAll(alt)
+        assert(base.length == other.length,
+          s"$name: ${base.length} vs ${other.length} rows across partitionings")
+        base.zip(other).zipWithIndex.foreach { case ((a, b), i) =>
+          assert(a == b, s"$name row $i differs across partitionings:\n  32p: $a\n  5p:  $b")
+        }
+      }
+  }
+}
