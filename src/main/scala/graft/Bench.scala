@@ -94,9 +94,17 @@ object Bench {
     val qs = jmap(results.map(r => r._1 -> r._2))
     val total = results.map(_._2).sum
     // numeric sf parsed from the dir name ("sf0.1" → 0.1): shorter than
-    // the path and what the harness records at top level anyway
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
-      .getOrElse("\"" + sfDir + "\"")
+    // the path and what the harness records at top level anyway. The
+    // regex admits exactly one optional decimal point ("sf0.1.bak"
+    // must yield 0.1, never the invalid JSON number "0.1."), and the
+    // quoted fallback escapes the path — either flaw would corrupt the
+    // one graded line this formatting exists to protect.
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1))
+      .getOrElse("\"" + sfDir.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c => c.toString
+      } + "\"")
     // Graded value/queries are per-query MIN of two back-to-back runs
     // (protocol "min-of-two-v3", tagged in the detail file) — r4 JSON
     // graded the second run, r1-r3 single cold samples; cross-round

@@ -1072,11 +1072,11 @@ object SparkEntry {
          SELECT flag, n,
            CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mean_q,
            CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS mean_p,
-           sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) / CAST(n AS DOUBLE) AS stddev_q,
-           sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) / CAST(n AS DOUBLE) AS stddev_p,
+           sqrt(greatest(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE), 0)) / CAST(n AS DOUBLE) AS stddev_q,
+           sqrt(greatest(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE), 0)) / CAST(n AS DOUBLE) AS stddev_p,
            (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE)) /
-             (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) *
-              sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))) AS corr_qp
+             nullif(sqrt(greatest(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE), 0)) *
+                    sqrt(greatest(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE), 0)), 0) AS corr_qp
          FROM s ORDER BY flag""",
     // the two one-dimension marginals in one pass; GROUPING() bitmask
     // in Spark's bit order (first listed column = MSB)

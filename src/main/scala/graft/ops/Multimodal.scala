@@ -231,7 +231,10 @@ object Multimodal {
           val id = fourcc(b, off)
           val size = u32(b, off + 4).toInt
           val data = off + 8
-          if (size < 0 || data + size > until) return // truncated/corrupt tail
+          // overflow-safe bound (`data + size` wraps for crafted sizes
+          // near Int.MaxValue; `until - data` cannot): a corrupt chunk
+          // must stop the walk, keeping what was parsed before it
+          if (size < 0 || size > until - data) return // truncated/corrupt tail
           if (id == "LIST" && size >= 4) walk(data + 4, data + size)
           else if (id == "avih" && size >= 40) avih = Some(data)
           else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&

@@ -453,13 +453,22 @@ object Relational {
       sum(col("q") * col("p")).as("sqp"))
     val n = col("n").cast("double")
     def d(c: String) = col(c).cast("double")
+    // radicands clamped at 0 (mirrored in the oracle): n·Σx² − (Σx)²
+    // is ≥ 0 in exact arithmetic, but the two independent
+    // decimal→double roundings can land a hair negative for a
+    // zero-variance group — where Spark's sqrt yields NaN and DuckDB
+    // ERRORS, failing the whole oracle query. A zero denominator
+    // (either variance 0) nulls the correlation on both engines
+    // instead of dividing 0/0 into a NaN the comparator can't match.
+    val varQ = greatest(n * d("sqq") - d("sq") * d("sq"), lit(0.0))
+    val varP = greatest(n * d("spp") - d("sp") * d("sp"), lit(0.0))
+    val denom = sqrt(varQ) * sqrt(varP)
     sums.select(col("flag"), col("n"),
         (d("sq") / n).as("mean_q"), (d("sp") / n).as("mean_p"),
-        (sqrt(n * d("sqq") - d("sq") * d("sq")) / n).as("stddev_q"),
-        (sqrt(n * d("spp") - d("sp") * d("sp")) / n).as("stddev_p"),
-        ((n * d("sqp") - d("sq") * d("sp")) /
-          (sqrt(n * d("sqq") - d("sq") * d("sq")) *
-            sqrt(n * d("spp") - d("sp") * d("sp")))).as("corr_qp"))
+        (sqrt(varQ) / n).as("stddev_q"),
+        (sqrt(varP) / n).as("stddev_p"),
+        when(denom === 0.0, lit(null).cast("double"))
+          .otherwise((n * d("sqp") - d("sq") * d("sp")) / denom).as("corr_qp"))
       .orderBy(col("flag"))
   }
 

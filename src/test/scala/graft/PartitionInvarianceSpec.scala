@@ -8,8 +8,8 @@ import org.apache.spark.sql.SparkSession
   * is what the repo's exactness rules (decimal sums, integer
   * quantization, total order keys, hash-derived sampling) exist to
   * guarantee; a query whose result drifts with partitioning can never
-  * hash-match DuckDB from the driver's 8-cpu run if it was developed
-  * under 32.
+  * hash-match DuckDB from the driver's run if its partition count
+  * differs from the one the query was developed under.
   *
   * q65 is the ONE documented exclusion: `percentile_approx`'s t-digest
   * merge tree follows the partitioning, so its estimates may
@@ -27,8 +27,13 @@ class PartitionInvarianceSpec extends SparkSpec {
     assume(new java.io.File(dir).isDirectory, "testdata not present")
     // a cloned session shares the context/catalog but isolates SQLConf
     // — the same seam connectedComponents uses for its loop conf
+    val baseParts = spark.sessionState.conf.numShufflePartitions
     val alt: SparkSession = spark.newSession()
-    alt.conf.set("spark.sql.shuffle.partitions", "5")
+    // coprime with and far from the base count, so shuffle bucket
+    // assignments genuinely reshuffle rather than nest
+    val altParts = 13
+    assert(altParts != baseParts)
+    alt.conf.set("spark.sql.shuffle.partitions", altParts.toString)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => Excluded(name) }
       .foreach { case (name, fn) =>
@@ -39,7 +44,8 @@ class PartitionInvarianceSpec extends SparkSpec {
         assert(base.length == other.length,
           s"$name: ${base.length} vs ${other.length} rows across partitionings")
         base.zip(other).zipWithIndex.foreach { case ((a, b), i) =>
-          assert(a == b, s"$name row $i differs across partitionings:\n  32p: $a\n  5p:  $b")
+          assert(a == b, s"$name row $i differs across partitionings:\n" +
+            s"  ${baseParts}p: $a\n  ${altParts}p: $b")
         }
       }
   }
