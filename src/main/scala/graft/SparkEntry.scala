@@ -99,6 +99,7 @@ object SparkEntry {
     "q65_approx_profile"    -> Relational.approxProfile _,
     "q66_price_stats"       -> Relational.priceStats _,
     "q67_order_marginals"   -> Relational.orderMarginals _,
+    "q68_semantic_dedup"    -> ((s, d) => Embeddings.semanticDedup(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -140,6 +141,62 @@ object SparkEntry {
            UNION
            SELECT e.a AS node, r.r FROM edges e JOIN reach r ON e.b = r.node),
          comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)"""
+
+  /** Shared IVF training replay for the quantizer family (q31, q68):
+    * ONE definition of the pinned trajectory — quantize (`floor(x·10³)`
+    * BIGINTs), Forgy seeding (10 smallest vec_ids), two exact-integer
+    * Lloyd's rounds, final cell assignment `af` (vec_id, j) — mirroring
+    * [[graft.ops.Embeddings.trainQuantizerOn]]/`nearestCell` bit-for-
+    * bit: distances in the scaled form Σ(n·q−s)² / n² with ties to the
+    * smallest cell id. Editing a training constant on one engine but
+    * not the other must fail BOTH consumers, not silently diverge
+    * one. */
+  private val IvfCtes =
+    """q AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         v AS (
+           SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q),
+         dims AS (SELECT unnest(generate_series(1,64)) AS d),
+         c0 AS (SELECT vec_id AS j, qv AS s, CAST(1 AS BIGINT) AS n
+                FROM v ORDER BY vec_id LIMIT 10),
+         d1 AS (
+           SELECT v.vec_id, c.j,
+             CAST(list_sum(list_transform(generate_series(1,64),
+               i -> (c.n*v.qv[i]-c.s[i])*(c.n*v.qv[i]-c.s[i]))) AS DOUBLE)
+               / CAST(c.n*c.n AS DOUBLE) AS dist
+           FROM v, c0 c),
+         a1 AS (SELECT vec_id, j FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+                  FROM d1) t WHERE rn = 1),
+         s1 AS (SELECT a1.j, dims.d, CAST(sum(v.qv[dims.d]) AS BIGINT) AS sv
+                FROM a1 JOIN v USING (vec_id), dims GROUP BY a1.j, dims.d),
+         n1 AS (SELECT j, CAST(count(*) AS BIGINT) AS n FROM a1 GROUP BY j),
+         c1 AS (SELECT s1.j, list(sv ORDER BY d) AS s, n1.n
+                FROM s1 JOIN n1 USING (j) GROUP BY s1.j, n1.n),
+         d2 AS (
+           SELECT v.vec_id, c.j,
+             CAST(list_sum(list_transform(generate_series(1,64),
+               i -> (c.n*v.qv[i]-c.s[i])*(c.n*v.qv[i]-c.s[i]))) AS DOUBLE)
+               / CAST(c.n*c.n AS DOUBLE) AS dist
+           FROM v, c1 c),
+         a2 AS (SELECT vec_id, j FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+                  FROM d2) t WHERE rn = 1),
+         s2 AS (SELECT a2.j, dims.d, CAST(sum(v.qv[dims.d]) AS BIGINT) AS sv
+                FROM a2 JOIN v USING (vec_id), dims GROUP BY a2.j, dims.d),
+         n2 AS (SELECT j, CAST(count(*) AS BIGINT) AS n FROM a2 GROUP BY j),
+         c2 AS (SELECT s2.j, list(sv ORDER BY d) AS s, n2.n
+                FROM s2 JOIN n2 USING (j) GROUP BY s2.j, n2.n),
+         df AS (
+           SELECT v.vec_id, c.j,
+             CAST(list_sum(list_transform(generate_series(1,64),
+               i -> (c.n*v.qv[i]-c.s[i])*(c.n*v.qv[i]-c.s[i]))) AS DOUBLE)
+               / CAST(c.n*c.n AS DOUBLE) AS dist
+           FROM v, c2 c),
+         af AS (SELECT vec_id, j FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+                  FROM df) t WHERE rn = 1)"""
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
     * ORDER BY, explicit casts so dtypes line up (see Relational docs). */
@@ -457,51 +514,7 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, count(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     "q31_ivf_topk" ->
-      """WITH q AS (
-           SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
-           FROM embeddings),
-         v AS (
-           SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q),
-         dims AS (SELECT unnest(generate_series(1,64)) AS d),
-         c0 AS (SELECT vec_id AS j, qv AS s, CAST(1 AS BIGINT) AS n
-                FROM v ORDER BY vec_id LIMIT 10),
-         d1 AS (
-           SELECT v.vec_id, c.j,
-             CAST(list_sum(list_transform(generate_series(1,64),
-               i -> (c.n*v.qv[i]-c.s[i])*(c.n*v.qv[i]-c.s[i]))) AS DOUBLE)
-               / CAST(c.n*c.n AS DOUBLE) AS dist
-           FROM v, c0 c),
-         a1 AS (SELECT vec_id, j FROM (
-                  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
-                  FROM d1) t WHERE rn = 1),
-         s1 AS (SELECT a1.j, dims.d, CAST(sum(v.qv[dims.d]) AS BIGINT) AS sv
-                FROM a1 JOIN v USING (vec_id), dims GROUP BY a1.j, dims.d),
-         n1 AS (SELECT j, CAST(count(*) AS BIGINT) AS n FROM a1 GROUP BY j),
-         c1 AS (SELECT s1.j, list(sv ORDER BY d) AS s, n1.n
-                FROM s1 JOIN n1 USING (j) GROUP BY s1.j, n1.n),
-         d2 AS (
-           SELECT v.vec_id, c.j,
-             CAST(list_sum(list_transform(generate_series(1,64),
-               i -> (c.n*v.qv[i]-c.s[i])*(c.n*v.qv[i]-c.s[i]))) AS DOUBLE)
-               / CAST(c.n*c.n AS DOUBLE) AS dist
-           FROM v, c1 c),
-         a2 AS (SELECT vec_id, j FROM (
-                  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
-                  FROM d2) t WHERE rn = 1),
-         s2 AS (SELECT a2.j, dims.d, CAST(sum(v.qv[dims.d]) AS BIGINT) AS sv
-                FROM a2 JOIN v USING (vec_id), dims GROUP BY a2.j, dims.d),
-         n2 AS (SELECT j, CAST(count(*) AS BIGINT) AS n FROM a2 GROUP BY j),
-         c2 AS (SELECT s2.j, list(sv ORDER BY d) AS s, n2.n
-                FROM s2 JOIN n2 USING (j) GROUP BY s2.j, n2.n),
-         df AS (
-           SELECT v.vec_id, c.j,
-             CAST(list_sum(list_transform(generate_series(1,64),
-               i -> (c.n*v.qv[i]-c.s[i])*(c.n*v.qv[i]-c.s[i]))) AS DOUBLE)
-               / CAST(c.n*c.n AS DOUBLE) AS dist
-           FROM v, c2 c),
-         af AS (SELECT vec_id, j FROM (
-                  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
-                  FROM df) t WHERE rn = 1),
+      s"""WITH $IvfCtes,
          scored AS (
            SELECT qa.vec_id AS q_id, cv.vec_id AS neighbor_id,
              CAST(list_sum(list_transform(generate_series(1,64), i -> qq.qv[i]*cv.qv[i])) AS BIGINT) AS dot,
@@ -1087,5 +1100,30 @@ object SparkEntry {
            CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_price
          FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
          ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    // SemDeDup: the shared IVF training replay assigns cells (af),
+    // exact within-cell cosine pairs (q29's formula: one sqrt over the
+    // norm product), then the q32/q33 recursive-reachability
+    // resolution and full-table drop-list
+    "q68_semantic_dedup" ->
+      s"""WITH RECURSIVE $IvfCtes,
+         pairs AS (
+           SELECT x.vec_id AS d1, y.vec_id AS d2
+           FROM af x
+           JOIN af y ON y.j = x.j AND x.vec_id < y.vec_id
+           JOIN v vx ON vx.vec_id = x.vec_id
+           JOIN v vy ON vy.vec_id = y.vec_id
+           WHERE CAST(list_sum(list_transform(generate_series(1,64), i -> vx.qv[i]*vy.qv[i])) AS DOUBLE)
+                 / sqrt(CAST(vx.nrm AS DOUBLE)*CAST(vy.nrm AS DOUBLE)) >= 0.35),
+         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+         reach AS (
+           SELECT a AS node, a AS r FROM (SELECT DISTINCT a FROM edges) t
+           UNION
+           SELECT e.a AS node, r.r FROM edges e JOIN reach r ON e.b = r.node),
+         comp AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
+         SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+                coalesce(c.cluster_id, e.vec_id) = e.vec_id AS keep
+         FROM embeddings e LEFT JOIN comp c USING (vec_id)
+         ORDER BY e.vec_id""",
   )
 }

@@ -431,6 +431,42 @@ object Embeddings {
     * interpreted lambda), dim-wise partial sums fold map-side, and the
     * ONE shuffle carries #labels × dim rows — the aggregate table,
     * never the corpus. */
+  /** q68 — SEMANTIC dedup (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space with the trained IVF quantizer, then resolve
+    * near-duplicates WITHIN each cell — exact quantized cosine pairs
+    * over the cell block, connected components, min-id survivor —
+    * emitted as the same full-table drop-list contract as q32/q33.
+    * This is the third member of the embedding-dedup family and the
+    * form the paper argues scales: the quadratic step runs per CELL
+    * (k-means blocks, corpus/nCells-sized), never per corpus, and the
+    * cell count grows with the corpus.
+    *
+    * vs q33: same resolution tail, different candidate generator —
+    * LSH buckets are locality hashes (recall dialed by planes/bands);
+    * IVF cells are LEARNED partitions, so semantically dense regions
+    * get their own blocks and the within-block scan is the semantic
+    * neighborhood the paper deduplicates. All arithmetic is the
+    * exact-integer quantizer/cosine machinery q31/q29 certify, so the
+    * DuckDB oracle replays training, assignment, pairing, and
+    * clustering bit-for-bit. */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    threshold: Double = 0.35,
+                    nCells: Int = 10, iters: Int = 2): DataFrame = {
+    val vecs = Caches.persist(quantized(spark, dir))
+    val cents = trainQuantizerOn(vecs, nCells, iters)
+    // persisted: the cell assignment (nCells codegen distance evals per
+    // row) feeds BOTH sides of the within-cell self-join
+    val cells = Caches.persist(vecs.withColumn("cell", nearestCell(cents)))
+    val a = cells.select(col("vec_id").as("d1"), col("qv").as("v1"),
+      col("nrm").as("n1"), col("cell"))
+    val b = cells.select(col("vec_id").as("d2"), col("qv").as("v2"),
+      col("nrm").as("n2"), col("cell"))
+    val pairs = scorePairs(a.join(b, Seq("cell")).filter(col("d1") < col("d2")), threshold)
+      .select(col("d1"), col("d2"))
+    LlmOps.dropList(vecs.select(col("vec_id")),
+      LlmOps.connectedComponents(pairs), "vec_id")
+  }
+
   def labelCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))

@@ -213,6 +213,21 @@ class EmbeddingsSpec extends SparkSpec {
       got.filter(t => t._1 == t._2).map(_._1).toSet).size)
   }
 
+  test("semanticDedup: drop-list contract holds and within-cell pairs resolve") {
+    val got = Embeddings.semanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // full-table drop-list: one row per embedding
+    assert(got.length == spark.read.parquet(s"$dir/embeddings.parquet").count())
+    // survivor rule: keep ⇔ the row IS its cluster's min id
+    got.foreach { case (id, c, keep) => assert(keep == (id == c) && c <= id) }
+    // non-vacuous: the learned cells contain real near-dup pairs at
+    // the calibrated threshold, so something is actually dropped
+    assert(got.exists(!_._3), "semantic dedup found no within-cell near-dups")
+    // cluster ids are cluster members (every cluster's min labels it)
+    val members = got.groupBy(_._2)
+    members.foreach { case (c, ms) => assert(ms.map(_._1).min == c) }
+  }
+
   test("quantizer persists: train → save → load → serve equals the one-shot q31") {
     assume(new java.io.File(dir).isDirectory, "testdata not present")
     val oneShot = Embeddings.ivfTopK(spark, dir).collect()
