@@ -28,6 +28,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(sh.filter(_._1 == 3L).map(_._2).sorted === Seq("x y z", "y z x", "z x y"))
   }
 
+  test("MinHashAgg typed UDAF: bit-parity with the declarative 16-min signatures") {
+    graft.functions.MinHashAgg.register(spark)
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val viaUdaf = LlmOps.shingles(graft.ops.Tables.documents(spark, dir))
+      .groupBy(col("doc_id")).agg(expr("minhash_sig(shingle)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val declarative = LlmOps.minhashSignatures(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaUdaf.keySet == declarative.keySet && viaUdaf.nonEmpty)
+    viaUdaf.foreach { case (id, sig) =>
+      assert(sig == declarative(id), s"signature mismatch for doc $id")
+    }
+  }
+
   test("jaccard pairs: identical docs hit 1.0, disjoint docs absent") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
