@@ -142,6 +142,34 @@ object SparkEntry {
            SELECT e.a AS node, r.r FROM edges e JOIN reach r ON e.b = r.node),
          comp AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)"""
 
+  /** Exact quantized-cosine threshold predicate over two `v` aliases —
+    * ONE definition of q29's scoring formula (codegen `vec_dot` dot /
+    * one sqrt over the norm product) for every vector-pairs oracle
+    * (q33's LSH buckets, q68's IVF cells): a drifted threshold or
+    * formula on the Spark side ([[graft.ops.Embeddings]] scorePairs)
+    * must fail BOTH consumers. */
+  private def VecCosineGE(x: String, y: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1,64), i -> $x.qv[i]*$y.qv[i])) AS DOUBLE)
+                 / sqrt(CAST($x.nrm AS DOUBLE)*CAST($y.nrm AS DOUBLE)) >= 0.35"""
+
+  /** Vector-side resolution tail shared by q33 and q68 (recursive
+    * reachability over a `pairs(d1, d2)` CTE + the full-table
+    * drop-list SELECT — [[graft.ops.LlmOps.dropList]]'s contract);
+    * requires WITH RECURSIVE at the consumer. One definition: a
+    * drifted survivor rule fails both oracles, not one. */
+  private val VecComponentSql =
+    """edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+                   UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
+         reach AS (
+           SELECT a AS node, a AS r FROM (SELECT DISTINCT a FROM edges) t
+           UNION
+           SELECT e.a AS node, r.r FROM edges e JOIN reach r ON e.b = r.node),
+         comp AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
+         SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+                coalesce(c.cluster_id, e.vec_id) = e.vec_id AS keep
+         FROM embeddings e LEFT JOIN comp c USING (vec_id)
+         ORDER BY e.vec_id"""
+
   /** Shared IVF training replay for the quantizer family (q31, q68):
     * ONE definition of the pinned trajectory — quantize (`floor(x·10³)`
     * BIGINTs), Forgy seeding (10 smallest vec_ids), two exact-integer
@@ -540,7 +568,7 @@ object SparkEntry {
          FROM documents d LEFT JOIN comp c USING (doc_id)
          ORDER BY d.doc_id""",
     "q33_embedding_clusters" ->
-      """WITH RECURSIVE q AS (
+      s"""WITH RECURSIVE q AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
            FROM embeddings),
          nrm AS (
@@ -559,19 +587,8 @@ object SparkEntry {
          pairs AS (
            SELECT a.vec_id AS d1, c.vec_id AS d2
            FROM v a JOIN v c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-           WHERE CAST(list_sum(list_transform(generate_series(1,64), i -> a.qv[i]*c.qv[i])) AS DOUBLE)
-                 / sqrt(CAST(a.nrm AS DOUBLE)*CAST(c.nrm AS DOUBLE)) >= 0.35),
-         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                   UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
-         reach AS (
-           SELECT a AS node, a AS r FROM (SELECT DISTINCT a FROM edges) t
-           UNION
-           SELECT e.a AS node, r.r FROM edges e JOIN reach r ON e.b = r.node),
-         comp AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
-         SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS cluster_id,
-                coalesce(c.cluster_id, e.vec_id) = e.vec_id AS keep
-         FROM embeddings e LEFT JOIN comp c USING (vec_id)
-         ORDER BY e.vec_id""",
+           WHERE ${VecCosineGE("a", "c")}),
+         $VecComponentSql""",
     // parametric in the plane count: p = smallest integer with
     // 64·2^p ≥ count(embeddings) — the same exact-integer planesFor the
     // Spark side runs — and band k draws planes k·p .. k·p+p-1, so the
@@ -1112,18 +1129,7 @@ object SparkEntry {
            JOIN af y ON y.j = x.j AND x.vec_id < y.vec_id
            JOIN v vx ON vx.vec_id = x.vec_id
            JOIN v vy ON vy.vec_id = y.vec_id
-           WHERE CAST(list_sum(list_transform(generate_series(1,64), i -> vx.qv[i]*vy.qv[i])) AS DOUBLE)
-                 / sqrt(CAST(vx.nrm AS DOUBLE)*CAST(vy.nrm AS DOUBLE)) >= 0.35),
-         edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-                   UNION ALL SELECT d2 AS a, d1 AS b FROM pairs),
-         reach AS (
-           SELECT a AS node, a AS r FROM (SELECT DISTINCT a FROM edges) t
-           UNION
-           SELECT e.a AS node, r.r FROM edges e JOIN reach r ON e.b = r.node),
-         comp AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node)
-         SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS cluster_id,
-                coalesce(c.cluster_id, e.vec_id) = e.vec_id AS keep
-         FROM embeddings e LEFT JOIN comp c USING (vec_id)
-         ORDER BY e.vec_id""",
+           WHERE ${VecCosineGE("vx", "vy")}),
+         $VecComponentSql""",
   )
 }

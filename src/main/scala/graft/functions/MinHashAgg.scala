@@ -25,9 +25,12 @@ class MinHashAgg(val k: Int) extends Aggregator[String, Array[Long], Seq[Long]] 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    // ONE digest instance serves all k seeds (digest() resets it) —
+    // per-seed getInstance would pay 16 JCA provider lookups per row
+    val md = java.security.MessageDigest.getInstance("MD5")
     var s = 0
     while (s < k) {
-      val h = MinHashAgg.portableHash64(s + ":" + shingle)
+      val h = MinHashAgg.portableHash64(md, s + ":" + shingle)
       if (h < buf(s)) buf(s) = h
       s += 1
     }
@@ -50,10 +53,10 @@ object MinHashAgg {
 
   /** JVM twin of [[graft.ops.LlmOps.portableHash64]] (first 15 md5 hex
     * chars as a 60-bit long) — same value as the Column form and the
-    * DuckDB oracle's `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`. */
-  private[graft] def portableHash64(s: String): Long = {
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    * DuckDB oracle's `CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)`.
+    * Takes the caller's digest instance (reset by `digest()`). */
+  private[graft] def portableHash64(md: java.security.MessageDigest, s: String): Long = {
+    val md5 = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // 15 hex chars = the top 7.5 bytes; build the value directly
     var v = 0L
     var i = 0

@@ -431,6 +431,16 @@ object Embeddings {
     * interpreted lambda), dim-wise partial sums fold map-side, and the
     * ONE shuffle carries #labels × dim rows — the aggregate table,
     * never the corpus. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x").cast("double") * lit(1000000)).cast("long")).as("sum_q"))
+      .select(col("label"), col("dim"), col("n"), col("sum_q"),
+        (col("sum_q").cast("double") / col("n")).as("mean_q"))
+      .orderBy(col("label"), col("dim"))
+
   /** q68 — SEMANTIC dedup (SemDeDup, Abbas et al. 2023): cluster the
     * embedding space with the trained IVF quantizer, then resolve
     * near-duplicates WITHIN each cell — exact quantized cosine pairs
@@ -466,14 +476,4 @@ object Embeddings {
     LlmOps.dropList(vecs.select(col("vec_id")),
       LlmOps.connectedComponents(pairs), "vec_id")
   }
-
-  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy(col("label"), col("dim"))
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("x").cast("double") * lit(1000000)).cast("long")).as("sum_q"))
-      .select(col("label"), col("dim"), col("n"), col("sum_q"),
-        (col("sum_q").cast("double") / col("n")).as("mean_q"))
-      .orderBy(col("label"), col("dim"))
 }
