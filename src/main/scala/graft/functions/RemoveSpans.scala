@@ -96,7 +96,13 @@ object RemoveSpans {
     var cnt = 0
     var i = 0
     while (i < m) {
-      if (!startsArr.isNullAt(i)) { sp(cnt) = startsArr.getInt(i); cnt += 1 }
+      // negative starts dropped, honoring the documented "out-of-range
+      // starts cover nothing": a start in (-k, 0) would otherwise
+      // absorb at p=0 with coverEnd = s+k-1 ≥ 0 and silently delete
+      // leading tokens (SQL callers can pass arbitrary arrays)
+      if (!startsArr.isNullAt(i) && startsArr.getInt(i) >= 0) {
+        sp(cnt) = startsArr.getInt(i); cnt += 1
+      }
       i += 1
     }
     java.util.Arrays.sort(sp, 0, cnt)

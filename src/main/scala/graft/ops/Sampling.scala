@@ -179,7 +179,13 @@ object Sampling {
     // null-propagating concat (see saltedHash): a null source nulls the
     // hash and the row drops out, matching the oracle's `||`
     val h = saltedHash(col("doc_id"), concat(lit(salt + "/"), col("source")))
-    docs.join(broadcast(rates), Seq("source"))
+    // the per-ROW weight filter, not just the strata-side one: the join
+    // below keys on source NAME, so without it a row whose own weight
+    // is 0/null/negative ("excluded" per the contract) would ride its
+    // source's rate into the mix — and since n_stratum counted only
+    // the positive-weight rows, the source would over-contribute
+    docs.withColumn("row_wt", weight).filter(col("row_wt") > 0).drop("row_wt")
+      .join(broadcast(rates), Seq("source"))
       .filter(h < col("accept_threshold"))
       .select(col("doc_id"), col("source"), col("n_stratum"), col("target_n"))
   }

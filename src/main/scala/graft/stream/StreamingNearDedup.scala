@@ -116,10 +116,41 @@ object StreamingNearDedup {
       if (fs.exists(root))
         fs.listStatus(root).filter(_.isDirectory)
           .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-          .map(_.getPath.getName).sorted
+          .map(_.getPath.getName).sortWith(naturalLt)
       else Array.empty[String]
     versions.lastOption.map(v => new org.apache.hadoop.fs.Path(root, v).toString)
       .getOrElse(indexPath)
+  }
+
+  /** Natural-order "less than": digit runs compare NUMERICALLY, other
+    * chars lexicographically — so an unpadded version scheme (v1..v9,
+    * v10) resolves v10 as newest instead of lexicographic "v10" < "v9"
+    * silently pinning every future batch to the stale v9 snapshot.
+    * Zero-padded and timestamp names order identically to before. */
+  private[graft] def naturalLt(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val (ca, cb) = (a.charAt(i), b.charAt(j))
+      if (ca.isDigit && cb.isDigit) {
+        var (i2, j2) = (i, j)
+        while (i2 < a.length && a.charAt(i2).isDigit) i2 += 1
+        while (j2 < b.length && b.charAt(j2).isDigit) j2 += 1
+        // compare digit runs as numbers: strip leading zeros, then by
+        // length, then lexicographically; equal numbers with different
+        // padding fall through to the char comparison for a total order
+        val na = a.substring(i, i2).dropWhile(_ == '0')
+        val nb = b.substring(j, j2).dropWhile(_ == '0')
+        if (na.length != nb.length) return na.length < nb.length
+        if (na != nb) return na < nb
+        if (i2 - i != j2 - j) return (i2 - i) > (j2 - j) // more padding sorts first
+        i = i2; j = j2
+      } else {
+        if (ca != cb) return ca < cb
+        i += 1; j += 1
+      }
+    }
+    a.length < b.length
   }
 
   /** [[nearDupMatches]] against a file-backed index that is rebuilt

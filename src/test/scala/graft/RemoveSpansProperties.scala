@@ -27,10 +27,13 @@ object RemoveSpansProperties extends Properties("RemoveSpans") {
     (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
   }
 
-  /** Reference for remove_spans: mark covered positions, keep the rest. */
+  /** Reference for remove_spans: mark covered positions, keep the
+    * rest. Negative starts cover nothing (the documented contract —
+    * without the filter a start in (-k, 0) would cover 0..s+k-1 and
+    * delete leading tokens). */
   private def removeSpansRef(text: String, starts: Seq[Int], k: Int): (Int, Int, String) = {
     val ws = tokens(text)
-    val covered = starts.flatMap(s => s until (s + k)).toSet
+    val covered = starts.filter(_ >= 0).flatMap(s => s until (s + k)).toSet
     val kept = ws.zipWithIndex.collect { case (w, i) if !covered.contains(i) => w }
     (ws.length, kept.length, kept.mkString(" "))
   }
@@ -51,8 +54,10 @@ object RemoveSpansProperties extends Properties("RemoveSpans") {
     trail <- Gen.choose(0, 2).map(" " * _)
   } yield lead + words.mkString(" ") + trail
 
-  // starts deliberately unsorted, duplicated, and sometimes past the end
-  private val starts: Gen[List[Int]] = Gen.listOf(Gen.choose(0, 12))
+  // starts deliberately unsorted, duplicated, sometimes past the end,
+  // and sometimes NEGATIVE (SQL callers pass arbitrary arrays; both
+  // sides must treat out-of-range as covering nothing)
+  private val starts: Gen[List[Int]] = Gen.listOf(Gen.choose(-3, 12))
 
   property("shingle_list agrees with the split(-1)/sliding reference, in order") =
     forAll(text, Gen.choose(1, 4)) { (t, n) =>

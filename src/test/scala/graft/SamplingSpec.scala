@@ -147,6 +147,18 @@ class SamplingSpec extends SparkSpec {
       element_at(typedLit(m), col("source"))).collect()
     assert(viaMap.map(_.getLong(0)).sorted.toSeq ==
       got.map(_.getLong(0)).sorted.toSeq)
+    // a row whose OWN weight is 0 is excluded even when its source
+    // carries a positive rate (the rate join keys on source NAME —
+    // without the per-row filter, weight-0 rows would ride along and
+    // the source would over-contribute vs its target)
+    val mixedRows = Sampling.sourceMixDocs(docs,
+      when(col("doc_id") % 2 === 0, 0L).otherwise(lit(2L))).collect()
+    assert(mixedRows.nonEmpty && mixedRows.forall(_.getLong(0) % 2 != 0))
+    // and the supply count sizing the rate reflects only weighted rows
+    val oddTotals = docs.filter(col("doc_id") % 2 =!= 0)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    mixedRows.foreach(r => assert(r.getLong(2) == oddTotals(r.getString(1))))
   }
 
   test("pipeline composition: curate → split → pack runs over the surviving subset") {

@@ -220,4 +220,25 @@ class SkewAndStreamDedupSpec extends SparkSpec {
       assert(seen.keySet == Set((100L, 10L), (103L, 30L)))
     } finally q.stop()
   }
+
+  test("resolveSnapshot orders snapshot names naturally: v10 beats v9") {
+    import graft.stream.StreamingNearDedup.naturalLt
+    // the lexicographic trap an unpadded rebuild writer springs:
+    // "v10" < "v9" as strings would pin every batch to stale v9
+    assert(naturalLt("v9", "v10") && !naturalLt("v10", "v9"))
+    assert(naturalLt("v0009", "v10") && naturalLt("v2", "v0010"))
+    assert(naturalLt("20260101-000000", "20260102-000000")) // timestamps unchanged
+    assert(!naturalLt("v10", "v10"))
+    assert(naturalLt("v1", "v1a")) // prefix sorts first
+    // end-to-end: an unpadded v10 snapshot with a marker resolves as
+    // newest over v9
+    val spark2 = spark
+    import spark2.implicits._
+    val root = java.nio.file.Files.createTempDirectory("shidxnat").toString + "/index"
+    graft.stream.StreamingNearDedup.simhashIndex(spark,
+      Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")).write.parquet(s"$root/v9")
+    graft.stream.StreamingNearDedup.simhashIndex(spark,
+      Seq((2L, "p q r s t u v w")).toDF("doc_id", "text")).write.parquet(s"$root/v10")
+    assert(graft.stream.StreamingNearDedup.resolveSnapshot(spark, root).endsWith("v10"))
+  }
 }
