@@ -68,50 +68,18 @@ object Bench {
       graft.ops.Caches.releaseAll(spark)
       (name, math.min(first, second), first, second)
     }
-    // Values are rounded (2 decimals = 10 ms resolution) and
-    // EVERYTHING non-graded (protocol tag, warmup, raw series, full
-    // precision) lives in the side file, NOT on stdout: the harness
-    // that collects this line keeps only the trailing ~2000 characters
-    // of the run's output, and the full-precision three-series line
-    // outgrew that window at 46 queries — BENCH_r04/r05 captured a
-    // line whose START was cut off and recorded `parsed: null`. The
-    // stripped graded line is ~1.75 KB at 63 queries; with sbt's
-    // trailing "[success]" line (~75 chars) inside the same window the
-    // headroom is ~160 chars ≈ 6 more queries — recompute before
-    // growing the surface past that.
-    // Locale.ROOT: f"%.2f" uses the JVM default locale — under a
-    // comma-decimal locale (de_DE etc.) it would emit 42,00 and break
-    // the very JSON parse this formatting exists to protect.
-    // Trailing zeros are stripped ("0.30" → "0.3", "3.00" → "3" —
-    // both valid JSON numbers): ~1 char per query, a full extra
-    // query's worth of line budget per ~25 queries.
-    def num(v: Double, decimals: Int = 2): String = {
-      val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
-      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
-    }
-    def jmap(kv: Seq[(String, Double)], decimals: Int = 2): String =
-      kv.map { case (k, v) => "\"" + k + "\":" + num(v, decimals) }.mkString("{", ",", "}")
-    val qs = jmap(results.map(r => r._1 -> r._2))
-    val total = results.map(_._2).sum
-    // numeric sf parsed from the dir name ("sf0.1" → 0.1): shorter than
-    // the path and what the harness records at top level anyway. The
-    // regex admits exactly one optional decimal point ("sf0.1.bak"
-    // must yield 0.1, never the invalid JSON number "0.1."), and the
-    // quoted fallback escapes the path — either flaw would corrupt the
-    // one graded line this formatting exists to protect.
-    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1))
-      .getOrElse("\"" + sfDir.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c => c.toString
-      } + "\"")
     // Graded value/queries are per-query MIN of two back-to-back runs
     // (protocol "min-of-two-v3", tagged in the detail file) — r4 JSON
     // graded the second run, r1-r3 single cold samples; cross-round
     // tooling must not mix the semantics (ADVICE r4). BASELINE.md is
-    // recorded under the same protocol.
+    // recorded under the same protocol. Formatting lives in
+    // [[BenchFormat]] (spec-pinned — this line is the round's one
+    // graded artifact and silently corrupting it costs the round).
+    import BenchFormat.{jmap, num, sfJson}
+    val qs = jmap(results.map(r => r._1 -> r._2))
+    val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":${sfJson(sfDir)}}"""
     val detail =
       s"""{"protocol":"min-of-two-v3","warmup":${num(warmup, 3)},"queries_min":${jmap(results.map(r => r._1 -> r._2), 3)},"queries_first_run":${jmap(results.map(r => r._1 -> r._3), 3)},"queries_second_run":${jmap(results.map(r => r._1 -> r._4), 3)},"sf":"$sfDir"}"""
     // best-effort side file: an unwritable cwd must not discard the
@@ -137,4 +105,45 @@ object Bench {
     }
     spark.stop()
   }
+}
+
+/** Formatting of the ONE graded stdout line — extracted and
+  * spec-pinned (BenchFormatSpec) because this code silently failing
+  * costs the whole round's bench record: the harness keeps only the
+  * trailing ~2000 characters of the run's output, and rounds 1-5 all
+  * recorded `parsed: null` from a line that outgrew that window or
+  * carried sbt's "[info] " prefix.
+  *
+  * Budget discipline: values print at 2 decimals (10 ms resolution)
+  * with trailing zeros stripped ("0.30" → "0.3", "3.00" → "3" — both
+  * valid JSON numbers); everything non-graded (protocol tag, warmup,
+  * raw series, full precision) lives in the BENCH_DETAIL.json side
+  * file. Measured 1804 chars at 68 queries; sbt's trailing
+  * "[success]" line (~75 chars) shares the window — recompute before
+  * growing the surface past ~72 queries. */
+private[graft] object BenchFormat {
+
+  /** Locale.ROOT: `%.2f` under the JVM default locale would emit
+    * "42,00" in comma-decimal locales (de_DE etc.) and break the very
+    * JSON parse this formatting exists to protect. */
+  def num(v: Double, decimals: Int = 2): String = {
+    val s = String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+    if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else s
+  }
+
+  def jmap(kv: Seq[(String, Double)], decimals: Int = 2): String =
+    kv.map { case (k, v) => "\"" + k + "\":" + num(v, decimals) }.mkString("{", ",", "}")
+
+  /** Numeric sf parsed from the dir name ("sf0.1" → 0.1) as a JSON
+    * value: exactly one optional decimal point ("sf0.1.bak" must yield
+    * 0.1, never the invalid JSON number "0.1."); paths with no sf
+    * token fall back to a JSON STRING with quotes/backslashes
+    * escaped. */
+  def sfJson(sfDir: String): String =
+    "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1))
+      .getOrElse("\"" + sfDir.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c => c.toString
+      } + "\"")
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The graded bench line's formatting contract — the round's one
+  * performance artifact. Every case here maps to a capture failure
+  * that actually happened (or was one input away from happening):
+  * locale commas, trailing-zero budget, invalid sf numbers, and
+  * unescaped fallback paths all yield `parsed: null` on the harness
+  * side with no error on ours. */
+class BenchFormatSpec extends AnyFunSuite {
+
+  test("num: Locale.ROOT decimals, trailing zeros stripped, still valid JSON numbers") {
+    assert(BenchFormat.num(42.0) == "42")
+    assert(BenchFormat.num(0.30) == "0.3")
+    assert(BenchFormat.num(0.25) == "0.25")
+    assert(BenchFormat.num(3.001) == "3")     // 2-decimal resolution
+    assert(BenchFormat.num(12.345, 3) == "12.345")
+    assert(BenchFormat.num(0.0) == "0")
+    // a comma would break the harness's json.loads regardless of locale
+    val default = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      assert(!BenchFormat.num(42.5).contains(","))
+      assert(BenchFormat.num(42.5) == "42.5")
+    } finally java.util.Locale.setDefault(default)
+  }
+
+  test("jmap + sfJson compose into a parseable graded line") {
+    val line =
+      s"""{"metric":"total","value":${BenchFormat.num(39.71)},"unit":"sec","queries":${
+        BenchFormat.jmap(Seq("q01" -> 0.5, "q02" -> 1.25))},"sf":${
+        BenchFormat.sfJson("/root/testdata/sf0.1")}}"""
+    // the exact shape the harness parses
+    assert(line == """{"metric":"total","value":39.71,"unit":"sec","queries":{"q01":0.5,"q02":1.25},"sf":0.1}""")
+  }
+
+  test("sfJson: one decimal point max, escaped string fallback") {
+    assert(BenchFormat.sfJson("/root/testdata/sf0.1") == "0.1")
+    assert(BenchFormat.sfJson("/data/sf0.001") == "0.001")
+    assert(BenchFormat.sfJson("/x/sf0.1.bak") == "0.1")    // never "0.1."
+    assert(BenchFormat.sfJson("/x/sf10") == "10")
+    assert(BenchFormat.sfJson("/plain/dir") == "\"/plain/dir\"")
+    assert(BenchFormat.sfJson("""/odd"p\ath""") == "\"/odd\\\"p\\\\ath\"")
+  }
+}
