@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkEntry ↔ driver contract, guarded mechanically: the
+  * correctness gate only checks queries that HAVE an oracle, so a new
+  * query whose author forgets the oracleSql twin would silently
+  * downgrade to the weak rows-only check and still look green. Every
+  * exclusion must be explicit here with its documented reason. */
+class DriverContractSpec extends AnyFunSuite {
+
+  /** Queries deliberately without a DuckDB twin. q65: HLL/t-digest
+    * estimates are engine-specific (accuracy band spec'd in
+    * RelationalOpsSpec; the driver records rows-only by design). */
+  private val RowsOnly = Set("q65_approx_profile")
+
+  test("every query has an oracle or a documented rows-only exclusion") {
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    assert((oracles -- queries).isEmpty,
+      s"oracles without a query: ${(oracles -- queries).toSeq.sorted}")
+    val missing = queries -- oracles -- RowsOnly
+    assert(missing.isEmpty,
+      s"queries silently lacking an oracle: ${missing.toSeq.sorted} — " +
+        "add the DuckDB twin or an explicit RowsOnly entry with a reason")
+    assert((RowsOnly -- queries).isEmpty, "stale RowsOnly entry")
+    assert((RowsOnly intersect oracles).isEmpty,
+      "RowsOnly query also has an oracle — drop one")
+  }
+
+  test("query names follow the qNN_snake convention with unique numbers") {
+    val names = SparkEntry.queries.keySet.toSeq.sorted
+    names.foreach(n => assert(n.matches("q[0-9]{2}_[a-z0-9_]+"), s"bad name: $n"))
+    val nums = names.map(_.take(3))
+    assert(nums.distinct.size == nums.size, "duplicate query numbers")
+  }
+
+  test("every oracle ends with a deterministic ORDER BY") {
+    // the driver hashes rows in order after a column-name sort; an
+    // oracle without a total ORDER BY can flake with DuckDB's
+    // parallel execution even when values match
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql.toUpperCase.contains("ORDER BY"), s"$name oracle has no ORDER BY")
+    }
+  }
+}
