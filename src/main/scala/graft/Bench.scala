@@ -81,7 +81,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":${sfJson(sfDir)}}"""
     val detail =
-      s"""{"protocol":"min-of-two-v3","warmup":${num(warmup, 3)},"queries_min":${jmap(results.map(r => r._1 -> r._2), 3)},"queries_first_run":${jmap(results.map(r => r._1 -> r._3), 3)},"queries_second_run":${jmap(results.map(r => r._1 -> r._4), 3)},"sf":"$sfDir"}"""
+      s"""{"protocol":"min-of-two-v3","warmup":${num(warmup, 3)},"queries_min":${jmap(results.map(r => r._1 -> r._2), 3)},"queries_first_run":${jmap(results.map(r => r._1 -> r._3), 3)},"queries_second_run":${jmap(results.map(r => r._1 -> r._4), 3)},"sf":${BenchFormat.jstr(sfDir)}}"""
     // best-effort side file: an unwritable cwd must not discard the
     // graded line below after a full timed run
     scala.util.Try {
@@ -134,16 +134,21 @@ private[graft] object BenchFormat {
   def jmap(kv: Seq[(String, Double)], decimals: Int = 2): String =
     kv.map { case (k, v) => "\"" + k + "\":" + num(v, decimals) }.mkString("{", ",", "}")
 
+  /** A JSON STRING value with quotes/backslashes escaped — used for
+    * every path interpolated into the bench JSONs (an unescaped quote
+    * in SPARK_GRAFT_SF_DIR would corrupt the line). */
+  def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c => c.toString
+    } + "\""
+
   /** Numeric sf parsed from the dir name ("sf0.1" → 0.1) as a JSON
     * value: exactly one optional decimal point ("sf0.1.bak" must yield
     * 0.1, never the invalid JSON number "0.1."); paths with no sf
-    * token fall back to a JSON STRING with quotes/backslashes
-    * escaped. */
+    * token fall back to the escaped JSON string. */
   def sfJson(sfDir: String): String =
     "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1))
-      .getOrElse("\"" + sfDir.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c => c.toString
-      } + "\"")
+      .getOrElse(jstr(sfDir))
 }

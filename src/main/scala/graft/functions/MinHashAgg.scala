@@ -25,6 +25,10 @@ class MinHashAgg(val k: Int) extends Aggregator[String, Array[Long], Seq[Long]] 
   override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
 
   override def reduce(buf: Array[Long], shingle: String): Array[Long] = {
+    // NULL inputs are ignored — standard SQL aggregate semantics. (The
+    // declarative twin never produces null shingles; without the skip
+    // a SQL caller's null would hash the literal "seed:null" string.)
+    if (shingle == null) return buf
     // ONE digest instance serves all k seeds (digest() resets it) —
     // per-seed getInstance would pay 16 JCA provider lookups per row
     val md = java.security.MessageDigest.getInstance("MD5")

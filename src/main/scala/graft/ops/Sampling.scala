@@ -184,7 +184,7 @@ object Sampling {
     // is 0/null/negative ("excluded" per the contract) would ride its
     // source's rate into the mix — and since n_stratum counted only
     // the positive-weight rows, the source would over-contribute
-    docs.withColumn("row_wt", weight).filter(col("row_wt") > 0).drop("row_wt")
+    docs.filter(weight > 0)
       .join(broadcast(rates), Seq("source"))
       .filter(h < col("accept_threshold"))
       .select(col("doc_id"), col("source"), col("n_stratum"), col("target_n"))

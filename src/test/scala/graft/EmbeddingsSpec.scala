@@ -214,6 +214,7 @@ class EmbeddingsSpec extends SparkSpec {
   }
 
   test("semanticDedup: drop-list contract holds and within-cell pairs resolve") {
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
     val got = Embeddings.semanticDedup(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     // full-table drop-list: one row per embedding
