@@ -146,9 +146,12 @@ private[graft] object BenchFormat {
 
   /** Numeric sf parsed from the dir name ("sf0.1" → 0.1) as a JSON
     * value: exactly one optional decimal point ("sf0.1.bak" must yield
-    * 0.1, never the invalid JSON number "0.1."); paths with no sf
-    * token fall back to the escaped JSON string. */
+    * 0.1, never the invalid JSON number "0.1."), and no leading-zero
+    * integer part ("sf01" would interpolate as the invalid JSON number
+    * 01 — ADVICE r6); paths with no valid sf token fall back to the
+    * escaped JSON string. */
   def sfJson(sfDir: String): String =
     "sf([0-9]+(?:\\.[0-9]+)?)".r.findFirstMatchIn(sfDir).map(_.group(1))
+      .filterNot(_.matches("0[0-9].*"))
       .getOrElse(jstr(sfDir))
 }

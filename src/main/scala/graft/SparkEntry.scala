@@ -147,10 +147,11 @@ object SparkEntry {
     * one sqrt over the norm product) for every vector-pairs oracle
     * (q33's LSH buckets, q68's IVF cells): a drifted threshold or
     * formula on the Spark side ([[graft.ops.Embeddings]] scorePairs)
-    * must fail BOTH consumers. */
+    * must fail BOTH consumers. The threshold is the single-sourced
+    * [[graft.ops.Embeddings.OracleThreshold]] (ADVICE r6). */
   private def VecCosineGE(x: String, y: String): String =
     s"""CAST(list_sum(list_transform(generate_series(1,64), i -> $x.qv[i]*$y.qv[i])) AS DOUBLE)
-                 / sqrt(CAST($x.nrm AS DOUBLE)*CAST($y.nrm AS DOUBLE)) >= 0.35"""
+                 / sqrt(CAST($x.nrm AS DOUBLE)*CAST($y.nrm AS DOUBLE)) >= ${Embeddings.OracleThreshold}"""
 
   /** Vector-side resolution tail shared by q33 and q68 (recursive
     * reachability over a `pairs(d1, d2)` CTE + the full-table
@@ -178,16 +179,22 @@ object SparkEntry {
     * bit: distances in the scaled form Σ(n·q−s)² / n² with ties to the
     * smallest cell id. Editing a training constant on one engine but
     * not the other must fail BOTH consumers, not silently diverge
-    * one. */
-  private val IvfCtes =
-    """q AS (
+    * one. Cell count is the single-sourced
+    * [[graft.ops.Embeddings.OracleCells]]; the two unrolled Lloyd's
+    * rounds are `OracleIters`, pinned by the require below (ADVICE
+    * r6 — a parameter change on the Scala side now fails here rather
+    * than silently de-certifying q31/q68). */
+  private val IvfCtes = {
+    require(Embeddings.OracleIters == 2,
+      "IvfCtes structurally unrolls exactly 2 Lloyd's rounds — re-derive the replay SQL")
+    s"""q AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
            FROM embeddings),
          v AS (
            SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q),
          dims AS (SELECT unnest(generate_series(1,64)) AS d),
          c0 AS (SELECT vec_id AS j, qv AS s, CAST(1 AS BIGINT) AS n
-                FROM v ORDER BY vec_id LIMIT 10),
+                FROM v ORDER BY vec_id LIMIT ${Embeddings.OracleCells}),
          d1 AS (
            SELECT v.vec_id, c.j,
              CAST(list_sum(list_transform(generate_series(1,64),
@@ -225,6 +232,7 @@ object SparkEntry {
          af AS (SELECT vec_id, j FROM (
                   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
                   FROM df) t WHERE rn = 1)"""
+  }
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
     * ORDER BY, explicit casts so dtypes line up (see Relational docs). */

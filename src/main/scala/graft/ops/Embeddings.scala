@@ -36,6 +36,20 @@ object Embeddings {
     * size it with [[planesFor]] instead. */
   val Planes = 4
 
+  /** Oracle-pinned configuration of the vector-dedup/quantizer family
+    * (ADVICE r6): the q29/q33/q68 cosine threshold and the q31/q68 IVF
+    * training shape. These are the DEFAULT parameter values below AND
+    * the values interpolated into the DuckDB replay SQL
+    * ([[graft.SparkEntry]] `VecCosineGE`/`IvfCtes`) — one definition,
+    * so an edit here fails the oracle rather than silently diverging.
+    * Library callers may pass non-defaults; only the registry entries
+    * (which take the defaults) are oracle-certified. `OracleIters` is
+    * structurally unrolled in the replay SQL (two Lloyd's rounds) and
+    * pinned by a require at the SQL definition site. */
+  val OracleThreshold: Double = 0.35
+  val OracleCells: Int = 10
+  val OracleIters: Int = 2
+
   /** Planes-vs-N rule: with `p` planes the corpus splits into 2^p
     * buckets, so the bucketed self-join costs Σ_b |b|² ≈ N²/2^p for
     * near-uniform buckets. Holding the EXPECTED BUCKET POPULATION
@@ -119,7 +133,7 @@ object Embeddings {
     * linearly. The default (4, 1) is the oracle-pinned test
     * configuration, not the 100 TB one. */
   def cosineNearDupPairs(spark: SparkSession, dir: String,
-                         threshold: Double = 0.35,
+                         threshold: Double = OracleThreshold,
                          planes: Int = Planes, bands: Int = 1): DataFrame =
     cosineNearDupPairsRaw(spark, dir, threshold, planes, bands)
       .orderBy(col("d1"), col("d2"))
@@ -175,7 +189,7 @@ object Embeddings {
     * and embedding duplicates with one code path; the embeddings side
     * reads only vec_id. */
   def nearDupClusters(spark: SparkSession, dir: String,
-                      threshold: Double = 0.35,
+                      threshold: Double = OracleThreshold,
                       planes: Int = Planes): DataFrame =
     LlmOps.dropList(
       Tables.embeddings(spark, dir).select(col("vec_id")),
@@ -248,7 +262,7 @@ object Embeddings {
     * drop out identically in both engines. */
   def ivfTopK(spark: SparkSession, dir: String,
               k: Int = 5, queryMod: Int = 50,
-              nCells: Int = 10, iters: Int = 2, nprobe: Int = 1): DataFrame = {
+              nCells: Int = OracleCells, iters: Int = OracleIters, nprobe: Int = 1): DataFrame = {
     // ONE persisted quantized table threads through both stages — the
     // public train/serve pair each persist their own (correct for the
     // train-once/serve-many deployment, where they run in different
@@ -265,7 +279,7 @@ object Embeddings {
     * training passes per query — at 100 TB the training scans are the
     * dominant cost and re-paying them on the serving path is wrong. */
   def trainQuantizer(spark: SparkSession, dir: String,
-                     nCells: Int = 10, iters: Int = 2): Seq[Centroid] =
+                     nCells: Int = OracleCells, iters: Int = OracleIters): Seq[Centroid] =
     trainQuantizerOn(Caches.persist(quantized(spark, dir)), nCells, iters)
 
   private def trainQuantizerOn(vecs: DataFrame,
@@ -460,8 +474,8 @@ object Embeddings {
     * DuckDB oracle replays training, assignment, pairing, and
     * clustering bit-for-bit. */
   def semanticDedup(spark: SparkSession, dir: String,
-                    threshold: Double = 0.35,
-                    nCells: Int = 10, iters: Int = 2): DataFrame = {
+                    threshold: Double = OracleThreshold,
+                    nCells: Int = OracleCells, iters: Int = OracleIters): DataFrame = {
     val vecs = Caches.persist(quantized(spark, dir))
     val cents = trainQuantizerOn(vecs, nCells, iters)
     // persisted: the cell assignment (nCells codegen distance evals per

@@ -100,31 +100,43 @@ object Owners {
     * `prFiles`: (pr, file) — file paths repo-relative POSIX, the form
     * the GitHub API returns and [[graft.io.CorpusIO.corpus]] emits.
     *
-    * Conformance note (ADVICE r5): the reference's `pattern === '*'`
-    * branch (yml:141) adds the bare-`*` owners UNCONDITIONALLY — even
-    * to a PR whose file list is empty — while this relation gives `*`
-    * its owners for every PR with ≥1 file row (identical outcome,
-    * since `^.*$` matches any file). The one divergent input, a
-    * zero-file PR, has no representation in a (pr, file) relation at
-    * all: callers gating such PRs must inject the `*` owners
-    * themselves. Real PRs always carry files, so the seam is
-    * documented rather than modeled. */
-  def requiredTeams(prFiles: DataFrame, ownersLines: DataFrame): DataFrame =
-    matchingTeams(prFiles, parseOwners(ownersLines), "file")
+    * Bare-`*` conformance (closes ADVICE r5 / VERDICT r6 #2): the
+    * reference's `pattern === '*'` branch (yml:141) adds the bare-`*`
+    * owners UNCONDITIONALLY — even to a PR whose file list is empty.
+    * A zero-file PR has no rows in a (pr, file) relation, so the `*`
+    * grant is computed against a PR universe instead: `prs` when the
+    * caller supplies one (the set of PRs under review, zero-file PRs
+    * included), else the distinct PRs of `prFiles`. For every PR that
+    * has files the two paths agree (`^.*$` matches any file), so the
+    * default is byte-identical to the pre-fix relation. The `*` side
+    * is owners-config-sized → the cross join is an intentional
+    * broadcast BNLJ with a tiny build side. */
+  def requiredTeams(prFiles: DataFrame, ownersLines: DataFrame,
+                    prs: Option[DataFrame] = None): DataFrame = {
+    val owners = parseOwners(ownersLines)
+    val prSet = prs.map(_.select(col("pr")).distinct())
+      .getOrElse(prFiles.select(col("pr")).distinct())
+    val starTeams = owners.filter(col("pattern") === "*")
+      .select(explode(col("teams")).as("team"))
+    matchingTeams(prFiles, owners.filter(col("pattern") =!= "*"), "file")
       .select(col("pr"), explode(col("teams")).as("team"))
+      .unionByName(prSet.crossJoin(broadcast(starTeams)))
       .select(col("pr"), stripHandle(col("team")).as("team"))
       .distinct()
+  }
 
   /** The three per-stage requirement relations the reference derives
     * per review event (pr-review-flow.yml:156-158): CODEOWNERS and
     * CODETECHTEAM are static config; CODEFACILITATORS is the
     * E2-GENERATED artifact ([[graft.io.CorpusIO.generateFacilitators]])
     * — this composition is the E1→E2→E3 hand-off. Feed the results to
-    * [[graft.stream.ReviewStateMachine.fullStatus]]/`run`. */
+    * [[graft.stream.ReviewStateMachine.fullStatus]]/`run`. Pass `prs`
+    * to gate zero-file PRs (see [[requiredTeams]]). */
   def stageRequirements(prFiles: DataFrame, codeowners: DataFrame,
-                        codefacilitators: DataFrame, codetechteam: DataFrame)
+                        codefacilitators: DataFrame, codetechteam: DataFrame,
+                        prs: Option[DataFrame] = None)
       : (DataFrame, DataFrame, DataFrame) =
-    (requiredTeams(prFiles, codeowners),
-     requiredTeams(prFiles, codefacilitators),
-     requiredTeams(prFiles, codetechteam))
+    (requiredTeams(prFiles, codeowners, prs),
+     requiredTeams(prFiles, codefacilitators, prs),
+     requiredTeams(prFiles, codetechteam, prs))
 }

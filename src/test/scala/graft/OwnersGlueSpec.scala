@@ -41,6 +41,16 @@ class OwnersGlueSpec extends SparkSpec {
       spark.read.text(s"$out/CODEFACILITATORS"),
       spark.read.text(s"$ref/.github/CODETECHTEAM"))
 
+    // Bare-`*` unconditional grant (pr-review-flow.yml:141): a
+    // zero-file PR 9 in the PR universe still owes the CODETECHTEAM
+    // `*` owners — and nothing from the glob-only files — while the
+    // with-files PRs are unchanged vs the default universe.
+    val universe = Seq(7L, 8L, 9L).toDF("pr")
+    val (uCo, uFa, uTe) = Owners.stageRequirements(prFiles,
+      spark.read.text(s"$ref/.github/CODEOWNERS"),
+      spark.read.text(s"$out/CODEFACILITATORS"),
+      spark.read.text(s"$ref/.github/CODETECHTEAM"), Some(universe))
+
     def rel(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
       df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
     // CODEOWNERS: *.md → tech-team for both PRs; the r_3* pattern
@@ -54,6 +64,11 @@ class OwnersGlueSpec extends SparkSpec {
     assert(rel(reqFa) == Set((7L, s"$orgName/market-facilitators")))
     // CODETECHTEAM's bare `*` matches every PR with files
     assert(rel(reqTe) == Set((7L, s"$orgName/tech-team"), (8L, s"$orgName/tech-team")))
+    // With an explicit PR universe, the zero-file PR 9 gets the bare-`*`
+    // grant unconditionally (yml:141) and nothing from glob patterns;
+    // the with-files PRs are unchanged.
+    assert(rel(uCo) == rel(reqCo) && rel(uFa) == rel(reqFa))
+    assert(rel(uTe) == rel(reqTe) + ((9L, s"$orgName/tech-team")))
 
     // E3 streaming gate over those requirements
     val membership = Seq(

@@ -82,8 +82,15 @@ class RelationalOpsSpec extends SparkSpec {
     import spark.implicits._
     val docs = graft.ops.Tables.documents(spark, SfDir)
       .select("doc_id", "text").as[(Long, String)].collect()
+    // Pair by CODE POINTS, matching char_pairs' documented semantics —
+    // String.sliding(2) would pair UTF-16 code units and split
+    // surrogate pairs on non-BMP text (ADVICE r6).
+    def cpPairs(w: String): Seq[String] = {
+      val cps = w.codePoints().toArray
+      (0 until cps.length - 1).map(i => new String(cps, i, 2))
+    }
     val occ = docs.flatMap { case (id, t) =>
-      t.split(" ", -1).flatMap(w => w.sliding(2).filter(_.length == 2)).map(p => (p, id))
+      t.split(" ", -1).flatMap(cpPairs).map(p => (p, id))
     }
     val brute = occ.groupBy(_._1).map { case (p, xs) =>
       (p, xs.length.toLong, xs.map(_._2).distinct.length.toLong)
@@ -97,8 +104,14 @@ class RelationalOpsSpec extends SparkSpec {
     import spark.implicits._
     val vecs = graft.ops.Tables.embeddings(spark, SfDir)
       .select("label", "embedding").as[(Int, Seq[Float])].collect()
+    // Round half AWAY FROM ZERO (BigDecimal HALF_UP), matching both
+    // Spark's round() and DuckDB's round() on negative .5 values —
+    // math.round is half-up toward +infinity and would diverge there
+    // (ADVICE r6).
+    def q(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
     val brute = vecs.flatMap { case (l, v) =>
-      v.zipWithIndex.map { case (x, d) => ((l, d), math.round(x.toDouble * 1e6)) }
+      v.zipWithIndex.map { case (x, d) => ((l, d), q(x.toDouble * 1e6)) }
     }.groupBy(_._1).map { case ((l, d), xs) =>
       ((l, d), (xs.length.toLong, xs.map(_._2).sum))
     }
