@@ -100,6 +100,7 @@ object SparkEntry {
     "q66_price_stats"       -> Relational.priceStats _,
     "q67_order_marginals"   -> Relational.orderMarginals _,
     "q68_semantic_dedup"    -> ((s, d) => Embeddings.semanticDedup(s, d)),
+    "q69_skew_salted_join"  -> ((s, d) => Skew.skewedEventSegments(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -1139,5 +1140,14 @@ object SparkEntry {
            JOIN v vy ON vy.vec_id = y.vec_id
            WHERE ${VecCosineGE("vx", "vy")}),
          $VecComponentSql""",
+    // the oracle is the PLAIN (unsalted) join — certifying the salted
+    // plan's result-identity claim on driver data
+    "q69_skew_salted_join" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n_events,
+         CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_val
+         FROM (SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS k, value
+               FROM events) e
+         JOIN customer ON c_custkey = k
+         GROUP BY c_mktsegment ORDER BY seg""",
   )
 }
