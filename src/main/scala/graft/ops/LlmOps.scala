@@ -137,7 +137,8 @@ object LlmOps {
     *
     * Input: (d1, d2) pairs. Output: (doc_id, cluster_id) for every
     * node that appears in at least one pair. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     // scoped persists, NOT Caches: these must not outlive this call, so
     // they are released in the finally below even when a mid-fixpoint
@@ -194,17 +195,25 @@ object LlmOps {
         // and saves one full join+checkpoint round. Lazy checkpoint: the
         // first round's convergence count materializes it in the same job.
         //
-        // Durability note (100 TB): localCheckpoint stores unreplicated
-        // executor-local blocks — on a real cluster a lost executor
-        // mid-fixpoint fails the query instead of recomputing (lineage is
-        // truncated). That is the right trade on the local bench and for
-        // short fixpoints; long cluster runs that must survive executor
-        // loss should set a checkpoint dir and swap in reliable
-        // `checkpoint(false)` here (same plan shape, adds HDFS writes).
-        var labels = edgesPart.groupBy(col("a"))
+        // Durability (100 TB): the default localCheckpoint stores
+        // unreplicated executor-local blocks — on a real cluster a lost
+        // executor mid-fixpoint fails the query instead of recomputing
+        // (lineage is truncated). The right trade on the local bench and
+        // for short fixpoints; long cluster runs that must survive
+        // executor loss pass `checkpointDir` (HDFS/S3) and each round
+        // writes a RELIABLE checkpoint instead — identical plan shape
+        // and results, plus one distributed write per round. The dir is
+        // set on the shared SparkContext (context-global, the Spark
+        // seam for reliable checkpoints).
+        val roundCkpt: DataFrame => DataFrame = checkpointDir match {
+          case Some(dir) =>
+            fix.sparkContext.setCheckpointDir(dir)
+            df => df.checkpoint(eager = false)
+          case None => df => df.localCheckpoint(eager = false)
+        }
+        var labels = roundCkpt(edgesPart.groupBy(col("a"))
           .agg(min(col("b")).as("nb"))
-          .select(col("a").as("doc_id"), least(col("a"), col("nb")).as("cluster_id"))
-          .localCheckpoint(eager = false)
+          .select(col("a").as("doc_id"), least(col("a"), col("nb")).as("cluster_id")))
         var converged = false
         var i = 0
         while (!converged && i < maxIters) {
@@ -220,12 +229,11 @@ object LlmOps {
             .select(col("a").as("doc_id"), col("nl").as("v"), lit(false).as("own"))
             .unionByName(labels.select(col("doc_id"), col("cluster_id").as("v"),
               lit(true).as("own")))
-          val updated = contrib.groupBy(col("doc_id"))
+          val updated = roundCkpt(contrib.groupBy(col("doc_id"))
             .agg(min(col("v")).as("cluster_id"),
               min(when(col("own"), col("v"))).as("old_label"))
             .select(col("doc_id"), col("cluster_id"),
-              (col("cluster_id") < col("old_label")).as("changed"))
-            .localCheckpoint(eager = false) // truncate lineage: O(1) plan depth per round
+              (col("cluster_id") < col("old_label")).as("changed"))) // truncate lineage: O(1) plan depth per round
           // ONE job per round: the full count (filter needs every
           // partition, no limit short-circuit) both materializes the lazy
           // checkpoint and decides convergence — the previous
@@ -281,13 +289,17 @@ object LlmOps {
     * minimum doc_id has keep = true.
     *
     * The components table is O(#docs-in-pairs); the enrichment join
-    * is planned by size at runtime (see [[dropList]]). */
+    * is planned by size at runtime (see [[dropList]]). Pass
+    * `checkpointDir` for a cluster-durable fixpoint
+    * ([[connectedComponents]]). */
   def nearDupClusters(spark: SparkSession, dir: String,
-                      n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50): DataFrame =
+                      n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50,
+                      checkpointDir: Option[String] = None): DataFrame =
     dropList(
       Tables.documents(spark, dir).select(col("doc_id")),
       connectedComponents(
-        jaccardPairsRaw(spark, dir, n, threshold, maxDf).select(col("d1"), col("d2"))),
+        jaccardPairsRaw(spark, dir, n, threshold, maxDf).select(col("d1"), col("d2")),
+        checkpointDir = checkpointDir),
       "doc_id")
 
   /** q35 — corpus curation: the dedup/quality family composed into the

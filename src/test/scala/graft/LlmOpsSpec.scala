@@ -106,6 +106,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "4")
   }
 
+  test("connectedComponents: reliable-checkpoint mode equals localCheckpoint mode") {
+    // the cluster-durability knob (VERDICT r6 #3): same fixpoint, each
+    // round writing a RELIABLE checkpoint to a directory instead of
+    // unreplicated executor-local blocks — results must be identical,
+    // and the checkpoint dir must actually receive the round files.
+    val ckptDir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    // multi-hop chain + separate component, forcing >1 round
+    val pairs = Seq((2L, 3L), (1L, 2L), (3L, 4L), (7L, 8L)).toDF("d1", "d2")
+    def rel(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = rel(LlmOps.connectedComponents(pairs))
+    val durable = rel(LlmOps.connectedComponents(pairs, checkpointDir = Some(ckptDir)))
+    assert(durable === local)
+    assert(durable === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 8L -> 7L))
+    // reliable checkpoints were really written (not silently local)
+    def countFiles(p: java.io.File): Int =
+      if (p.isDirectory) p.listFiles().map(countFiles).sum else 1
+    assert(countFiles(new java.io.File(ckptDir)) > 0,
+      "checkpointDir received no reliable-checkpoint files")
+    // and the q32-shaped composition accepts the knob end-to-end
+    val dup = "the quick brown fox jumps over the lazy dog again today"
+    val docs = Seq((4L, dup), (2L, dup), (9L, "totally unrelated content this row"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", lit(0L))
+    val dir = writeDocsFixture(docs)
+    val plainQ32 = rel(LlmOps.nearDupClusters(spark, dir).select("doc_id", "cluster_id"))
+    val durableQ32 = rel(LlmOps.nearDupClusters(spark, dir, checkpointDir = Some(ckptDir))
+      .select("doc_id", "cluster_id"))
+    assert(durableQ32 === plainQ32)
+  }
+
   test("connectedComponents throws when maxIters is below the diameter") {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
     intercept[IllegalStateException] {
