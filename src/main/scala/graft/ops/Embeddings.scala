@@ -353,6 +353,48 @@ object Embeddings {
     scoreTopK(cands.join(broadcast(qs), Seq("cell")), k)
   }
 
+  /** The serving-side INDEX for [[serveQueryBatch]]: every corpus
+    * vector with its home cell under `cents` — built (and typically
+    * persisted) ONCE per quantizer artifact, then joined against every
+    * incoming query batch. This is the static side of the stream-
+    * static serving deployment ([[graft.stream.StreamingAnnServe]]):
+    * at 100 TB the index is the big relation and never moves — each
+    * batch's probe rows broadcast to it. */
+  def serveIndex(spark: SparkSession, dir: String, rawCents: Seq[Centroid]): DataFrame = {
+    require(rawCents.nonEmpty, "quantizer has no centroids")
+    val cents = rawCents.sortBy(_.j)
+    quantized(spark, dir)
+      .select(col("vec_id").as("neighbor_id"), col("qv").as("c_v"),
+        col("nrm").as("c_n"), nearestCell(cents).as("cell"))
+  }
+
+  /** Score an ARBITRARY query batch — (q_id: long, embedding:
+    * array<float>) rows that need not exist in the corpus — against a
+    * prebuilt [[serveIndex]]: quantize exactly like the corpus side
+    * (floor(x·10³) + exact norm), probe each query's `nprobe` nearest
+    * cells, equi-join on cell with the query side broadcast, and the
+    * shared [[scoreTopK]] tail. With the corpus's own `vec_id %
+    * queryMod = 0` vectors as the batch this is bit-identical to
+    * [[ivfTopKServe]] (spec-pinned) — the seam that lets a STREAM of
+    * query vectors reuse the one oracle-certified scoring plan. */
+  def serveQueryBatch(index: DataFrame, rawCents: Seq[Centroid], queries: DataFrame,
+                      k: Int = 5, nprobe: Int = 1): DataFrame = {
+    require(rawCents.nonEmpty, "quantizer has no centroids")
+    val cents = rawCents.sortBy(_.j)
+    graft.functions.VecDot.register(queries.sparkSession)
+    val q = queries
+      .select(col("q_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * 1000)).as("qv"))
+      .withColumn("nrm", expr("vec_dot(qv, qv)"))
+    val probeCells = slice(transform(
+      array_sort(array(cents.map(c =>
+        struct(scaledDist(c).as("dist"), lit(c.j).as("j"))): _*)),
+      e => e.getField("j")), 1, nprobe)
+    val qs = q.select(col("q_id"), col("qv").as("q_v"),
+      col("nrm").as("q_n"), explode(probeCells).as("cell"))
+    scoreTopK(index.join(broadcast(qs), Seq("cell")), k)
+  }
+
   /** Shared scoring tail of every top-k retrieval (q27 LSH, q31 IVF,
     * q45 brute force): `joined` carries (q_id, q_v, q_n) × (neighbor_id,
     * c_v, c_n) candidate rows from WHATEVER candidate generation ran
