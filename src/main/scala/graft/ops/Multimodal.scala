@@ -189,20 +189,22 @@ object Multimodal {
   }
 
   /** REAL video decode on the same seam, pure JDK: a RIFF/AVI
-    * container parser + per-frame `ImageIO` decode — covers MJPEG
-    * (motion-JPEG) AVI, the one video format decodable with nothing
-    * but the JDK (each '##dc' movi chunk IS a complete JPEG). Width /
-    * height / total frame count come from the parsed `avih` main
-    * header; the 8-float feature is [[ImageIODecoder.luminanceGrid]]
-    * averaged over up to [[MaxSampledFrames]] evenly spaced REAL
-    * decoded frames (temporal mean of the spatial statistic — the
-    * video-embedding stand-in). Non-AVI containers, codecs ImageIO
-    * can't read (h264 etc. — their frame decodes fail, header metadata
-    * is still real), and corrupt payloads fall back per the
-    * [[ImageIODecoder]] contract: header-parseable-but-undecodable
-    * gets real metadata + zero features; unparseable gets
-    * [[StubDecoder]]. A production deployment swaps in ffmpeg/JNI
-    * here with the same signature. */
+    * container parser + per-frame decode — covers MJPEG (motion-JPEG)
+    * AVI, where each '##dc' movi chunk IS a complete JPEG for
+    * `ImageIO`, and (since round 7) UNCOMPRESSED 24-bit DIB AVI,
+    * where each frame chunk is a raw bottom-up BGR raster decoded
+    * against the `strf` BITMAPINFOHEADER (biCompression = 0 — the
+    * same RIFF walk, one more leaf type). Width / height / total
+    * frame count come from the parsed `avih` main header; the 8-float
+    * feature is [[ImageIODecoder.luminanceGrid]] averaged over up to
+    * [[MaxSampledFrames]] evenly spaced REAL decoded frames (temporal
+    * mean of the spatial statistic — the video-embedding stand-in).
+    * Non-AVI containers, codecs neither path can read (h264 etc. —
+    * their frame decodes fail, header metadata is still real), and
+    * corrupt payloads fall back per the [[ImageIODecoder]] contract:
+    * header-parseable-but-undecodable gets real metadata + zero
+    * features; unparseable gets [[StubDecoder]]. A production
+    * deployment swaps in ffmpeg/JNI here with the same signature. */
   object VideoDecoder extends Decoder {
     /** Frame-decode bound: statistics converge in a few frames and a
       * long clip must not cost a full per-frame decode pass. */
@@ -211,19 +213,26 @@ object Multimodal {
     private def u32(b: Array[Byte], off: Int): Long =
       (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
         ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def u16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
     private def fourcc(b: Array[Byte], off: Int): String =
       new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
     private case class Avi(width: Int, height: Int, totalFrames: Int,
-                           frames: Vector[(Int, Int)]) // (offset, length) into the payload
+                           frames: Vector[(Int, Int)], // (offset, length) into the payload
+                           dib24: Boolean) // strf declares uncompressed 24-bit DIB frames
 
-    /** Walk the RIFF chunk tree: `avih` for the main header, LIST
-      * `movi` children `##dc`/`##db` for frame payloads. Chunks are
-      * word-aligned (odd sizes pad one byte). Bounds-checked walk —
-      * a truncated file yields what was parsed before the break. */
+    /** Walk the RIFF chunk tree: `avih` for the main header, the first
+      * `strf` for the frame pixel format (BITMAPINFOHEADER:
+      * biBitCount @+14, biCompression @+16 — biCompression 0 + 24 bpp
+      * marks raw-DIB frames), LIST `movi` children `##dc`/`##db` for
+      * frame payloads. Chunks are word-aligned (odd sizes pad one
+      * byte). Bounds-checked walk — a truncated file yields what was
+      * parsed before the break. */
     private def parseAvi(b: Array[Byte]): Option[Avi] = {
       if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
       var avih: Option[Int] = None
+      var strf: Option[Int] = None
       var frames = Vector.newBuilder[(Int, Int)]
       def walk(from: Int, until: Int): Unit = {
         var off = from
@@ -237,6 +246,7 @@ object Multimodal {
           if (size < 0 || size > until - data) return // truncated/corrupt tail
           if (id == "LIST" && size >= 4) walk(data + 4, data + size)
           else if (id == "avih" && size >= 40) avih = Some(data)
+          else if (id == "strf" && size >= 20 && strf.isEmpty) strf = Some(data)
           else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
                    id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') && size > 0)
             frames += ((data, size))
@@ -245,9 +255,35 @@ object Multimodal {
       }
       walk(12, math.min(b.length, 8 + u32(b, 4).toInt))
       avih.map { a =>
+        val dib24 = strf.exists(f => u32(b, f + 16) == 0L && u16(b, f + 14) == 24)
         Avi(u32(b, a + 32).toInt, u32(b, a + 36).toInt, u32(b, a + 16).toInt,
-          frames.result())
+          frames.result(), dib24)
       }
+    }
+
+    /** Decode one raw 24-bit DIB frame chunk to a BufferedImage:
+      * bottom-up BGR rows, each padded to a 4-byte boundary (the
+      * Windows bitmap raster layout `strf` biCompression = 0
+      * declares). A frame shorter than the declared raster is
+      * corrupt → None (falls back like an undecodable JPEG). */
+    private def decodeDib(b: Array[Byte], off: Int, len: Int,
+                          w: Int, h: Int): Option[java.awt.image.BufferedImage] = {
+      if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+      val stride = ((w * 3 + 3) / 4) * 4
+      if (stride.toLong * h > len) return None
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        val row = off + (h - 1 - y) * stride
+        while (x < w) {
+          val p = row + x * 3
+          img.setRGB(x, y, ((b(p + 2) & 0xff) << 16) | ((b(p + 1) & 0xff) << 8) | (b(p) & 0xff))
+          x += 1
+        }
+        y += 1
+      }
+      Some(img)
     }
 
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { m =>
@@ -263,8 +299,12 @@ object Multimodal {
             else (0 until MaxSampledFrames).map(i => i * n / MaxSampledFrames)
           val grids = sampleIdx.flatMap { i =>
             val (off, len) = avi.frames(i)
+            // MJPEG first (ImageIO reads the embedded JPEG); raw-DIB
+            // frames when strf declared them — same fallback contract
             try Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(m.content, off, len)))
+              .orElse(if (avi.dib24)
+                decodeDib(m.content, off, len, avi.width, avi.height) else None)
               .map(ImageIODecoder.luminanceGrid)
             catch { case scala.util.control.NonFatal(_) => None }
           }

@@ -192,6 +192,78 @@ class MultimodalSpec extends SparkSpec {
     assert(viaJdk.width == 320 && viaJdk.n_frames == 3)
   }
 
+  // --- uncompressed 24-bit DIB AVI fixture (VERDICT r6 #5) ---
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 255).toByte, ((v >> 8) & 255).toByte)
+
+  /** Raw bottom-up BGR raster rows padded to 4 bytes — the exact
+    * layout a biCompression=0 strf declares. `rowColors(y)` is the
+    * TOP-DOWN color of row y, so the builder itself exercises the
+    * bottom-up inversion. */
+  private def dibFrame(w: Int, h: Int, rowColors: Int => Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](stride * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = rowColors(y)
+      val p = (h - 1 - y) * stride + x * 3
+      out(p) = (c & 255).toByte           // B
+      out(p + 1) = ((c >> 8) & 255).toByte  // G
+      out(p + 2) = ((c >> 16) & 255).toByte // R
+    }
+    out
+  }
+
+  /** Minimal uncompressed-DIB AVI: avih + strl(strh 'vids', strf
+    * BITMAPINFOHEADER with biBitCount=24, biCompression=0) + movi of
+    * '00db' raw rasters. */
+  private def dibAviBytes(frames: Seq[Array[Byte]], w: Int, h: Int,
+                          totalFrames: Int): Array[Byte] = {
+    val avih = new Array[Byte](56)
+    System.arraycopy(le32(totalFrames), 0, avih, 16, 4)
+    System.arraycopy(le32(1), 0, avih, 24, 4)
+    System.arraycopy(le32(w), 0, avih, 32, 4)
+    System.arraycopy(le32(h), 0, avih, 36, 4)
+    val strh = new Array[Byte](56)
+    System.arraycopy("vids".getBytes("US-ASCII"), 0, strh, 0, 4)
+    val strf = new Array[Byte](40)
+    System.arraycopy(le32(40), 0, strf, 0, 4) // biSize
+    System.arraycopy(le32(w), 0, strf, 4, 4)
+    System.arraycopy(le32(h), 0, strf, 8, 4)
+    System.arraycopy(le16(1), 0, strf, 12, 2)  // biPlanes
+    System.arraycopy(le16(24), 0, strf, 14, 2) // biBitCount
+    System.arraycopy(le32(0), 0, strf, 16, 4)  // biCompression = BI_RGB
+    val hdrl = riffList("hdrl", riffChunk("avih", avih) ++
+      riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf)))
+    val movi = riffList("movi", frames.flatMap(f => riffChunk("00db", f)).toArray)
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+  }
+
+  test("VideoDecoder decodes uncompressed DIB/AVI: real pixels, BGR and bottom-up order") {
+    val w = 8; val h = 6
+    // frame 1: top half white, bottom half black — if the decoder got
+    // the bottom-up inversion wrong the grid halves flip; frame 2:
+    // pure red — if it read RGB instead of BGR this scores 0.114
+    // (blue) instead of 0.299
+    val halves = dibFrame(w, h, y => if (y < h / 2) 0xffffff else 0x000000)
+    val red = dibFrame(w, h, _ => 0xff0000)
+    val avi = dibAviBytes(Seq(halves, red), w, h, 2)
+    val got = Multimodal.VideoDecoder.decodeBatch(Seq(MediaRecord(0L, "video", avi))).head
+    assert(got.width == w && got.height == h && got.n_frames == 2)
+    // temporal mean over both frames: top-half grid cells (1 + 0.299)/2,
+    // bottom-half cells (0 + 0.299)/2
+    val top = (1.0f + 0.299f) / 2
+    val bottom = 0.299f / 2
+    assert(got.feature.take(4).forall(v => (v - top).abs < 0.01f),
+      s"top grid cells ${got.feature.take(4).toSeq} != $top")
+    assert(got.feature.drop(4).forall(v => (v - bottom).abs < 0.01f),
+      s"bottom grid cells ${got.feature.drop(4).toSeq} != $bottom")
+    // a truncated raster is corrupt → metadata real, features zero
+    val short = dibAviBytes(Seq(halves.take(10)), w, h, 1)
+    val gotShort = Multimodal.VideoDecoder.decodeBatch(Seq(MediaRecord(1L, "video", short))).head
+    assert(gotShort.width == w && gotShort.feature.forall(_ == 0f))
+  }
+
   test("frameSample explodes video payloads into fixed-size windows only") {
     val media = records.toDS().toDF()
     val frames = Multimodal.frameSample(media, frameBytes = 16, stride = 4).collect()
