@@ -118,9 +118,11 @@ object Bench {
   * with trailing zeros stripped ("0.30" → "0.3", "3.00" → "3" — both
   * valid JSON numbers); everything non-graded (protocol tag, warmup,
   * raw series, full precision) lives in the BENCH_DETAIL.json side
-  * file. Measured 1804 chars at 68 queries; sbt's trailing
-  * "[success]" line (~75 chars) shares the window — recompute before
-  * growing the surface past ~72 queries. */
+  * file. Measured 1804 chars at 68 queries (~1833 at 69); sbt's
+  * trailing "[success]" line (~75 chars) shares the window —
+  * BenchFormatSpec asserts the worst-case line at the CURRENT query
+  * count stays ≤1,900 chars, so surface growth past the window fails
+  * a test instead of silently truncating the graded record. */
 private[graft] object BenchFormat {
 
   /** Locale.ROOT: `%.2f` under the JVM default locale would emit
