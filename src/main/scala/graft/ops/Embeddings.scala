@@ -187,14 +187,17 @@ object Embeddings {
     * (vec_id, cluster_id, keep) — literally the same last step as the
     * text-side q32 ([[LlmOps.dropList]]), so a pipeline resolves text
     * and embedding duplicates with one code path; the embeddings side
-    * reads only vec_id. */
+    * reads only vec_id. `checkpointDir` = the cluster-durable fixpoint
+    * knob ([[LlmOps.connectedComponents]]). */
   def nearDupClusters(spark: SparkSession, dir: String,
                       threshold: Double = OracleThreshold,
-                      planes: Int = Planes): DataFrame =
+                      planes: Int = Planes,
+                      checkpointDir: Option[String] = None): DataFrame =
     LlmOps.dropList(
       Tables.embeddings(spark, dir).select(col("vec_id")),
       LlmOps.connectedComponents(
-        cosineNearDupPairsRaw(spark, dir, threshold, planes).select(col("d1"), col("d2"))),
+        cosineNearDupPairsRaw(spark, dir, threshold, planes).select(col("d1"), col("d2")),
+        checkpointDir = checkpointDir),
       "vec_id")
 
   /** One trained centroid: id (seed vec_id), exact component SUMS, and
@@ -517,7 +520,8 @@ object Embeddings {
     * clustering bit-for-bit. */
   def semanticDedup(spark: SparkSession, dir: String,
                     threshold: Double = OracleThreshold,
-                    nCells: Int = OracleCells, iters: Int = OracleIters): DataFrame = {
+                    nCells: Int = OracleCells, iters: Int = OracleIters,
+                    checkpointDir: Option[String] = None): DataFrame = {
     val vecs = Caches.persist(quantized(spark, dir))
     val cents = trainQuantizerOn(vecs, nCells, iters)
     // persisted: the cell assignment (nCells codegen distance evals per
@@ -530,6 +534,6 @@ object Embeddings {
     val pairs = scorePairs(a.join(b, Seq("cell")).filter(col("d1") < col("d2")), threshold)
       .select(col("d1"), col("d2"))
     LlmOps.dropList(vecs.select(col("vec_id")),
-      LlmOps.connectedComponents(pairs), "vec_id")
+      LlmOps.connectedComponents(pairs, checkpointDir = checkpointDir), "vec_id")
   }
 }

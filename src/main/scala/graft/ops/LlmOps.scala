@@ -320,7 +320,8 @@ object LlmOps {
     * parts and survives the same 100 TB argument each part makes. */
   def curateCorpus(spark: SparkSession, dir: String,
                    n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50,
-                   minTokens: Int = 5): DataFrame = {
+                   minTokens: Int = 5,
+                   checkpointDir: Option[String] = None): DataFrame = {
     graft.functions.TextStats.register(spark)
     // exact-dup and too-short verdicts share ONE documents scan (both
     // are per-row + one window over content_hash); only the near-dup
@@ -332,7 +333,7 @@ object LlmOps {
         min(col("doc_id")).over(org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))))
       .select(col("doc_id"), (col("doc_id") =!= col("hash_min")).as("exact_dup"),
         col("too_short"))
-    val near = nearDupClusters(spark, dir, n, threshold, maxDf)
+    val near = nearDupClusters(spark, dir, n, threshold, maxDf, checkpointDir)
       .select(col("doc_id"), (!col("keep")).as("near_dup"))
     val reason = when(col("exact_dup"), "exact_dup")
       .when(col("near_dup"), "near_dup")
@@ -361,10 +362,12 @@ object LlmOps {
     * sees the singleton majority; both enrichment joins have a
     * component-sized small side that AQE broadcasts. */
   def clusterKeepBest(spark: SparkSession, dir: String,
-                      n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50): DataFrame = {
+                      n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50,
+                      checkpointDir: Option[String] = None): DataFrame = {
     graft.functions.TextStats.register(spark)
     val comp = connectedComponents(
-      jaccardPairsRaw(spark, dir, n, threshold, maxDf).select(col("d1"), col("d2")))
+      jaccardPairsRaw(spark, dir, n, threshold, maxDf).select(col("d1"), col("d2")),
+      checkpointDir = checkpointDir)
     // persisted: feeds the ranked join AND the final enrichment join —
     // uncached, the documents scan + text_stats pass would run twice
     val toks = Caches.persist(Tables.documents(spark, dir)

@@ -36,8 +36,6 @@ object ScaleUp {
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: ScaleUp <srcSfDir> <dstDir> <factor>")
-    val (src, dst, factor) = (args(0), args(1), args(2).toInt)
-    require(factor >= 1, "factor must be >= 1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -47,6 +45,14 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args(0), args(1), args(2).toInt)
+    finally spark.stop()
+  }
+
+  /** The generator on a caller-owned session (main wraps it;
+    * ScaleUpSpec certifies the methodology on the test session). */
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+    require(factor >= 1, "factor must be >= 1")
 
     def rep(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
@@ -83,6 +89,5 @@ object ScaleUp {
       }
     }
     println(s"[scaleup] wrote ${factor}x of $src to $dst")
-    spark.stop()
   }
 }
