@@ -233,6 +233,11 @@ object Multimodal {
       if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "AVI ") return None
       var avih: Option[Int] = None
       var strf: Option[Int] = None
+      // fccType of the most recent strh: a strf belongs to the stream
+      // whose strh precedes it, so an audio-first AVI's WAVEFORMATEX
+      // must not be misread as the video pixel format. A strh-less
+      // minimal file (older fixtures) still accepts its lone strf.
+      var lastStrh: Option[String] = None
       var frames = Vector.newBuilder[(Int, Int)]
       def walk(from: Int, until: Int): Unit = {
         var off = from
@@ -246,7 +251,9 @@ object Multimodal {
           if (size < 0 || size > until - data) return // truncated/corrupt tail
           if (id == "LIST" && size >= 4) walk(data + 4, data + size)
           else if (id == "avih" && size >= 40) avih = Some(data)
-          else if (id == "strf" && size >= 20 && strf.isEmpty) strf = Some(data)
+          else if (id == "strh" && size >= 4) lastStrh = Some(fourcc(b, data))
+          else if (id == "strf" && size >= 20 && strf.isEmpty &&
+                   lastStrh.forall(_ == "vids")) strf = Some(data)
           else if (id.length == 4 && id(0).isDigit && id(1).isDigit &&
                    id(2) == 'd' && (id(3) == 'c' || id(3) == 'b') && size > 0)
             frames += ((data, size))

@@ -262,6 +262,27 @@ class MultimodalSpec extends SparkSpec {
     val short = dibAviBytes(Seq(halves.take(10)), w, h, 1)
     val gotShort = Multimodal.VideoDecoder.decodeBatch(Seq(MediaRecord(1L, "video", short))).head
     assert(gotShort.width == w && gotShort.feature.forall(_ == 0f))
+    // an AUDIO-first AVI whose WAVEFORMATEX bytes happen to look like
+    // 24bpp/BI_RGB must NOT be misread as a video pixel format: the
+    // strf is paired with its preceding strh fccType
+    val audStrh = new Array[Byte](56)
+    System.arraycopy("auds".getBytes("US-ASCII"), 0, audStrh, 0, 4)
+    val audStrf = new Array[Byte](40)
+    System.arraycopy(le16(24), 0, audStrf, 14, 2) // fake biBitCount
+    val avihBytes = new Array[Byte](56)
+    System.arraycopy(le32(1), 0, avihBytes, 16, 4)
+    System.arraycopy(le32(w), 0, avihBytes, 32, 4)
+    System.arraycopy(le32(h), 0, avihBytes, 36, 4)
+    val audFirst = {
+      val hdrl = riffList("hdrl", riffChunk("avih", avihBytes) ++
+        riffList("strl", riffChunk("strh", audStrh) ++ riffChunk("strf", audStrf)))
+      val movi = riffList("movi", riffChunk("00db", halves))
+      val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+      "RIFF".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+    }
+    val gotAud = Multimodal.VideoDecoder.decodeBatch(Seq(MediaRecord(2L, "video", audFirst))).head
+    assert(gotAud.width == w && gotAud.feature.forall(_ == 0f),
+      "audio-stream strf must not enable DIB decode")
   }
 
   test("frameSample explodes video payloads into fixed-size windows only") {
