@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
-"""Per-query scaling report: sf1 (10x) bench vs the sf0.1 record.
+"""Per-query scaling report across one 10x data decade.
 
-Usage: scaling_report.py BENCH_DETAIL_sf1.json BENCH_DETAIL_sf01.json
+Usage: scaling_report.py SCALED_DETAIL.json BASE_DETAIL.json [scaledLabel baseLabel]
 Reads the min-of-two per-query series from both detail files and
 prints a table of ratios, flagging anything > 15x (the VERDICT r6
 threshold for "possibly corpus-quadratic").
@@ -17,21 +17,23 @@ def load(path):
 
 
 def main():
-    sf1, sf01 = load(sys.argv[1]), load(sys.argv[2])
+    hi, lo = load(sys.argv[1]), load(sys.argv[2])
+    hi_label = sys.argv[3] if len(sys.argv) > 3 else "scaled"
+    lo_label = sys.argv[4] if len(sys.argv) > 4 else "base"
     rows = []
-    for q in sorted(sf01):
-        if q in sf1:
-            r = sf1[q] / sf01[q] if sf01[q] > 0 else float("inf")
-            rows.append((q, sf01[q], sf1[q], r))
+    for q in sorted(lo):
+        if q in hi:
+            r = hi[q] / lo[q] if lo[q] > 0 else float("inf")
+            rows.append((q, lo[q], hi[q], r))
     rows.sort(key=lambda x: -x[3])
-    print(f"{'query':28s} {'sf0.1 s':>9s} {'sf1 s':>9s} {'ratio':>7s}")
+    print(f"{'query':28s} {lo_label + ' s':>9s} {hi_label + ' s':>9s} {'ratio':>7s}")
     flagged = 0
     for q, a, b, r in rows:
         flag = " <-- >15x" if r > 15 else ""
         flagged += r > 15
         print(f"{q:28s} {a:9.3f} {b:9.3f} {r:7.2f}{flag}")
-    t0, t1 = sum(sf01[q] for q, *_ in rows), sum(sf1[q] for q, *_ in rows)
-    print(f"\ntotal: sf0.1 {t0:.2f} s -> sf1 {t1:.2f} s = {t1 / t0:.2f}x "
+    t0, t1 = sum(lo[q] for q, *_ in rows), sum(hi[q] for q, *_ in rows)
+    print(f"\ntotal: {lo_label} {t0:.2f} s -> {hi_label} {t1:.2f} s = {t1 / t0:.2f}x "
           f"on a 10x data decade; {flagged} queries above 15x")
 
 
