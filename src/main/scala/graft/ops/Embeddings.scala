@@ -70,6 +70,23 @@ object Embeddings {
     math.max(1, p)
   }
 
+  /** Cells-vs-N rule for the IVF family ([[ivfTopK]]/[[semanticDedup]])
+    * — [[planesFor]]'s counterpart for LEARNED partitions: holding the
+    * expected CELL POPULATION n/nCells at `targetCell` keeps
+    * [[semanticDedup]]'s within-cell pairing cost ≈ n·targetCell —
+    * linear in the corpus — and every cell far under the
+    * [[MaxCellMembers]] exact-arithmetic bound. This is SemDeDup's own
+    * scaling argument (cluster count grows with the corpus) as an
+    * exact-integer rule: ceil(n / targetCell), floored at
+    * [[OracleCells]] so small corpora keep the oracle shape. Measured
+    * (bench/SCALING_r07.md): at sf10 (200k vectors) the pinned
+    * 10-cell config costs 90.4 s and `cellsFor`-scale cells (100)
+    * cost 20.0 s — the dial that restores the linear trend. */
+  def cellsFor(n: Long, targetCell: Int = 2048): Int = {
+    require(n > 0 && targetCell > 0, "need positive corpus and cell sizes")
+    math.max(OracleCells.toLong, (n + targetCell - 1) / targetCell).toInt
+  }
+
   /** Rademacher component r(s, d) ∈ {+1, -1}: low bit of the 60-bit
     * prefix of md5("s:d") — the Scala twin of the oracle's
     * `CAST(('0x' || substr(md5(s || ':' || d), 1, 15)) AS BIGINT) & 1`. */

@@ -183,6 +183,20 @@ class EmbeddingsSpec extends SparkSpec {
       s"scaled planes should cut pair-generation cost ≥4x: $cost vs $cost4")
   }
 
+  test("cellsFor sizing: exact-integer ceil with the oracle floor and arithmetic-bound room") {
+    // pinned literals (not the formula re-derived): ceil(n/targetCell)
+    assert(Embeddings.cellsFor(200000, 2048) == 98)
+    assert(Embeddings.cellsFor(2048, 2048) == Embeddings.OracleCells)   // floor at oracle shape
+    assert(Embeddings.cellsFor(1, 2048) == Embeddings.OracleCells)
+    assert(Embeddings.cellsFor(20481, 2048) == 11)  // ceil, not round
+    assert(Embeddings.cellsFor(20480, 2048) == Embeddings.OracleCells)  // exact boundary
+    // the rule keeps expected cell population far under the
+    // MaxCellMembers exact-arithmetic bound at any corpus size
+    val n = 100000000000L // 100 B vectors
+    assert(n / Embeddings.cellsFor(n) <= 2048L)
+    assert(2048L * 4 < Embeddings.MaxCellMembers) // 4x skew head-room
+  }
+
   test("multi-band near-dup pairs: superset of single-band, identical scoring") {
     val one = Embeddings.cosineNearDupPairs(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
