@@ -101,6 +101,7 @@ object SparkEntry {
     "q67_order_marginals"   -> Relational.orderMarginals _,
     "q68_semantic_dedup"    -> ((s, d) => Embeddings.semanticDedup(s, d)),
     "q69_skew_salted_join"  -> ((s, d) => Skew.skewedEventSegments(s, d)),
+    "q70_semantic_scaled"   -> ((s, d) => Embeddings.semanticDedupScaled(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -180,12 +181,13 @@ object SparkEntry {
     * bit: distances in the scaled form Σ(n·q−s)² / n² with ties to the
     * smallest cell id. Editing a training constant on one engine but
     * not the other must fail BOTH consumers, not silently diverge
-    * one. Cell count is the single-sourced
-    * [[graft.ops.Embeddings.OracleCells]]; the two unrolled Lloyd's
-    * rounds are `OracleIters`, pinned by the require below (ADVICE
-    * r6 — a parameter change on the Scala side now fails here rather
-    * than silently de-certifying q31/q68). */
-  private val IvfCtes = {
+    * one. `cellsSql` is a SQL expression for the cell count — the
+    * pinned [[graft.ops.Embeddings.OracleCells]] for q31/q68, the
+    * corpus-derived [[graft.ops.Embeddings.cellsFor]] replay for q70 —
+    * and the two unrolled Lloyd's rounds are `OracleIters`, pinned by
+    * the require below (ADVICE r6 — a parameter change on the Scala
+    * side now fails here rather than silently de-certifying). */
+  private def ivfCtes(cellsSql: String): String = {
     require(Embeddings.OracleIters == 2,
       "IvfCtes structurally unrolls exactly 2 Lloyd's rounds — re-derive the replay SQL")
     s"""q AS (
@@ -195,7 +197,7 @@ object SparkEntry {
            SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q),
          dims AS (SELECT unnest(generate_series(1,64)) AS d),
          c0 AS (SELECT vec_id AS j, qv AS s, CAST(1 AS BIGINT) AS n
-                FROM v ORDER BY vec_id LIMIT ${Embeddings.OracleCells}),
+                FROM v ORDER BY vec_id LIMIT ($cellsSql)),
          d1 AS (
            SELECT v.vec_id, c.j,
              CAST(list_sum(list_transform(generate_series(1,64),
@@ -234,6 +236,17 @@ object SparkEntry {
                   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
                   FROM df) t WHERE rn = 1)"""
   }
+
+  private val IvfCtes = ivfCtes(Embeddings.OracleCells.toString)
+
+  /** q70's cells-parametric replay: the SAME training trajectory with
+    * the cell count derived from the corpus the way
+    * [[graft.ops.Embeddings.cellsFor]] does — exact-integer ceil with
+    * the [[graft.ops.Embeddings.OracleCells]] floor. */
+  private val IvfCtesScaled = ivfCtes(
+    s"""SELECT greatest(${Embeddings.OracleCells},
+          (count(*) + ${Embeddings.OracleTargetCell} - 1) // ${Embeddings.OracleTargetCell})
+        FROM embeddings""")
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
     * ORDER BY, explicit casts so dtypes line up (see Relational docs). */
@@ -1149,5 +1162,18 @@ object SparkEntry {
                FROM events) e
          JOIN customer ON c_custkey = k
          GROUP BY c_mktsegment ORDER BY seg""",
+    // q68's training/pairing/resolution replay with the CELL COUNT
+    // derived from the corpus (cellsFor) — the production sizing rule
+    // of the semantic-dedup family, oracle-gated like q34's planesFor
+    "q70_semantic_scaled" ->
+      s"""WITH RECURSIVE $IvfCtesScaled,
+         pairs AS (
+           SELECT x.vec_id AS d1, y.vec_id AS d2
+           FROM af x
+           JOIN af y ON y.j = x.j AND x.vec_id < y.vec_id
+           JOIN v vx ON vx.vec_id = x.vec_id
+           JOIN v vy ON vy.vec_id = y.vec_id
+           WHERE ${VecCosineGE("vx", "vy")}),
+         $VecComponentSql""",
   )
 }

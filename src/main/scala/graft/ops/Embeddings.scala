@@ -50,6 +50,13 @@ object Embeddings {
   val OracleCells: Int = 10
   val OracleIters: Int = 2
 
+  /** q70's pinned target cell population: small enough that the
+    * [[cellsFor]] derivation is NON-VACUOUS at the oracle SF (500
+    * vectors → 16 cells ≠ the pinned 10), so the sizing rule itself is
+    * oracle-gated the way q34 gates [[planesFor]]. Production uses
+    * [[cellsFor]]'s 2048 default. */
+  val OracleTargetCell: Int = 32
+
   /** Planes-vs-N rule: with `p` planes the corpus splits into 2^p
     * buckets, so the bucketed self-join costs Σ_b |b|² ≈ N²/2^p for
     * near-uniform buckets. Holding the EXPECTED BUCKET POPULATION
@@ -552,5 +559,23 @@ object Embeddings {
       .select(col("d1"), col("d2"))
     LlmOps.dropList(vecs.select(col("vec_id")),
       LlmOps.connectedComponents(pairs, checkpointDir = checkpointDir), "vec_id")
+  }
+
+  /** q70 — [[semanticDedup]] at the PRODUCTION cell sizing: nCells =
+    * [[cellsFor]](corpus count, targetCell) instead of the pinned
+    * [[OracleCells]]. This is to q68 what q34 is to q29: the sf10
+    * decade measured the pinned config going quadratic (90.4 s) and
+    * the scaled config back on the linear trend (20.0 s —
+    * bench/SCALING_r07.md), so the SIZING RULE is the part that must
+    * be oracle-gated — the DuckDB twin derives the same integer cell
+    * count from the same corpus count, so a drifted rule fails the
+    * gate, not just a benchmark. */
+  def semanticDedupScaled(spark: SparkSession, dir: String,
+                          threshold: Double = OracleThreshold,
+                          targetCell: Int = OracleTargetCell,
+                          iters: Int = OracleIters,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    semanticDedup(spark, dir, threshold, cellsFor(n, targetCell), iters, checkpointDir)
   }
 }
