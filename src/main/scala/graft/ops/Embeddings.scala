@@ -88,7 +88,17 @@ object Embeddings {
     * [[OracleCells]] so small corpora keep the oracle shape. Measured
     * (bench/SCALING_r07.md): at sf10 (200k vectors) the pinned
     * 10-cell config costs 90.4 s and `cellsFor`-scale cells (100)
-    * cost 20.0 s — the dial that restores the linear trend. */
+    * cost 20.0 s — the dial that restores the linear trend.
+    *
+    * Design bound: assignment inlines each centroid as a PLAN LITERAL
+    * (the zero-shuffle [[nearestCell]] form), which is the right trade
+    * up to O(10²-10³) cells — measured 625 literal cells complete
+    * but pay ~30 s of plan/codegen overhead. With the 2048 default
+    * that bound is reached around N ≈ 2M vectors per quantizer; past
+    * it, shard the corpus (each shard trains its own quantizer — the
+    * federation shape ScaleUp demonstrates) or replace assignment
+    * with a join against a centroid table / a coarse-over-coarse ANN
+    * probe, the standard two-level IVF. */
   def cellsFor(n: Long, targetCell: Int = 2048): Int = {
     require(n > 0 && targetCell > 0, "need positive corpus and cell sizes")
     math.max(OracleCells.toLong, (n + targetCell - 1) / targetCell).toInt
