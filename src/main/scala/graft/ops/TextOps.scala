@@ -300,4 +300,82 @@ object TextOps {
       .select(col("rank"), col("pair"), col("n"), col("df"))
       .orderBy(col("rank"))
   }
+
+  /** Iterative BPE tokenizer TRAINING — the loop whose single step
+    * q61 profiles (Sennrich et al. 2016). Returns the learned merge
+    * list in order: `(rank, left, right, pair_count)`.
+    *
+    * The scalable shape: the corpus is scanned ONCE into a (word,
+    * count) VOCABULARY table — after that, every merge round runs on
+    * the vocab relation, never the corpus, which is how BPE training
+    * stays tractable at 100 TB (the vocab is heavy-tailed and orders
+    * of magnitude smaller than the corpus; it still lives in a
+    * Dataset, so a billion-type vocabulary distributes fine). Each
+    * round is: weighted adjacent-pair count over the current
+    * segmentations (one vocab-sized shuffle, map-side partial) →
+    * argmax collected to the driver (count DESC, then (left, right)
+    * lexicographic — the deterministic tie-break both the spec's
+    * brute force and any re-run reproduce) → row-local merge rewrite
+    * of the segmentations (narrow, no shuffle). Lineage is truncated
+    * with localCheckpoint every few rounds, the [[graft.ops.LlmOps
+    * .connectedComponents]] pattern for driver-loop iteration.
+    *
+    * Symbols are CODE POINTS (surrogate-safe, matching `char_pairs` /
+    * q61 semantics); words are whitespace tokens (the project-wide
+    * tokenization rule). `minPairCount` stops training when the best
+    * pair drops below it (vocabulary saturated). */
+  def bpeTrain(spark: SparkSession, dir: String, nMerges: Int,
+               minPairCount: Long = 2L): Seq[(Int, String, String, Long)] = {
+    import spark.implicits._
+    val checkpointEvery = 8
+    // ONE corpus pass: whitespace words with frequencies, then each
+    // word as its code-point symbol sequence
+    var vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+      .map { case (w, c) =>
+        val cps = w.codePoints().toArray
+        (cps.indices.map(i => new String(cps, i, 1)), c)
+      }
+      .toDF("syms", "cnt")
+      .as[(Seq[String], Long)]
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var saturated = false
+    while (rank < nMerges && !saturated) {
+      // weighted pair counts over the CURRENT segmentation; argmax
+      // with the pinned tie-break, one row to the driver
+      val best = vocab.flatMap { case (syms, c) =>
+        (0 until syms.length - 1).map(i => ((syms(i), syms(i + 1)), c))
+      }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case ((l, r), n) => (l, r, n) }
+        .toDF("l", "r", "n")
+        .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+        .as[(String, String, Long)].collect().headOption
+      best match {
+        case Some((l, r, n)) if n >= minPairCount =>
+          merges += ((rank, l, r, n))
+          val merged = l + r
+          // row-local merge: replace every (l, r) adjacency left-to-
+          // right (the standard greedy single-pass application)
+          vocab = vocab.map { case (syms, c) =>
+            val out = Seq.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                out += merged; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), c)
+          }
+          rank += 1
+          if (rank % checkpointEvery == 0) vocab = vocab.localCheckpoint()
+        case _ => saturated = true
+      }
+    }
+    merges.result()
+  }
 }

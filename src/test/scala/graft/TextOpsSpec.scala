@@ -190,6 +190,59 @@ class TextOpsSpec extends SparkSpec {
     assert(got(2L)._3 === "Caf\u00e9 na\u00efve x")
   }
 
+  test("bpeTrain: merge sequence equals a driver-side brute-force BPE") {
+    // the classic worked example: 'low' x5-ish corpora where the
+    // learned merges are hand-checkable, plus multi-byte text so the
+    // code-point symbol rule is exercised
+    val dir = writeDocs(Seq(
+      (1L, "low low low lower lower newest newest newest"),
+      (2L, "newest newest newest widest widest café café")))
+    // brute force: identical algorithm, plain Scala over the raw words
+    def brute(words: Seq[String], nMerges: Int, minCount: Long): Seq[(Int, String, String, Long)] = {
+      val freq = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      var vocab: Map[Seq[String], Long] = freq.map { case (w, c) =>
+        val cps = w.codePoints().toArray
+        (cps.indices.map(i => new String(cps, i, 1)): Seq[String]) -> c
+      }
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var r = 0
+      var stop = false
+      while (r < nMerges && !stop) {
+        val counts = collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+        }
+        val best = counts.toSeq.sortBy { case ((l, rr), n) => (-n, l, rr) }.headOption
+        best match {
+          case Some(((l, rr), n)) if n >= minCount =>
+            out += ((r, l, rr, n))
+            vocab = vocab.map { case (syms, c) =>
+              val m = Seq.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == rr) { m += (l + rr); i += 2 }
+                else { m += syms(i); i += 1 }
+              }
+              (m.result(), c)
+            }.groupBy(_._1).view.mapValues(_.values.sum).toMap
+            r += 1
+          case _ => stop = true
+        }
+      }
+      out.result()
+    }
+    val words = Seq.fill(1)("low low low lower lower newest newest newest").mkString(" ").split(" ").toSeq ++
+      "newest newest newest widest widest café café".split(" ").toSeq
+    val expected = brute(words, 12, 2L)
+    val got = TextOps.bpeTrain(spark, dir, 12, 2L)
+    assert(got == expected, s"merge trajectories diverged:\n got $got\n exp $expected")
+    // sanity of the worked example: 'e'+'s' or similar high-frequency
+    // pairs surface early, and every learned pair met the floor
+    assert(got.nonEmpty && got.forall(_._4 >= 2L))
+    // ranks are sequential from 0
+    assert(got.map(_._1) == got.indices)
+  }
+
   test("redactPii: emails/phones/IPs replaced with tokens, counts per pattern") {
     val docs = Seq(
       (1L, "contact bob.smith+x@example.co.uk or +1 (415) 555-0199 now"),
