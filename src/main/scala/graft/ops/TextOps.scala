@@ -362,14 +362,7 @@ object TextOps {
           // row-local merge: replace every (l, r) adjacency left-to-
           // right (the standard greedy single-pass application)
           vocab = vocab.map { case (syms, c) =>
-            val out = Seq.newBuilder[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-                out += merged; i += 2
-              } else { out += syms(i); i += 1 }
-            }
-            (out.result(), c)
+            (mergeOnce(syms, l, r, merged), c)
           }
           rank += 1
           if (rank % checkpointEvery == 0) vocab = vocab.localCheckpoint()
@@ -377,5 +370,47 @@ object TextOps {
       }
     }
     merges.result()
+  }
+
+  /** One left-to-right greedy merge pass: every (l, r) adjacency in
+    * `syms` becomes `merged`. Shared by training and encoding so the
+    * two sides cannot drift. */
+  private def mergeOnce(syms: Seq[String], l: String, r: String,
+                        merged: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += merged; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** BPE ENCODING — apply a [[bpeTrain]] merge list to the corpus:
+    * (doc_id, tokens array<string>, n_tokens). Entirely row-local
+    * (the merge table broadcasts as a closure constant; each word
+    * re-applies the merges in RANK ORDER, the rule that makes
+    * encoding deterministic and training-consistent), so the encode
+    * pass rides the scan at any corpus size — the same
+    * zero-shuffle shape as the other per-row text kernels. */
+  def bpeEncode(spark: SparkSession, dir: String,
+                merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    val ranked = merges.sortBy(_._1).map { case (_, l, r, _) => (l, r) }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .as[(Long, Seq[String])]
+      .map { case (id, words) =>
+        val tokens = words.filter(_.nonEmpty).flatMap { w =>
+          val cps = w.codePoints().toArray
+          var syms: Seq[String] = cps.indices.map(i => new String(cps, i, 1))
+          ranked.foreach { case (l, r) => syms = mergeOnce(syms, l, r, l + r) }
+          syms
+        }
+        (id, tokens, tokens.length.toLong)
+      }
+      .toDF("doc_id", "tokens", "n_tokens")
+      .orderBy(col("doc_id"))
   }
 }

@@ -241,6 +241,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_._4 >= 2L))
     // ranks are sequential from 0
     assert(got.map(_._1) == got.indices)
+
+    // ENCODE side: applying the learned merges in rank order tokenizes
+    // every trained-on word to exactly its final training segmentation
+    // — training ended with no mergeable pair left, so a fully-trained
+    // frequent word collapses to one token
+    val enc = TextOps.bpeEncode(spark, dir, got).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[collection.Seq[String]]("tokens").toSeq).toMap
+    assert(enc(1L).nonEmpty && enc(2L).nonEmpty)
+    // reassembling tokens per word recovers the original text bytes
+    val reassembled = enc(1L).mkString
+    assert(reassembled == "low low low lower lower newest newest newest".replace(" ", ""))
+    // 'newest' (6 occurrences across both docs) is fully merged after
+    // 12 rounds → appears as a single token wherever it occurs
+    assert(enc(1L).contains("newest") && enc(2L).contains("newest"))
+    // multi-byte word: code points survive encode intact
+    assert(enc(2L).mkString.endsWith("cafécafé"))
   }
 
   test("redactPii: emails/phones/IPs replaced with tokens, counts per pattern") {
