@@ -69,4 +69,57 @@ object Storage {
   def prunedRead(spark: SparkSession, path: String,
                  partCol: String, value: String): DataFrame =
     readPartitioned(spark, path).filter(col(partCol) === value)
+
+  /** VERSIONED UPSERT — the corpus-refresh operator a nightly crawl
+    * needs on plain parquet (no table format in this stack): merge
+    * `updates` into the newest committed snapshot under `root` by
+    * `key` (update rows replace base rows; rows whose `deleteCol` is
+    * true are tombstones and drop the key; new keys append), then
+    * publish the result ATOMICALLY as the next versioned subdirectory
+    * — `v<n+1>/` + `_SUCCESS` marker, the exact layout
+    * [[graft.stream.StreamingNearDedup.resolveSnapshot]] resolves, so
+    * batch readers, the refreshing streaming index, and this writer
+    * share one snapshot protocol: a reader never sees a half-written
+    * version, a concurrent scan of v<n> is never disturbed, and a
+    * crashed writer leaves an invisible marker-less directory.
+    *
+    * Plan shape at 100 TB: ONE full-outer-shaped pass — base
+    * left-anti updates (kept base rows, shuffle on key) unioned with
+    * the non-tombstone updates; both sides prune to the read columns.
+    * The rewrite cost is the snapshot size, the standard
+    * copy-on-write trade: right for periodic bulk refreshes (crawl
+    * drops), wrong for single-row OLTP — that needs a real table
+    * format with row-level deletes.
+    *
+    * Returns the published version directory. */
+  def upsertSnapshot(spark: SparkSession, root: String, updates: DataFrame,
+                     key: String, deleteCol: Option[String] = None): String = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resolved = graft.stream.StreamingNearDedup.resolveSnapshot(spark, root)
+    val hasBase = resolved != root || fs.exists(new org.apache.hadoop.fs.Path(s"$root/_SUCCESS"))
+    val keep = deleteCol.map(d => updates.filter(!col(d)).drop(d)).getOrElse(updates)
+    val merged =
+      if (!hasBase) keep
+      else {
+        val base = spark.read.parquet(resolved)
+        base.join(updates.select(col(key)), Seq(key), "left_anti").unionByName(keep)
+      }
+    // next version number from the existing subdirs (v1, v2, ... —
+    // resolveSnapshot's natural order handles unpadded names)
+    val existing =
+      if (fs.exists(new org.apache.hadoop.fs.Path(root)))
+        fs.listStatus(new org.apache.hadoop.fs.Path(root)).filter(_.isDirectory)
+          .map(_.getPath.getName).filter(_.matches("v[0-9]+")).map(_.drop(1).toLong)
+      else Array.empty[Long]
+    val next = s"$root/v${existing.foldLeft(0L)(math.max) + 1}"
+    // parquet commit writes _SUCCESS last — that IS the publish
+    merged.write.mode(SaveMode.Overwrite).parquet(next)
+    next
+  }
+
+  /** Read the newest COMMITTED snapshot under `root` (the reader half
+    * of [[upsertSnapshot]]'s protocol). */
+  def readSnapshot(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(graft.stream.StreamingNearDedup.resolveSnapshot(spark, root))
 }

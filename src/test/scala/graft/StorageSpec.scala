@@ -76,4 +76,44 @@ class StorageSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_scores_b")
     }
   }
+
+  test("upsertSnapshot: versioned copy-on-write merge with atomic publish") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftsnap").toString + "/corpus"
+    def rel(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+
+    // v1: initial load into an empty root
+    val v1 = Storage.upsertSnapshot(spark, root,
+      Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text"), "doc_id")
+    assert(v1.endsWith("/v1"))
+    assert(rel(Storage.readSnapshot(spark, root)) ==
+      Map(1L -> "one", 2L -> "two", 3L -> "three"))
+
+    // v2: update key 2, tombstone key 3, insert key 4
+    val updates = Seq(
+      (2L, "TWO", false), (3L, "", true), (4L, "four", false)
+    ).toDF("doc_id", "text", "deleted")
+    val v2 = Storage.upsertSnapshot(spark, root, updates, "doc_id", Some("deleted"))
+    assert(v2.endsWith("/v2"))
+    assert(rel(Storage.readSnapshot(spark, root)) ==
+      Map(1L -> "one", 2L -> "TWO", 4L -> "four"))
+    // the superseded snapshot is untouched (a concurrent v1 scan
+    // would have finished cleanly)
+    assert(rel(spark.read.parquet(v1)) == Map(1L -> "one", 2L -> "two", 3L -> "three"))
+
+    // a crashed writer's marker-less directory is invisible to readers
+    val partial = new java.io.File(s"$root/v3")
+    assert(partial.mkdirs())
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/v3/part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(rel(Storage.readSnapshot(spark, root)) ==
+      Map(1L -> "one", 2L -> "TWO", 4L -> "four"))
+    // and the next successful upsert publishes past it
+    val v4 = Storage.upsertSnapshot(spark, root,
+      Seq((5L, "five")).toDF("doc_id", "text"), "doc_id")
+    assert(v4.endsWith("/v4"))
+    assert(rel(Storage.readSnapshot(spark, root))(5L) == "five")
+  }
 }
