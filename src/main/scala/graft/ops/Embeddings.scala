@@ -373,22 +373,34 @@ object Embeddings {
     // and an empty quantizer would return silently empty results
     require(rawCents.nonEmpty, "quantizer has no centroids")
     val cents = rawCents.sortBy(_.j)
-    // serving: every vector's home cell (candidate side) ...
-    val cands = vecs
-      .select(col("vec_id").as("neighbor_id"), col("qv").as("c_v"),
-        col("nrm").as("c_n"), nearestCell(cents).as("cell"))
-    // ...and each query's nprobe nearest cells: sort struct(dist, id)
-    // — lexicographic, so ties again break to the smallest id — and
-    // explode the first nprobe ids.
-    val probeCells = slice(transform(
+    // serving: every vector's home cell (candidate side — the ONE
+    // index definition, shared with the streaming path) joined with
+    // each query's nprobe nearest cells
+    val cands = indexOf(vecs, cents)
+    val qs = vecs.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_v"),
+        col("nrm").as("q_n"), explode(probeCellsCol(cents, nprobe)).as("cell"))
+    // queries ARE corpus vectors here → exclude the self-match
+    scoreTopK(cands.join(broadcast(qs), Seq("cell")), k, excludeSelf = true)
+  }
+
+  /** ONE definition of the cell-assigned candidate relation (the
+    * serving index) over a quantized-vector table — shared by the
+    * batch path ([[ivfTopKServeOn]]) and the streaming path
+    * ([[serveIndex]]) so the two cannot drift. */
+  private def indexOf(vecs: DataFrame, cents: Seq[Centroid]): DataFrame =
+    vecs.select(col("vec_id").as("neighbor_id"), col("qv").as("c_v"),
+      col("nrm").as("c_n"), nearestCell(cents).as("cell"))
+
+  /** ONE definition of the nprobe-nearest-cells expression over a row
+    * carrying (qv, nrm): sort struct(dist, id) — lexicographic, so
+    * ties break to the smallest cell id — and keep the first nprobe
+    * ids. Shared by both serving paths. */
+  private def probeCellsCol(cents: Seq[Centroid], nprobe: Int) =
+    slice(transform(
       array_sort(array(cents.map(c =>
         struct(scaledDist(c).as("dist"), lit(c.j).as("j"))): _*)),
       e => e.getField("j")), 1, nprobe)
-    val qs = vecs.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("qv").as("q_v"),
-        col("nrm").as("q_n"), explode(probeCells).as("cell"))
-    scoreTopK(cands.join(broadcast(qs), Seq("cell")), k)
-  }
 
   /** The serving-side INDEX for [[serveQueryBatch]]: every corpus
     * vector with its home cell under `cents` — built (and typically
@@ -399,23 +411,28 @@ object Embeddings {
     * batch's probe rows broadcast to it. */
   def serveIndex(spark: SparkSession, dir: String, rawCents: Seq[Centroid]): DataFrame = {
     require(rawCents.nonEmpty, "quantizer has no centroids")
-    val cents = rawCents.sortBy(_.j)
-    quantized(spark, dir)
-      .select(col("vec_id").as("neighbor_id"), col("qv").as("c_v"),
-        col("nrm").as("c_n"), nearestCell(cents).as("cell"))
+    indexOf(quantized(spark, dir), rawCents.sortBy(_.j))
   }
 
   /** Score an ARBITRARY query batch — (q_id: long, embedding:
     * array<float>) rows that need not exist in the corpus — against a
     * prebuilt [[serveIndex]]: quantize exactly like the corpus side
     * (floor(x·10³) + exact norm), probe each query's `nprobe` nearest
-    * cells, equi-join on cell with the query side broadcast, and the
-    * shared [[scoreTopK]] tail. With the corpus's own `vec_id %
-    * queryMod = 0` vectors as the batch this is bit-identical to
-    * [[ivfTopKServe]] (spec-pinned) — the seam that lets a STREAM of
-    * query vectors reuse the one oracle-certified scoring plan. */
+    * cells ([[probeCellsCol]], the batch path's own expression),
+    * equi-join on cell with the query side broadcast, and the shared
+    * [[scoreTopK]] tail.
+    *
+    * `excludeSelf`: q_ids live in the CALLER's namespace, which need
+    * not relate to corpus vec_ids — by default no neighbor is dropped,
+    * because an external query whose id happens to collide with a
+    * corpus id must still see that vector in its top-k. Pass true
+    * only when the batch's q_ids ARE corpus vec_ids (the
+    * [[ivfTopKServe]] situation) — with the corpus's own `vec_id %
+    * queryMod = 0` vectors and excludeSelf = true this is
+    * bit-identical to [[ivfTopKServe]] (spec-pinned). */
   def serveQueryBatch(index: DataFrame, rawCents: Seq[Centroid], queries: DataFrame,
-                      k: Int = 5, nprobe: Int = 1): DataFrame = {
+                      k: Int = 5, nprobe: Int = 1,
+                      excludeSelf: Boolean = false): DataFrame = {
     require(rawCents.nonEmpty, "quantizer has no centroids")
     val cents = rawCents.sortBy(_.j)
     graft.functions.VecDot.register(queries.sparkSession)
@@ -423,26 +440,24 @@ object Embeddings {
       .select(col("q_id"),
         transform(col("embedding"), x => floor(x.cast("double") * 1000)).as("qv"))
       .withColumn("nrm", expr("vec_dot(qv, qv)"))
-    val probeCells = slice(transform(
-      array_sort(array(cents.map(c =>
-        struct(scaledDist(c).as("dist"), lit(c.j).as("j"))): _*)),
-      e => e.getField("j")), 1, nprobe)
     val qs = q.select(col("q_id"), col("qv").as("q_v"),
-      col("nrm").as("q_n"), explode(probeCells).as("cell"))
-    scoreTopK(index.join(broadcast(qs), Seq("cell")), k)
+      col("nrm").as("q_n"), explode(probeCellsCol(cents, nprobe)).as("cell"))
+    scoreTopK(index.join(broadcast(qs), Seq("cell")), k, excludeSelf)
   }
 
   /** Shared scoring tail of every top-k retrieval (q27 LSH, q31 IVF,
     * q45 brute force): `joined` carries (q_id, q_v, q_n) × (neighbor_id,
     * c_v, c_n) candidate rows from WHATEVER candidate generation ran
-    * upstream; this applies the self-filter, the codegen dot/cosine,
-    * and the per-query window top-k. ONE definition — the cosine
-    * expression and the (cosine DESC, neighbor_id) tie-break are a
-    * bit-exact contract with three DuckDB oracles and must never
-    * diverge between variants. */
-  private def scoreTopK(joined: DataFrame, k: Int): DataFrame = {
-    val scored = joined
-      .filter(col("neighbor_id") =!= col("q_id"))
+    * upstream; this applies the self-filter (only when the query ids
+    * ARE corpus ids — see [[serveQueryBatch]]), the codegen
+    * dot/cosine, and the per-query window top-k. ONE definition — the
+    * cosine expression and the (cosine DESC, neighbor_id) tie-break
+    * are a bit-exact contract with three DuckDB oracles and must
+    * never diverge between variants. */
+  private def scoreTopK(joined: DataFrame, k: Int,
+                        excludeSelf: Boolean = true): DataFrame = {
+    val scored = (if (excludeSelf) joined.filter(col("neighbor_id") =!= col("q_id"))
+                  else joined)
       .withColumn("dot", expr("vec_dot(q_v, c_v)"))
       .withColumn("cosine",
         col("dot").cast("double") / sqrt(col("q_n").cast("double") * col("c_n").cast("double")))

@@ -201,15 +201,32 @@ object LlmOps {
         // (lineage is truncated). The right trade on the local bench and
         // for short fixpoints; long cluster runs that must survive
         // executor loss pass `checkpointDir` (HDFS/S3) and each round
-        // writes a RELIABLE checkpoint instead — identical plan shape
-        // and results, plus one distributed write per round. The dir is
-        // set on the shared SparkContext (context-global, the Spark
-        // seam for reliable checkpoints).
+        // writes a RELIABLE checkpoint instead — identical results,
+        // plus one distributed write per round. Each round's table is
+        // persisted BEFORE the reliable checkpoint (Dataset.checkpoint
+        // recomputes its plan to write the files; uncached that would
+        // run every round twice) and the cache is dropped as soon as
+        // the round's count has materialized the checkpoint — after
+        // that, reads come from the checkpoint files. Caveats, by
+        // design of Spark's seam: setCheckpointDir mutates the SHARED
+        // SparkContext, and the per-round checkpoint directories
+        // accumulate until the context's usual cleanup
+        // (spark.cleaner.referenceTracking.cleanCheckpoints, or job
+        // teardown) — the durability artifact, not a leak.
+        val pendingUnpersist = scala.collection.mutable.Buffer.empty[DataFrame]
         val roundCkpt: DataFrame => DataFrame = checkpointDir match {
           case Some(dir) =>
             fix.sparkContext.setCheckpointDir(dir)
-            df => df.checkpoint(eager = false)
+            df => {
+              val cached = df.persist()
+              pendingUnpersist += cached
+              cached.checkpoint(eager = false)
+            }
           case None => df => df.localCheckpoint(eager = false)
+        }
+        def releaseRoundCaches(): Unit = {
+          pendingUnpersist.foreach(_.unpersist())
+          pendingUnpersist.clear()
         }
         var labels = roundCkpt(edgesPart.groupBy(col("a"))
           .agg(min(col("b")).as("nb"))
@@ -244,6 +261,9 @@ object LlmOps {
           // reach along the LABEL forest, not the graph, and saved only
           // 2 of 12 rounds while adding a join to every round).
           converged = updated.filter(col("changed")).count() == 0L
+          // the count materialized this round's checkpoint(s) — their
+          // build caches are now redundant (reads hit the checkpoint)
+          releaseRoundCaches()
           labels = updated.drop("changed")
           i += 1
         }

@@ -220,7 +220,10 @@ object Multimodal {
 
     private case class Avi(width: Int, height: Int, totalFrames: Int,
                            frames: Vector[(Int, Int)], // (offset, length) into the payload
-                           dib24: Boolean) // strf declares uncompressed 24-bit DIB frames
+                           // strf declares uncompressed 24-bit DIB frames:
+                           // (biWidth, biHeight) — the RASTER geometry, which may
+                           // differ from avih's display dims; biHeight < 0 = top-down
+                           dib: Option[(Int, Int)])
 
     /** Walk the RIFF chunk tree: `avih` for the main header, the first
       * `strf` for the frame pixel format (BITMAPINFOHEADER:
@@ -262,19 +265,26 @@ object Multimodal {
       }
       walk(12, math.min(b.length, 8 + u32(b, 4).toInt))
       avih.map { a =>
-        val dib24 = strf.exists(f => u32(b, f + 16) == 0L && u16(b, f + 14) == 24)
+        // raster geometry comes from the stream's OWN header (strf
+        // biWidth/biHeight, signed), not avih's display dims — the two
+        // may legitimately differ (buffer padding, post-edit headers)
+        val dib = strf.filter(f => u32(b, f + 16) == 0L && u16(b, f + 14) == 24)
+          .map(f => (u32(b, f + 4).toInt, u32(b, f + 8).toInt))
         Avi(u32(b, a + 32).toInt, u32(b, a + 36).toInt, u32(b, a + 16).toInt,
-          frames.result(), dib24)
+          frames.result(), dib)
       }
     }
 
-    /** Decode one raw 24-bit DIB frame chunk to a BufferedImage:
-      * bottom-up BGR rows, each padded to a 4-byte boundary (the
-      * Windows bitmap raster layout `strf` biCompression = 0
-      * declares). A frame shorter than the declared raster is
+    /** Decode one raw 24-bit DIB frame chunk to a BufferedImage: BGR
+      * rows padded to a 4-byte boundary (the Windows bitmap raster
+      * layout `strf` biCompression = 0 declares), bottom-up for
+      * positive `hSigned`, top-down for negative (the DIB sign
+      * convention). A frame shorter than the declared raster is
       * corrupt → None (falls back like an undecodable JPEG). */
     private def decodeDib(b: Array[Byte], off: Int, len: Int,
-                          w: Int, h: Int): Option[java.awt.image.BufferedImage] = {
+                          w: Int, hSigned: Int): Option[java.awt.image.BufferedImage] = {
+      val h = math.abs(hSigned)
+      val topDown = hSigned < 0
       if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
       val stride = ((w * 3 + 3) / 4) * 4
       if (stride.toLong * h > len) return None
@@ -282,7 +292,7 @@ object Multimodal {
       var y = 0
       while (y < h) {
         var x = 0
-        val row = off + (h - 1 - y) * stride
+        val row = off + (if (topDown) y else h - 1 - y) * stride
         while (x < w) {
           val p = row + x * 3
           img.setRGB(x, y, ((b(p + 2) & 0xff) << 16) | ((b(p + 1) & 0xff) << 8) | (b(p) & 0xff))
@@ -310,8 +320,8 @@ object Multimodal {
             // frames when strf declared them — same fallback contract
             try Option(javax.imageio.ImageIO.read(
               new java.io.ByteArrayInputStream(m.content, off, len)))
-              .orElse(if (avi.dib24)
-                decodeDib(m.content, off, len, avi.width, avi.height) else None)
+              .orElse(avi.dib.flatMap { case (dw, dh) =>
+                decodeDib(m.content, off, len, dw, dh) })
               .map(ImageIODecoder.luminanceGrid)
             catch { case scala.util.control.NonFatal(_) => None }
           }

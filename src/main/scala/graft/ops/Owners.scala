@@ -110,7 +110,13 @@ object Owners {
     * has files the two paths agree (`^.*$` matches any file), so the
     * default is byte-identical to the pre-fix relation. The `*` side
     * is owners-config-sized → the cross join is an intentional
-    * broadcast BNLJ with a tiny build side. */
+    * broadcast BNLJ with a tiny build side.
+    *
+    * A supplied `prs` is a true UNIVERSE restriction: glob matches
+    * for PRs outside it are dropped too (semi join), so the relation
+    * is consistent per PR — a prFiles row set wider than the PRs
+    * under review (a corpus-derived file table, say) cannot leak
+    * half-gated rows that carry glob teams but not the `*` grant. */
   def requiredTeams(prFiles: DataFrame, ownersLines: DataFrame,
                     prs: Option[DataFrame] = None): DataFrame = {
     val owners = parseOwners(ownersLines)
@@ -118,8 +124,11 @@ object Owners {
       .getOrElse(prFiles.select(col("pr")).distinct())
     val starTeams = owners.filter(col("pattern") === "*")
       .select(explode(col("teams")).as("team"))
-    matchingTeams(prFiles, owners.filter(col("pattern") =!= "*"), "file")
+    val globbed = matchingTeams(prFiles, owners.filter(col("pattern") =!= "*"), "file")
       .select(col("pr"), explode(col("teams")).as("team"))
+    val scoped = prs.fold(globbed)(_ =>
+      globbed.join(broadcast(prSet), Seq("pr"), "left_semi"))
+    scoped
       .unionByName(prSet.crossJoin(broadcast(starTeams)))
       .select(col("pr"), stripHandle(col("team")).as("team"))
       .distinct()

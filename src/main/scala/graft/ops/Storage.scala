@@ -91,11 +91,23 @@ object Storage {
     * drops), wrong for single-row OLTP — that needs a real table
     * format with row-level deletes.
     *
+    * Concurrency: the result is staged in a dot-prefixed work
+    * directory (invisible to both the version regex and the snapshot
+    * resolver) and published with an atomic directory RENAME to the
+    * next free `v<n>` — two racing writers can never interleave files
+    * in one version (the loser's rename fails and retries to v<n+1>).
+    * Note the write-skew semantics that buys: each writer merged
+    * against the snapshot that was newest when IT started, so of two
+    * concurrent upserts the later version wins per overlapping key
+    * and non-overlapping keys from the earlier one are absent from
+    * the later snapshot — serialize upserts (one scheduler) when that
+    * matters, as any copy-on-write pipeline must.
+    *
     * Returns the published version directory. */
   def upsertSnapshot(spark: SparkSession, root: String, updates: DataFrame,
                      key: String, deleteCol: Option[String] = None): String = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val resolved = graft.stream.StreamingNearDedup.resolveSnapshot(spark, root)
     val hasBase = resolved != root || fs.exists(new org.apache.hadoop.fs.Path(s"$root/_SUCCESS"))
     val keep = deleteCol.map(d => updates.filter(!col(d)).drop(d)).getOrElse(updates)
@@ -105,17 +117,33 @@ object Storage {
         val base = spark.read.parquet(resolved)
         base.join(updates.select(col(key)), Seq(key), "left_anti").unionByName(keep)
       }
-    // next version number from the existing subdirs (v1, v2, ... —
-    // resolveSnapshot's natural order handles unpadded names)
-    val existing =
-      if (fs.exists(new org.apache.hadoop.fs.Path(root)))
-        fs.listStatus(new org.apache.hadoop.fs.Path(root)).filter(_.isDirectory)
-          .map(_.getPath.getName).filter(_.matches("v[0-9]+")).map(_.drop(1).toLong)
-      else Array.empty[Long]
-    val next = s"$root/v${existing.foldLeft(0L)(math.max) + 1}"
-    // parquet commit writes _SUCCESS last — that IS the publish
-    merged.write.mode(SaveMode.Overwrite).parquet(next)
-    next
+    // stage fully, then publish by rename: the work dir's dot prefix
+    // keeps it out of resolveSnapshot AND the version regex below
+    val work = new org.apache.hadoop.fs.Path(root,
+      s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
+    merged.write.mode(SaveMode.Overwrite).parquet(work.toString)
+    def nextFree(): Long = {
+      val existing =
+        if (fs.exists(rootPath))
+          fs.listStatus(rootPath).filter(_.isDirectory)
+            .map(_.getPath.getName).filter(_.matches("v[0-9]+")).map(_.drop(1).toLong)
+        else Array.empty[Long]
+      existing.foldLeft(0L)(math.max) + 1
+    }
+    var attempts = 0
+    var published: Option[String] = None
+    while (published.isEmpty && attempts < 100) {
+      val next = new org.apache.hadoop.fs.Path(root, s"v${nextFree()}")
+      // HDFS/posix rename is atomic and fails if the target exists —
+      // exactly the mutual exclusion two racing publishers need
+      if (fs.rename(work, next)) published = Some(next.toString)
+      attempts += 1
+    }
+    published.getOrElse {
+      fs.delete(work, true)
+      throw new IllegalStateException(
+        s"could not publish a snapshot version under $root after $attempts attempts")
+    }
   }
 
   /** Read the newest COMMITTED snapshot under `root` (the reader half

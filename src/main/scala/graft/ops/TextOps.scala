@@ -314,8 +314,12 @@ object TextOps {
     * round is: weighted adjacent-pair count over the current
     * segmentations (one vocab-sized shuffle, map-side partial) →
     * argmax collected to the driver (count DESC, then (left, right)
-    * lexicographic — the deterministic tie-break both the spec's
-    * brute force and any re-run reproduce) → row-local merge rewrite
+    * in CODE-POINT order — Spark's binary UTF-8 string ordering,
+    * which equals code-point order; note java.lang.String's UTF-16
+    * comparison differs for supplementary-plane symbols, so any
+    * driver-side reimplementation must compare code points — the
+    * deterministic tie-break both the spec's brute force and any
+    * re-run reproduce) → row-local merge rewrite
     * of the segmentations (narrow, no shuffle). Lineage is truncated
     * with localCheckpoint every few rounds, the [[graft.ops.LlmOps
     * .connectedComponents]] pattern for driver-loop iteration.

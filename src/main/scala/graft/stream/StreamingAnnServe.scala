@@ -41,17 +41,20 @@ object StreamingAnnServe {
     * the cache to the session's LRU (call `spark.catalog.clearCache()`
     * or unpersist via [[graft.ops.Caches.releaseAll]] when tearing
     * down, same contract as the batch operators). */
+  /** `excludeSelf`: pass true only when the stream's q_ids ARE corpus
+    * vec_ids (see [[graft.ops.Embeddings.serveQueryBatch]]) — the
+    * default keeps id-colliding external queries correct. */
   def run(spark: SparkSession, queries: DataFrame,
           corpusDir: String, quantizerPath: String,
           checkpointDir: String,
-          k: Int = 5, nprobe: Int = 1)
+          k: Int = 5, nprobe: Int = 1, excludeSelf: Boolean = false)
          (onBatch: DataFrame => Unit): StreamingQuery = {
     val cents = Embeddings.loadQuantizer(spark, quantizerPath)
     val index = graft.ops.Caches.persist(Embeddings.serveIndex(spark, corpusDir, cents))
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        onBatch(Embeddings.serveQueryBatch(index, cents, batch, k, nprobe))
+        onBatch(Embeddings.serveQueryBatch(index, cents, batch, k, nprobe, excludeSelf))
       }
       .start()
   }

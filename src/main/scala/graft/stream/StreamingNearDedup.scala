@@ -115,6 +115,11 @@ object StreamingNearDedup {
     val versions =
       if (fs.exists(root))
         fs.listStatus(root).filter(_.isDirectory)
+          // dot/underscore prefixes are Hadoop's hidden convention —
+          // a writer's staging directory (Storage.upsertSnapshot) must
+          // never resolve as a snapshot even when fully written
+          .filterNot(st => st.getPath.getName.startsWith(".") ||
+            st.getPath.getName.startsWith("_"))
           .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
           .map(_.getPath.getName).sortWith(naturalLt)
       else Array.empty[String]

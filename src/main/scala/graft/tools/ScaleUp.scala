@@ -53,6 +53,29 @@ object ScaleUp {
     * ScaleUpSpec certifies the methodology on the test session). */
   def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
     require(factor >= 1, "factor must be >= 1")
+    // Collision guard: every shifted key must fit strictly under one
+    // Shift stride, or copies overlap — e.g. re-scaling a federation
+    // ScaleUp itself produced (keys up to (factor-1)·Shift) would
+    // silently interleave copy key ranges: duplicate ids, foreign keys
+    // resolving into the WRONG copy, and garbage scaling measurements
+    // with no error. Scale from the ORIGINAL source instead (factor
+    // 100 of sf0.1, not factor 10 of a factor-10 output).
+    val keyCols = Seq(
+      "customer" -> Seq("c_custkey"), "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"), "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"), "embeddings" -> Seq("vec_id"))
+    keyCols.foreach { case (t, ks) =>
+      val row = spark.read.parquet(s"$src/$t.parquet")
+        .select(ks.map(k => max(col(k)).as(k)): _*).collect()(0)
+      ks.foreach { k =>
+        val m = row.getAs[Number](k).longValue()
+        require(m < Shift,
+          s"$t.$k max $m >= shift stride $Shift — copies would collide; " +
+            "scale up from the original source, not an already-scaled federation")
+      }
+    }
 
     def rep(name: String)(f: (DataFrame, Int) => DataFrame): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")

@@ -215,9 +215,13 @@ class MultimodalSpec extends SparkSpec {
 
   /** Minimal uncompressed-DIB AVI: avih + strl(strh 'vids', strf
     * BITMAPINFOHEADER with biBitCount=24, biCompression=0) + movi of
-    * '00db' raw rasters. */
+    * '00db' raw rasters. `strfDims` lets the stream raster geometry
+    * differ from the avih display dims (and go negative = top-down),
+    * as real files do. */
   private def dibAviBytes(frames: Seq[Array[Byte]], w: Int, h: Int,
-                          totalFrames: Int): Array[Byte] = {
+                          totalFrames: Int,
+                          strfDims: Option[(Int, Int)] = None): Array[Byte] = {
+    val (sw, sh) = strfDims.getOrElse((w, h))
     val avih = new Array[Byte](56)
     System.arraycopy(le32(totalFrames), 0, avih, 16, 4)
     System.arraycopy(le32(1), 0, avih, 24, 4)
@@ -227,8 +231,8 @@ class MultimodalSpec extends SparkSpec {
     System.arraycopy("vids".getBytes("US-ASCII"), 0, strh, 0, 4)
     val strf = new Array[Byte](40)
     System.arraycopy(le32(40), 0, strf, 0, 4) // biSize
-    System.arraycopy(le32(w), 0, strf, 4, 4)
-    System.arraycopy(le32(h), 0, strf, 8, 4)
+    System.arraycopy(le32(sw), 0, strf, 4, 4)
+    System.arraycopy(le32(sh), 0, strf, 8, 4)
     System.arraycopy(le16(1), 0, strf, 12, 2)  // biPlanes
     System.arraycopy(le16(24), 0, strf, 14, 2) // biBitCount
     System.arraycopy(le32(0), 0, strf, 16, 4)  // biCompression = BI_RGB
@@ -258,6 +262,29 @@ class MultimodalSpec extends SparkSpec {
       s"top grid cells ${got.feature.take(4).toSeq} != $top")
     assert(got.feature.drop(4).forall(v => (v - bottom).abs < 0.01f),
       s"bottom grid cells ${got.feature.drop(4).toSeq} != $bottom")
+    // raster geometry comes from strf, not avih: display dims say
+    // 320x240 but the stream (and frames) are 8x6 — decode must
+    // follow the stream header while metadata reports avih
+    val mismatched = dibAviBytes(Seq(halves), 320, 240, 1, strfDims = Some((w, h)))
+    val gotMm = Multimodal.VideoDecoder.decodeBatch(Seq(MediaRecord(4L, "video", mismatched))).head
+    assert(gotMm.width == 320 && gotMm.height == 240)
+    assert((gotMm.feature.take(4).head - 1.0f).abs < 0.01f,
+      "frames must decode against the strf raster geometry")
+    // negative strf height = TOP-DOWN rows: the white half stays top
+    val topDownFrame = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val out = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w; if y < h / 2) {
+        val p = y * stride + x * 3 // row y stored at offset y: top-down
+        out(p) = -1; out(p + 1) = -1; out(p + 2) = -1
+      }
+      out
+    }
+    val td = dibAviBytes(Seq(topDownFrame), w, h, 1, strfDims = Some((w, -h)))
+    val gotTd = Multimodal.VideoDecoder.decodeBatch(Seq(MediaRecord(5L, "video", td))).head
+    assert(gotTd.feature.take(4).forall(v => (v - 1.0f).abs < 0.01f) &&
+      gotTd.feature.drop(4).forall(_ == 0f),
+      "negative biHeight must decode top-down")
     // a truncated raster is corrupt → metadata real, features zero
     val short = dibAviBytes(Seq(halves.take(10)), w, h, 1)
     val gotShort = Multimodal.VideoDecoder.decodeBatch(Seq(MediaRecord(1L, "video", short))).head

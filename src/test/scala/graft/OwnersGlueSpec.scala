@@ -69,6 +69,16 @@ class OwnersGlueSpec extends SparkSpec {
     // the with-files PRs are unchanged.
     assert(rel(uCo) == rel(reqCo) && rel(uFa) == rel(reqFa))
     assert(rel(uTe) == rel(reqTe) + ((9L, s"$orgName/tech-team")))
+    // the universe RESTRICTS too: dropping PR 8 removes all its rows —
+    // glob matches included — so a wider prFiles table cannot leak
+    // half-gated rows for PRs outside the review set
+    val narrow = Seq(7L).toDF("pr")
+    val (nCo, _, nTe) = Owners.stageRequirements(prFiles,
+      spark.read.text(s"$ref/.github/CODEOWNERS"),
+      spark.read.text(s"$out/CODEFACILITATORS"),
+      spark.read.text(s"$ref/.github/CODETECHTEAM"), Some(narrow))
+    assert(rel(nCo) == rel(reqCo).filter(_._1 == 7L))
+    assert(rel(nTe) == Set((7L, s"$orgName/tech-team")))
 
     // E3 streaming gate over those requirements
     val membership = Seq(

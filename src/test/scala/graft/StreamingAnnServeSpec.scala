@@ -45,9 +45,12 @@ class StreamingAnnServeSpec extends SparkSpec {
     val input = MemoryStream[(Long, Seq[Float])]
     val got = collection.mutable.Map.empty[(Long, Long), (Long, Long, Double)]
     val ckpt = Files.createTempDirectory("annserve-ckpt").toString
+    // excludeSelf = true: this stream's q_ids ARE corpus vec_ids, so
+    // the batch twin's self-filter applies (the external-id default
+    // is covered below)
     val q = StreamingAnnServe.run(spark,
       input.toDF().toDF("q_id", "embedding"),
-      SfDir, artifact, ckpt, k = 5, nprobe = 2) { scored =>
+      SfDir, artifact, ckpt, k = 5, nprobe = 2, excludeSelf = true) { scored =>
       scored.collect().foreach(r => got += key(r) -> value(r))
     }
     try {
@@ -62,5 +65,19 @@ class StreamingAnnServeSpec extends SparkSpec {
 
     assert(got.toMap == batch,
       "streamed serving diverged from the batch q31 serving path")
+
+    // external-id default: a query whose q_id collides with a corpus
+    // vec_id must still see that vector among its neighbors — the
+    // default (excludeSelf = false) returns the collision at rank 1
+    // with cosine 1.0 (it IS the same vector), where the corpus-id
+    // mode would silently drop it
+    val (cid, cemb) = queryVecs.head
+    val index = Embeddings.serveIndex(spark, SfDir, cents)
+    val external = Seq((cid, cemb)).toDF("q_id", "embedding")
+    val kept = Embeddings.serveQueryBatch(index, cents, external, k = 1, nprobe = 2)
+      .collect()
+    assert(kept.length == 1 && kept(0).getAs[Long]("neighbor_id") == cid &&
+      kept(0).getAs[Double]("cosine") == 1.0,
+      "external-id serving must not drop an id-colliding true neighbor")
   }
 }

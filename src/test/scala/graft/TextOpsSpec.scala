@@ -212,7 +212,25 @@ class TextOpsSpec extends SparkSpec {
         vocab.foreach { case (syms, c) =>
           syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
         }
-        val best = counts.toSeq.sortBy { case ((l, rr), n) => (-n, l, rr) }.headOption
+        // tie-break in CODE-POINT order (Spark's binary UTF-8 string
+        // ordering) — Java's UTF-16 compareTo diverges for
+        // supplementary-plane symbols vs [U+E000, U+FFFF]
+        def cpLt(a: String, b: String): Boolean = {
+          val x = a.codePoints().toArray
+          val y = b.codePoints().toArray
+          val n = math.min(x.length, y.length)
+          var i = 0
+          while (i < n) {
+            if (x(i) != y(i)) return x(i) < y(i)
+            i += 1
+          }
+          x.length < y.length
+        }
+        val best = counts.toSeq.sortWith { case (((l1, r1), n1), ((l2, r2), n2)) =>
+          if (n1 != n2) n1 > n2
+          else if (l1 != l2) cpLt(l1, l2)
+          else cpLt(r1, r2)
+        }.headOption
         best match {
           case Some(((l, rr), n)) if n >= minCount =>
             out += ((r, l, rr, n))
