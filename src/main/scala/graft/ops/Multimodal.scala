@@ -24,9 +24,11 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
   * formats: [[AudioDecoder]] parses WAV/AIFF/AU with
   * `javax.sound.sampled` — sample rate/channels/frame count from the
   * actual header, RMS features from the actual PCM samples. VIDEO
-  * decode is REAL for MJPEG/AVI: [[VideoDecoder]] parses the RIFF
-  * container (header metadata from `avih`) and ImageIO-decodes
-  * sampled movi frames. Formats beyond the JDK's reach fall back to
+  * decode is REAL for MJPEG/AVI, uncompressed-DIB AVI, and YUV4MPEG2
+  * (Y4M): [[VideoDecoder]] parses the RIFF container (header metadata
+  * from `avih`) and decodes sampled movi frames via ImageIO or the
+  * raw-DIB raster, or walks the Y4M frame stream and reads the luma
+  * planes directly. Formats beyond the JDK's reach fall back to
   * [[StubDecoder]]'s deterministic hash-derived values (which remain
   * the q28 oracle twin — the fixture payloads are text, not real
   * media). [[JdkDecoder]] composes all four on the one seam.
@@ -199,9 +201,16 @@ object Multimodal {
     * feature is [[ImageIODecoder.luminanceGrid]] averaged over up to
     * [[MaxSampledFrames]] evenly spaced REAL decoded frames (temporal
     * mean of the spatial statistic — the video-embedding stand-in).
-    * Non-AVI containers, codecs neither path can read (h264 etc. —
-    * their frame decodes fail, header metadata is still real), and
-    * corrupt payloads fall back per the [[ImageIODecoder]] contract:
+    * Also REAL (since round 7): YUV4MPEG2 (Y4M), the second
+    * container — a plain-text stream header (`YUV4MPEG2 W<w> H<h> …
+    * C<colourspace>\n`) followed by `FRAME…\n` + raw planar YUV
+    * payloads; the Y plane IS the luminance the feature wants, so a
+    * sampled frame decodes its luma raster directly (code values used
+    * as-is: exact for full-range C420jpeg, an affine shift for
+    * limited-range streams — this is a feature extractor, not a
+    * renderer). Codecs neither path can read (h264 etc. — their frame
+    * decodes fail, header metadata is still real) and corrupt
+    * payloads fall back per the [[ImageIODecoder]] contract:
     * header-parseable-but-undecodable gets real metadata + zero
     * features; unparseable gets [[StubDecoder]]. A production
     * deployment swaps in ffmpeg/JNI here with the same signature. */
@@ -303,18 +312,107 @@ object Multimodal {
       Some(img)
     }
 
+    /** Evenly spaced sample of `n` frame indices, at most
+      * [[MaxSampledFrames]] of them. */
+    private def sampleIndices(n: Int): Seq[Int] =
+      if (n <= MaxSampledFrames) 0 until n
+      else (0 until MaxSampledFrames).map(i => i * n / MaxSampledFrames)
+
+    /** Temporal mean of the per-frame spatial grids; all-zero when no
+      * frame decoded (the header-real/features-zero contract). */
+    private def meanGrid(grids: Seq[Array[Float]]): Array[Float] =
+      if (grids.isEmpty) new Array[Float](8)
+      else Array.tabulate(8)(d => grids.map(_(d)).sum / grids.length)
+
+    /** YUV4MPEG2 stream: raster geometry from the header line, one
+      * offset per parsed frame's Y plane (Y4M has no header frame
+      * count — n_frames is what parsed). */
+    private case class Y4m(width: Int, height: Int, frames: Vector[Int])
+
+    /** Parse the Y4M container: `YUV4MPEG2` + space-separated tagged
+      * params to the first newline (W/H required, C defaults to
+      * 420jpeg per the mjpegtools convention), then repeated
+      * `FRAME[ params]\n` + a raw planar payload whose length the
+      * colourspace fixes. Same truncation contract as [[parseAvi]]:
+      * a malformed or short tail stops the walk and keeps the frames
+      * parsed before it. Unknown subsampling tags → None (stub). */
+    private def parseY4m(b: Array[Byte]): Option[Y4m] = {
+      val magic = "YUV4MPEG2"
+      if (b.length <= magic.length ||
+          new String(b, 0, magic.length, java.nio.charset.StandardCharsets.US_ASCII) != magic)
+        return None
+      val hdrEnd = b.indexOf('\n'.toByte)
+      if (hdrEnd < 0) return None
+      val params = new String(b, 0, hdrEnd, java.nio.charset.StandardCharsets.US_ASCII)
+        .split(' ').iterator.drop(1).filter(_.nonEmpty).toSeq
+      def tagged(c: Char): Option[String] =
+        params.collectFirst { case p if p.head == c => p.tail }
+      (tagged('W').flatMap(_.toIntOption), tagged('H').flatMap(_.toIntOption)) match {
+        case (Some(w), Some(h)) if w > 0 && h > 0 && w.toLong * h <= (1L << 26) =>
+          val luma = w * h
+          // chroma plane bytes per frame, by subsampling family
+          val chroma = tagged('C').getOrElse("420jpeg") match {
+            case c if c.startsWith("420")  => 2 * ((w / 2) * (h / 2))
+            case c if c.startsWith("422")  => 2 * ((w / 2) * h)
+            case c if c.startsWith("444")  => 2 * luma
+            case c if c.startsWith("mono") => 0
+            case _                         => -1 // unknown tag → stub fallback
+          }
+          if (chroma < 0) return None
+          val frames = Vector.newBuilder[Int]
+          var off = hdrEnd + 1
+          var ok = true
+          while (ok && off < b.length) {
+            // each frame: "FRAME"[ params]"\n" then the fixed payload
+            if (off + 5 > b.length ||
+                new String(b, off, 5, java.nio.charset.StandardCharsets.US_ASCII) != "FRAME") ok = false
+            else {
+              var nl = off + 5
+              while (nl < b.length && b(nl) != '\n'.toByte) nl += 1
+              if (nl >= b.length || luma + chroma > b.length - (nl + 1)) ok = false
+              else { frames += (nl + 1); off = nl + 1 + luma + chroma }
+            }
+          }
+          Some(Y4m(w, h, frames.result()))
+        case _ => None
+      }
+    }
+
+    /** Decode one Y4M frame's Y plane to an RGB raster with the luma
+      * replicated per channel — under [[ImageIODecoder.luminanceGrid]]'s
+      * BT.601 weights (which sum to 1) the grid value IS y/255.
+      * Deliberately NOT `TYPE_BYTE_GRAY`: that type's `getRGB` runs a
+      * linear-gray→sRGB colorspace conversion that would distort the
+      * code values. */
+    private def decodeY4mLuma(b: Array[Byte], off: Int, w: Int, h: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        val row = off + y * w
+        while (x < w) {
+          val v = b(row + x) & 0xff
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
     def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] = batch.map { m =>
-      val parsed =
+      val parsedAvi =
         if (m.kind == "video")
           try parseAvi(m.content) catch { case scala.util.control.NonFatal(_) => None }
         else None
-      parsed match {
+      lazy val parsedY4m =
+        if (m.kind == "video")
+          try parseY4m(m.content) catch { case scala.util.control.NonFatal(_) => None }
+        else None
+      parsedAvi match {
         case Some(avi) =>
           val n = avi.frames.length
-          val sampleIdx =
-            if (n <= MaxSampledFrames) avi.frames.indices
-            else (0 until MaxSampledFrames).map(i => i * n / MaxSampledFrames)
-          val grids = sampleIdx.flatMap { i =>
+          val grids = sampleIndices(n).flatMap { i =>
             val (off, len) = avi.frames(i)
             // MJPEG first (ImageIO reads the embedded JPEG); raw-DIB
             // frames when strf declared them — same fallback contract
@@ -325,20 +423,27 @@ object Multimodal {
               .map(ImageIODecoder.luminanceGrid)
             catch { case scala.util.control.NonFatal(_) => None }
           }
-          val feat =
-            if (grids.isEmpty) new Array[Float](8)
-            else Array.tabulate(8)(d => grids.map(_(d)).sum / grids.length)
           MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
             avi.width, avi.height,
-            if (avi.totalFrames > 0) avi.totalFrames else n, feat)
-        case None => StubDecoder.decodeBatch(Seq(m)).head
+            if (avi.totalFrames > 0) avi.totalFrames else n, meanGrid(grids))
+        case None => parsedY4m match {
+          case Some(y4m) =>
+            val n = y4m.frames.length
+            val grids = sampleIndices(n).map { i =>
+              ImageIODecoder.luminanceGrid(
+                decodeY4mLuma(m.content, y4m.frames(i), y4m.width, y4m.height))
+            }
+            MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+              y4m.width, y4m.height, n, meanGrid(grids))
+          case None => StubDecoder.decodeBatch(Seq(m)).head
+        }
       }
     }
   }
 
   /** The full JDK decode surface on one seam: real image decode
     * ([[ImageIODecoder]]), real audio decode ([[AudioDecoder]]), and
-    * real MJPEG/AVI video decode ([[VideoDecoder]]); every decoder
+    * real MJPEG/DIB-AVI/Y4M video decode ([[VideoDecoder]]); every decoder
     * falls back to the deterministic stub on formats outside the
     * JDK's reach, keeping the operator total. */
   object JdkDecoder extends Decoder {

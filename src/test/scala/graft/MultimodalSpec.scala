@@ -312,6 +312,66 @@ class MultimodalSpec extends SparkSpec {
       "audio-stream strf must not enable DIB decode")
   }
 
+  // --- YUV4MPEG2 fixture (round 7: second real video container) ---
+
+  /** Minimal Y4M stream: `YUV4MPEG2 W<w> H<h> F25:1 Ip A1:1 C<colour>\n`
+    * then per frame `FRAME<params>\n` + the Y plane + neutral (0x80)
+    * chroma planes at the colourspace's sizes. */
+  private def y4mBytes(lumaFrames: Seq[Array[Byte]], w: Int, h: Int,
+                       colour: String = "420jpeg",
+                       frameParams: String = ""): Array[Byte] = {
+    val chromaLen = colour match {
+      case c if c.startsWith("420")  => 2 * ((w / 2) * (h / 2))
+      case c if c.startsWith("444")  => 2 * w * h
+      case _                         => 0 // mono and unknown tags
+    }
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C$colour\n".getBytes("US-ASCII")
+    val chroma = Array.fill(chromaLen)(0x80.toByte)
+    header ++ lumaFrames.toArray.flatMap(y =>
+      s"FRAME$frameParams\n".getBytes("US-ASCII") ++ y ++ chroma)
+  }
+
+  test("VideoDecoder decodes Y4M: luma planes are the features, frames walk the stream") {
+    val w = 8; val h = 6
+    // frame 1: top half 255, bottom 0 — pins row order; frame 2: flat
+    // 51 (= 0.2 after /255, exact because the BT.601 weights sum to 1)
+    val topWhite = Array.tabulate(w * h)(i => if (i / w < h / 2) 0xff.toByte else 0x00.toByte)
+    val flat51 = Array.fill(w * h)(51.toByte)
+    val y4m = y4mBytes(Seq(topWhite, flat51), w, h)
+    val got = Multimodal.VideoDecoder.decodeBatch(Seq(MediaRecord(0L, "video", y4m))).head
+    assert(got.width == w && got.height == h && got.n_frames == 2)
+    val top = (1.0f + 0.2f) / 2
+    val bottom = 0.2f / 2
+    assert(got.feature.take(4).forall(v => (v - top).abs < 0.01f),
+      s"top grid cells ${got.feature.take(4).toSeq} != $top")
+    assert(got.feature.drop(4).forall(v => (v - bottom).abs < 0.01f),
+      s"bottom grid cells ${got.feature.drop(4).toSeq} != $bottom")
+    // per-frame params after FRAME are skipped to the newline
+    val withParams = y4mBytes(Seq(flat51), w, h, frameParams = " Xtest")
+    val gotP = Multimodal.VideoDecoder.decodeBatch(Seq(MediaRecord(1L, "video", withParams))).head
+    assert(gotP.n_frames == 1 && gotP.feature.forall(v => (v - 0.2f).abs < 0.01f))
+    // mono colourspace: no chroma planes between frames
+    val mono = y4mBytes(Seq(topWhite, flat51), w, h, colour = "mono")
+    val gotM = Multimodal.VideoDecoder.decodeBatch(Seq(MediaRecord(2L, "video", mono))).head
+    assert(gotM.n_frames == 2 && (gotM.feature.head - top).abs < 0.01f)
+    // a truncated tail keeps the frames parsed before it (same
+    // contract as the RIFF walk): cutting into frame 2 leaves frame 1
+    val truncated = y4m.dropRight(20)
+    val gotT = Multimodal.VideoDecoder.decodeBatch(Seq(MediaRecord(3L, "video", truncated))).head
+    assert(gotT.width == w && gotT.n_frames == 1)
+    assert(gotT.feature.take(4).forall(v => (v - 1.0f).abs < 0.01f) &&
+      gotT.feature.drop(4).forall(_ == 0f))
+    // unknown subsampling tag → not decodable → stub fallback exactly
+    val unknown = y4mBytes(Seq(flat51), w, h, colour = "410")
+    val gotU = Multimodal.VideoDecoder.decodeBatch(Seq(MediaRecord(4L, "video", unknown))).head
+    val stubU = Multimodal.StubDecoder.decodeBatch(Seq(MediaRecord(4L, "video", unknown))).head
+    assert(gotU.width == stubU.width && gotU.feature.toSeq == stubU.feature.toSeq)
+    // the composite routes Y4M video through the real decoder
+    val viaJdk = Multimodal.JdkDecoder.decodeBatch(Seq(MediaRecord(0L, "video", y4m))).head
+    assert(viaJdk.width == w && viaJdk.n_frames == 2 &&
+      viaJdk.feature.toSeq == got.feature.toSeq)
+  }
+
   test("frameSample explodes video payloads into fixed-size windows only") {
     val media = records.toDS().toDF()
     val frames = Multimodal.frameSample(media, frameBytes = 16, stride = 4).collect()
