@@ -186,6 +186,16 @@ object LlmOps {
     val edges0 = p.select(col("d1").as("a"), col("d2").as("b"))
       .union(p.select(col("d2").as("a"), col("d1").as("b")))
     val edges = fix.createDataFrame(edges0.rdd, edges0.schema)
+    // reliable-checkpoint mode persists each round's table until its
+    // count materializes the checkpoint files; the buffer lives OUT
+    // here so a round that throws mid-job (the executor-loss scenario
+    // the durability knob exists for) still releases every scoped
+    // persist in the finally below, not just edgesPart
+    val pendingUnpersist = scala.collection.mutable.Buffer.empty[DataFrame]
+    def releaseRoundCaches(): Unit = {
+      pendingUnpersist.foreach(_.unpersist())
+      pendingUnpersist.clear()
+    }
     try {
       val edgesPart = edges.repartition(loopParts, col("b")).persist()
       try {
@@ -213,7 +223,6 @@ object LlmOps {
         // accumulate until the context's usual cleanup
         // (spark.cleaner.referenceTracking.cleanCheckpoints, or job
         // teardown) — the durability artifact, not a leak.
-        val pendingUnpersist = scala.collection.mutable.Buffer.empty[DataFrame]
         val roundCkpt: DataFrame => DataFrame = checkpointDir match {
           case Some(dir) =>
             fix.sparkContext.setCheckpointDir(dir)
@@ -277,6 +286,7 @@ object LlmOps {
         // never mix logical trees from two sessions
         spark.createDataFrame(labels.rdd, labels.schema)
       } finally {
+        releaseRoundCaches() // no-op on success; a thrown round's build caches on failure
         edgesPart.unpersist()
         ()
       }

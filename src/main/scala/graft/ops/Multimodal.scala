@@ -350,10 +350,17 @@ object Multimodal {
       (tagged('W').flatMap(_.toIntOption), tagged('H').flatMap(_.toIntOption)) match {
         case (Some(w), Some(h)) if w > 0 && h > 0 && w.toLong * h <= (1L << 26) =>
           val luma = w * h
-          // chroma plane bytes per frame, by subsampling family
+          // non-luma plane bytes per frame, by subsampling family.
+          // Odd dimensions under chroma subsampling are rejected (the
+          // format requires even dims there; guessing a rounding would
+          // mis-frame the walk), as is 444alpha's extra plane ordering
+          // twin 444 would silently mis-frame without its own case.
           val chroma = tagged('C').getOrElse("420jpeg") match {
-            case c if c.startsWith("420")  => 2 * ((w / 2) * (h / 2))
-            case c if c.startsWith("422")  => 2 * ((w / 2) * h)
+            case c if c.startsWith("420") =>
+              if (w % 2 != 0 || h % 2 != 0) -1 else 2 * ((w / 2) * (h / 2))
+            case c if c.startsWith("422") =>
+              if (w % 2 != 0) -1 else 2 * ((w / 2) * h)
+            case "444alpha"                => 3 * luma // U, V, A planes
             case c if c.startsWith("444")  => 2 * luma
             case c if c.startsWith("mono") => 0
             case _                         => -1 // unknown tag → stub fallback

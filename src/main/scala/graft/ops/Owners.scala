@@ -104,13 +104,15 @@ object Owners {
     * reference's `pattern === '*'` branch (yml:141) adds the bare-`*`
     * owners UNCONDITIONALLY — even to a PR whose file list is empty.
     * A zero-file PR has no rows in a (pr, file) relation, so the `*`
-    * grant is computed against a PR universe instead: `prs` when the
-    * caller supplies one (the set of PRs under review, zero-file PRs
-    * included), else the distinct PRs of `prFiles`. For every PR that
-    * has files the two paths agree (`^.*$` matches any file), so the
-    * default is byte-identical to the pre-fix relation. The `*` side
-    * is owners-config-sized → the cross join is an intentional
-    * broadcast BNLJ with a tiny build side.
+    * grant is computed against a PR universe when the caller supplies
+    * one (`prs` — the set of PRs under review, zero-file PRs
+    * included); the `*` side is owners-config-sized → the cross join
+    * is an intentional broadcast BNLJ with a tiny build side. With no
+    * `prs`, zero-file PRs cannot exist in the input at all, so bare
+    * `*` simply rides the glob join (its regex `^.*$` matches every
+    * file): the default path stays the pre-fix single broadcast join —
+    * same rows, and no distinct aggregation over the big (pr, file)
+    * relation.
     *
     * A supplied `prs` is a true UNIVERSE restriction: glob matches
     * for PRs outside it are dropped too (semi join), so the relation
@@ -120,16 +122,20 @@ object Owners {
   def requiredTeams(prFiles: DataFrame, ownersLines: DataFrame,
                     prs: Option[DataFrame] = None): DataFrame = {
     val owners = parseOwners(ownersLines)
-    val prSet = prs.map(_.select(col("pr")).distinct())
-      .getOrElse(prFiles.select(col("pr")).distinct())
-    val starTeams = owners.filter(col("pattern") === "*")
-      .select(explode(col("teams")).as("team"))
-    val globbed = matchingTeams(prFiles, owners.filter(col("pattern") =!= "*"), "file")
-      .select(col("pr"), explode(col("teams")).as("team"))
-    val scoped = prs.fold(globbed)(_ =>
-      globbed.join(broadcast(prSet), Seq("pr"), "left_semi"))
-    scoped
-      .unionByName(prSet.crossJoin(broadcast(starTeams)))
+    val matched = prs match {
+      case None =>
+        matchingTeams(prFiles, owners, "file")
+          .select(col("pr"), explode(col("teams")).as("team"))
+      case Some(p) =>
+        val prSet = p.select(col("pr")).distinct()
+        val starTeams = owners.filter(col("pattern") === "*")
+          .select(explode(col("teams")).as("team"))
+        matchingTeams(prFiles, owners.filter(col("pattern") =!= "*"), "file")
+          .select(col("pr"), explode(col("teams")).as("team"))
+          .join(broadcast(prSet), Seq("pr"), "left_semi")
+          .unionByName(prSet.crossJoin(broadcast(starTeams)))
+    }
+    matched
       .select(col("pr"), stripHandle(col("team")).as("team"))
       .distinct()
   }
@@ -144,8 +150,11 @@ object Owners {
   def stageRequirements(prFiles: DataFrame, codeowners: DataFrame,
                         codefacilitators: DataFrame, codetechteam: DataFrame,
                         prs: Option[DataFrame] = None)
-      : (DataFrame, DataFrame, DataFrame) =
-    (requiredTeams(prFiles, codeowners, prs),
-     requiredTeams(prFiles, codefacilitators, prs),
-     requiredTeams(prFiles, codetechteam, prs))
+      : (DataFrame, DataFrame, DataFrame) = {
+    // distinct the caller's PR universe once, not once per stage
+    val prSet = prs.map(_.select(col("pr")).distinct())
+    (requiredTeams(prFiles, codeowners, prSet),
+     requiredTeams(prFiles, codefacilitators, prSet),
+     requiredTeams(prFiles, codetechteam, prSet))
+  }
 }

@@ -121,28 +121,35 @@ object Storage {
     // keeps it out of resolveSnapshot AND the version regex below
     val work = new org.apache.hadoop.fs.Path(root,
       s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    merged.write.mode(SaveMode.Overwrite).parquet(work.toString)
-    def nextFree(): Long = {
-      val existing =
-        if (fs.exists(rootPath))
-          fs.listStatus(rootPath).filter(_.isDirectory)
-            .map(_.getPath.getName).filter(_.matches("v[0-9]+")).map(_.drop(1).toLong)
-        else Array.empty[Long]
-      existing.foldLeft(0L)(math.max) + 1
-    }
-    var attempts = 0
-    var published: Option[String] = None
-    while (published.isEmpty && attempts < 100) {
-      val next = new org.apache.hadoop.fs.Path(root, s"v${nextFree()}")
-      // HDFS/posix rename is atomic and fails if the target exists —
-      // exactly the mutual exclusion two racing publishers need
-      if (fs.rename(work, next)) published = Some(next.toString)
-      attempts += 1
-    }
-    published.getOrElse {
-      fs.delete(work, true)
-      throw new IllegalStateException(
-        s"could not publish a snapshot version under $root after $attempts attempts")
+    // any failure between here and a successful rename — a failed
+    // write (disk full, schema mismatch in unionByName) or publish
+    // exhaustion — must remove the work dir: it is invisible to
+    // readers but would otherwise accumulate across failed refreshes
+    var renamed = false
+    try {
+      merged.write.mode(SaveMode.Overwrite).parquet(work.toString)
+      def nextFree(): Long = {
+        val existing =
+          if (fs.exists(rootPath))
+            fs.listStatus(rootPath).filter(_.isDirectory)
+              .map(_.getPath.getName).filter(_.matches("v[0-9]+")).map(_.drop(1).toLong)
+          else Array.empty[Long]
+        existing.foldLeft(0L)(math.max) + 1
+      }
+      var attempts = 0
+      var published: Option[String] = None
+      while (published.isEmpty && attempts < 100) {
+        val next = new org.apache.hadoop.fs.Path(root, s"v${nextFree()}")
+        // HDFS/posix rename is atomic and fails if the target exists —
+        // exactly the mutual exclusion two racing publishers need
+        if (fs.rename(work, next)) { renamed = true; published = Some(next.toString) }
+        attempts += 1
+      }
+      published.getOrElse(throw new IllegalStateException(
+        s"could not publish a snapshot version under $root after $attempts attempts"))
+    } finally {
+      if (!renamed) scala.util.Try(fs.delete(work, true))
+      ()
     }
   }
 

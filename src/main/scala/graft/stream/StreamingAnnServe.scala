@@ -40,8 +40,9 @@ object StreamingAnnServe {
     * The returned query owns the persisted index: stopping it leaves
     * the cache to the session's LRU (call `spark.catalog.clearCache()`
     * or unpersist via [[graft.ops.Caches.releaseAll]] when tearing
-    * down, same contract as the batch operators). */
-  /** `excludeSelf`: pass true only when the stream's q_ids ARE corpus
+    * down, same contract as the batch operators).
+    *
+    * `excludeSelf`: pass true only when the stream's q_ids ARE corpus
     * vec_ids (see [[graft.ops.Embeddings.serveQueryBatch]]) — the
     * default keeps id-colliding external queries correct. */
   def run(spark: SparkSession, queries: DataFrame,

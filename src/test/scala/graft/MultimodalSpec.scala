@@ -322,6 +322,7 @@ class MultimodalSpec extends SparkSpec {
                        frameParams: String = ""): Array[Byte] = {
     val chromaLen = colour match {
       case c if c.startsWith("420")  => 2 * ((w / 2) * (h / 2))
+      case "444alpha"                => 3 * w * h
       case c if c.startsWith("444")  => 2 * w * h
       case _                         => 0 // mono and unknown tags
     }
@@ -361,11 +362,22 @@ class MultimodalSpec extends SparkSpec {
     assert(gotT.width == w && gotT.n_frames == 1)
     assert(gotT.feature.take(4).forall(v => (v - 1.0f).abs < 0.01f) &&
       gotT.feature.drop(4).forall(_ == 0f))
-    // unknown subsampling tag → not decodable → stub fallback exactly
+    // 444alpha carries a third non-luma plane — both frames must
+    // still frame correctly (a 2-plane guess would land mid-alpha
+    // and silently stop at n_frames=1)
+    val alpha = y4mBytes(Seq(topWhite, flat51), w, h, colour = "444alpha")
+    val gotA = Multimodal.VideoDecoder.decodeBatch(Seq(MediaRecord(5L, "video", alpha))).head
+    assert(gotA.n_frames == 2 && (gotA.feature.head - top).abs < 0.01f)
+    // unknown subsampling tag → not decodable → stub fallback exactly;
+    // odd dimensions under chroma subsampling are rejected the same
+    // way rather than guessed at
     val unknown = y4mBytes(Seq(flat51), w, h, colour = "410")
-    val gotU = Multimodal.VideoDecoder.decodeBatch(Seq(MediaRecord(4L, "video", unknown))).head
-    val stubU = Multimodal.StubDecoder.decodeBatch(Seq(MediaRecord(4L, "video", unknown))).head
-    assert(gotU.width == stubU.width && gotU.feature.toSeq == stubU.feature.toSeq)
+    val odd = y4mBytes(Seq(Array.fill(7 * h)(51.toByte)), 7, h)
+    for ((id, bad) <- Seq((4L, unknown), (6L, odd))) {
+      val gotU = Multimodal.VideoDecoder.decodeBatch(Seq(MediaRecord(id, "video", bad))).head
+      val stubU = Multimodal.StubDecoder.decodeBatch(Seq(MediaRecord(id, "video", bad))).head
+      assert(gotU.width == stubU.width && gotU.feature.toSeq == stubU.feature.toSeq)
+    }
     // the composite routes Y4M video through the real decoder
     val viaJdk = Multimodal.JdkDecoder.decodeBatch(Seq(MediaRecord(0L, "video", y4m))).head
     assert(viaJdk.width == w && viaJdk.n_frames == 2 &&
