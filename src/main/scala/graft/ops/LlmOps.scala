@@ -233,10 +233,6 @@ object LlmOps {
             }
           case None => df => df.localCheckpoint(eager = false)
         }
-        def releaseRoundCaches(): Unit = {
-          pendingUnpersist.foreach(_.unpersist())
-          pendingUnpersist.clear()
-        }
         var labels = roundCkpt(edgesPart.groupBy(col("a"))
           .agg(min(col("b")).as("nb"))
           .select(col("a").as("doc_id"), least(col("a"), col("nb")).as("cluster_id")))

@@ -109,9 +109,11 @@ object Owners {
     * included); the `*` side is owners-config-sized → the cross join
     * is an intentional broadcast BNLJ with a tiny build side. With no
     * `prs`, zero-file PRs cannot exist in the input at all, so bare
-    * `*` simply rides the glob join (its regex `^.*$` matches every
-    * file): the default path stays the pre-fix single broadcast join —
-    * same rows, and no distinct aggregation over the big (pr, file)
+    * `*` rides the glob join itself, as a join-condition branch that
+    * matches on the PR row's presence WITHOUT inspecting the file
+    * value (so null files and regex-opaque paths still carry the
+    * grant, per yml:141): the default path stays a single broadcast
+    * join with no distinct aggregation over the big (pr, file)
     * relation.
     *
     * A supplied `prs` is a true UNIVERSE restriction: glob matches
@@ -124,7 +126,15 @@ object Owners {
     val owners = parseOwners(ownersLines)
     val matched = prs match {
       case None =>
-        matchingTeams(prFiles, owners, "file")
+        // the same single broadcast BNLJ as matchingTeams, with the
+        // reference's unconditional-`*` branch (yml:141) folded into
+        // the join condition: a bare-`*` pattern row matches on the
+        // PR's mere presence, never inspecting the file value — so a
+        // null file (an upstream left join) or a path regexes can't
+        // see still carries the `*` grant, exactly like the reference
+        val pats = owners.select(globToRegexCol(col("pattern")).as("regex"), col("teams"))
+        prFiles.join(broadcast(pats),
+            col("regex") === "^.*$" || regexp_like(col("file"), col("regex")), "inner")
           .select(col("pr"), explode(col("teams")).as("team"))
       case Some(p) =>
         val prSet = p.select(col("pr")).distinct()
@@ -150,11 +160,8 @@ object Owners {
   def stageRequirements(prFiles: DataFrame, codeowners: DataFrame,
                         codefacilitators: DataFrame, codetechteam: DataFrame,
                         prs: Option[DataFrame] = None)
-      : (DataFrame, DataFrame, DataFrame) = {
-    // distinct the caller's PR universe once, not once per stage
-    val prSet = prs.map(_.select(col("pr")).distinct())
-    (requiredTeams(prFiles, codeowners, prSet),
-     requiredTeams(prFiles, codefacilitators, prSet),
-     requiredTeams(prFiles, codetechteam, prSet))
-  }
+      : (DataFrame, DataFrame, DataFrame) =
+    (requiredTeams(prFiles, codeowners, prs),
+     requiredTeams(prFiles, codefacilitators, prs),
+     requiredTeams(prFiles, codetechteam, prs))
 }

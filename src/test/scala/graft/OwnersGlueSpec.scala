@@ -80,6 +80,15 @@ class OwnersGlueSpec extends SparkSpec {
     assert(rel(nCo) == rel(reqCo).filter(_._1 == 7L))
     assert(rel(nTe) == Set((7L, s"$orgName/tech-team")))
 
+    // default path: the bare-`*` grant matches on the PR row's
+    // PRESENCE, never the file value — a null file (an upstream left
+    // join) still carries it, while glob patterns cannot match it
+    val inlineOwners = Seq("* @org/everyone", "*.md @org/docs").toDF("value")
+    val withNull = Seq((7L, Option("README.md")), (10L, Option.empty[String]))
+      .toDF("pr", "file")
+    assert(rel(Owners.requiredTeams(withNull, inlineOwners)) == Set(
+      (7L, "org/everyone"), (7L, "org/docs"), (10L, "org/everyone")))
+
     // E3 streaming gate over those requirements
     val membership = Seq(
       (s"$orgName/tech-team", "tina"),
