@@ -144,6 +144,39 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents releases every scoped persist, also on the throw paths") {
+    // the failure path is the one the durability knob exists for: a
+    // fixpoint that dies mid-fixpoint must not leave its per-round
+    // build caches resident on the long-lived shared SparkContext
+    val ckptDir = java.nio.file.Files.createTempDirectory("cc-leak").toString
+    // compare RDD-id SETS, not counts: the ContextCleaner may
+    // asynchronously unpersist GC'd leftovers from earlier tests
+    // mid-run, so only NEW surviving ids indicate a leak here
+    def persistedIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
+    val before = persistedIds
+    // detector sanity: a materialized Dataset.persist must be visible
+    // to getPersistentRDDs, else the assertions below are vacuous
+    val probe = Seq(1).toDF("x").persist()
+    probe.count()
+    assert((persistedIds -- before).nonEmpty, "probe persist invisible — leak detector broken")
+    probe.unpersist()
+    LlmOps.connectedComponents(pairs, checkpointDir = Some(ckptDir)).collect()
+    assert((persistedIds -- before).isEmpty, "success path leaked a scoped persist")
+    // maxIters = 1: one full round materializes its caches, then the
+    // non-convergence throw exits through the finally
+    intercept[IllegalStateException] {
+      LlmOps.connectedComponents(pairs, maxIters = 1, checkpointDir = Some(ckptDir))
+    }
+    assert((persistedIds -- before).isEmpty, "non-convergence throw leaked a scoped persist")
+    // maxIters = 0: label-init's persist is registered but never
+    // counted — the throw must still release it
+    intercept[IllegalStateException] {
+      LlmOps.connectedComponents(pairs, maxIters = 0, checkpointDir = Some(ckptDir))
+    }
+    assert((persistedIds -- before).isEmpty, "pre-loop throw leaked a scoped persist")
+  }
+
   test("nearDupClusters: duplicate cluster keeps min doc_id, singletons survive") {
     val dup = "the quick brown fox jumps over the lazy dog again today"
     val docs = Seq(

@@ -115,5 +115,27 @@ class StorageSpec extends SparkSpec {
       Seq((5L, "five")).toDF("doc_id", "text"), "doc_id")
     assert(v4.endsWith("/v4"))
     assert(rel(Storage.readSnapshot(spark, root))(5L) == "five")
+
+    // a FAILED upsert must not leave its .staging work directory
+    // behind: invisible to readers, but it would accumulate across
+    // every failed nightly refresh. Force a write-time failure with
+    // an update batch whose evaluation throws mid-job.
+    def stagingDirs(): Seq[String] =
+      Option(new java.io.File(root).list()).toSeq.flatten.filter(_.startsWith(".staging"))
+    val poison = org.apache.spark.sql.functions.udf { (id: Long) =>
+      if (id == 6L) throw new IllegalStateException("poison row") else id
+    }
+    val bad = Seq((6L, "boom")).toDF("doc_id", "text")
+      .withColumn("doc_id", poison(col("doc_id")))
+    intercept[Exception] {
+      Storage.upsertSnapshot(spark, root, bad, "doc_id")
+    }
+    assert(stagingDirs().isEmpty,
+      s"failed upsert leaked staging dirs: ${stagingDirs()}")
+    // the snapshot chain is undisturbed and the next upsert still works
+    assert(rel(Storage.readSnapshot(spark, root))(5L) == "five")
+    val v5 = Storage.upsertSnapshot(spark, root,
+      Seq((6L, "six")).toDF("doc_id", "text"), "doc_id")
+    assert(v5.endsWith("/v5"))
   }
 }
