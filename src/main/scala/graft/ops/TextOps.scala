@@ -417,4 +417,91 @@ object TextOps {
       .toDF("doc_id", "tokens", "n_tokens")
       .orderBy(col("doc_id"))
   }
+
+  /** Add-k-smoothed bigram language model over a `documents`-shaped
+    * relation — the tables + constants [[lmScore]] consumes. All
+    * three DataFrames are VOCABULARY-sized, never corpus-sized; they
+    * are lazy plans, so persist (or write out) before scoring many
+    * batches against one model. */
+  final case class BigramLm(vocab: DataFrame,    // (token) — top-maxVocab
+                            bigrams: DataFrame,  // (w1, w2, bcount)
+                            contexts: DataFrame, // (w1, ccount)
+                            vocabSize: Long, k: Double)
+
+  /** Row-local bigram rows (doc_id, w1, w2): whitespace tokens, a
+    * `<s>` head so the first token is conditioned, adjacency built
+    * INSIDE the row (array slice + zip) — the corpus never shuffles
+    * to form its bigrams. A zero-token doc yields no rows. */
+  private def bigramRows(docs: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val prevs = concat(array(lit("<s>")),
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
+    docs.select(col("doc_id"),
+        explode(arrays_zip(prevs.as("w1"), toks.as("w2"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w2").isNotNull)
+  }
+
+  /** Map both bigram sides through the capped vocabulary: tokens
+    * outside it become `<unk>`; the `<s>` sentinel survives as a
+    * context. The vocab is maxVocab-bounded by construction → an
+    * explicit broadcast hash join on each side. */
+  private def mapUnk(bg: DataFrame, vocab: DataFrame): DataFrame = {
+    val v1 = broadcast(vocab.select(col("token").as("w1"), lit(true).as("in1")))
+    val v2 = broadcast(vocab.select(col("token").as("w2"), lit(true).as("in2")))
+    bg.join(v1, Seq("w1"), "left").join(v2, Seq("w2"), "left")
+      .select(col("doc_id"),
+        when(col("w1") === "<s>", col("w1"))
+          .otherwise(when(col("in1"), col("w1")).otherwise(lit("<unk>"))).as("w1"),
+        when(col("in2"), col("w2")).otherwise(lit("<unk>")).as("w2"))
+  }
+
+  /** Bigram-LM quality-model TRAINING — the CCNet-style filter
+    * (Wenzek et al. 2020 score documents with an n-gram model and
+    * keep the low-perplexity tail; smoothing per Jurafsky & Martin
+    * ch. 3, add-k). ONE corpus pass builds the top-`maxVocab`
+    * vocabulary (heavy-tailed, everything else mapped to `<unk>` —
+    * the cap is what keeps the model bounded at 100 TB), then bigram
+    * counts and context totals over the mapped stream: one explode +
+    * two aggregations of corpus-wide work, with every model table
+    * vocabulary-sized. The vocabulary cut is deterministic
+    * (frequency DESC, token ASC). `vocabSize` = |vocab| + 1: the
+    * next-word space is the vocabulary plus `<unk>` (`<s>` is only
+    * ever a context). */
+  def lmTrain(docs: DataFrame, maxVocab: Int = 50000, k: Double = 0.1): BigramLm = {
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val vocab = docs.select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token")).limit(maxVocab)
+      .select(col("token"))
+    val mapped = mapUnk(bigramRows(docs), vocab)
+    val bigrams = mapped.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcount"))
+    val contexts = bigrams.groupBy(col("w1")).agg(sum(col("bcount")).as("ccount"))
+    BigramLm(vocab, bigrams, contexts, vocab.count() + 1, k)
+  }
+
+  /** Score documents against a trained [[BigramLm]]: per doc,
+    * `n_tokens` (= scored bigrams — every token is conditioned
+    * exactly once via the `<s>` head), `cross_entropy` (nats/token)
+    * and `perplexity` (e^xent). The same row-local bigram explode as
+    * training, unk-mapped, left-joined against the model — no
+    * broadcast hint on the model joins (the [[LlmOps.dropList]]
+    * rule: vocabulary-sized usually broadcasts via AQE, but a forced
+    * hint would OOM on a pathological vocab). Unseen bigram in a
+    * seen context: (0+k)/(C(w1)+kV); wholly unseen context: the k
+    * cancels to exactly 1/V (uniform). Zero-token docs produce no
+    * score row — there is nothing to condition. */
+  def lmScore(docs: DataFrame, lm: BigramLm): DataFrame = {
+    val mapped = mapUnk(bigramRows(docs), lm.vocab)
+    mapped
+      .join(lm.bigrams, Seq("w1", "w2"), "left")
+      .join(lm.contexts, Seq("w1"), "left")
+      .select(col("doc_id"),
+        log((coalesce(col("bcount"), lit(0L)) + lm.k) /
+            (coalesce(col("ccount"), lit(0L)) + lm.k * lm.vocabSize)).as("logp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+           (-avg(col("logp"))).as("cross_entropy"),
+           exp(-avg(col("logp"))).as("perplexity"))
+  }
 }

@@ -278,6 +278,84 @@ class TextOpsSpec extends SparkSpec {
     assert(enc(2L).mkString.endsWith("cafécafé"))
   }
 
+  test("lmTrain/lmScore: per-doc cross-entropy equals a driver-side brute force") {
+    val train = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran"),
+      (3L, "a dog ran fast")).toDF("doc_id", "text")
+    val k = 0.1
+    val lm = TextOps.lmTrain(train, maxVocab = 1000, k = k)
+
+    // brute force with the documented rules: <s> head, add-k, V=|vocab|+1
+    val corpus = Map(1L -> "the cat sat on the mat", 2L -> "the cat ran",
+      3L -> "a dog ran fast")
+    val toksOf = (s: String) => s.split("\\s+").filter(_.nonEmpty).toSeq
+    val vocabSet = corpus.values.flatMap(toksOf).toSet // all fit under the cap
+    val big = scala.collection.mutable.Map.empty[(String, String), Long]
+    val ctx = scala.collection.mutable.Map.empty[String, Long]
+    for (t <- corpus.values; bg <- ("<s>" +: toksOf(t)).sliding(2)) {
+      big(bg(0) -> bg(1)) = big.getOrElse(bg(0) -> bg(1), 0L) + 1
+      ctx(bg(0)) = ctx.getOrElse(bg(0), 0L) + 1
+    }
+    val v = vocabSet.size + 1
+    def score(text: String): (Long, Double) = {
+      val mapped = toksOf(text).map(t => if (vocabSet(t)) t else "<unk>")
+      val lps = ("<s>" +: mapped).sliding(2).map { bg =>
+        math.log((big.getOrElse(bg(0) -> bg(1), 0L) + k) /
+          (ctx.getOrElse(bg(0), 0L) + k * v))
+      }.toSeq
+      (lps.length.toLong, -lps.sum / lps.length)
+    }
+    assert(lm.vocabSize == v)
+
+    // scoring the TRAINING docs plus an unseen-word doc and a doc in
+    // a wholly unseen context
+    val eval = train.unionByName(Seq(
+      (4L, "the zebra sat"),     // zebra → <unk> (unseen token)
+      (5L, "zzz qqq")).toDF("doc_id", "text"))
+    val got = TextOps.lmScore(eval, lm).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    for ((id, text) <- corpus ++ Map(4L -> "the zebra sat", 5L -> "zzz qqq")) {
+      val (n, xent) = score(text)
+      val (gn, gx, gp) = got(id)
+      assert(gn == n, s"doc $id n_tokens")
+      assert((gx - xent).abs < 1e-9, s"doc $id xent: got $gx want $xent")
+      assert((gp - math.exp(xent)).abs < 1e-9, s"doc $id perplexity")
+    }
+    // a wholly unseen context scores exactly uniform 1/V per token:
+    // "zzz"→<unk> after <s> is a SEEN context (none — <s> is seen);
+    // the second bigram (<unk>, <unk>) has context <unk>, unseen in
+    // training (no OOV there) → logp = -log(V)
+    val unseenCtxLogp = math.log(1.0 / v)
+    val bruteZzz = score("zzz qqq")._2
+    assert(got(5L)._2 > 0 && (got(5L)._2 - bruteZzz).abs < 1e-9)
+    assert((math.log((big.getOrElse("<unk>" -> "<unk>", 0L) + k) /
+      (ctx.getOrElse("<unk>", 0L) + k * v)) - unseenCtxLogp).abs < 1e-12)
+    // training docs are more probable than the OOV doc (the filter's
+    // reason to exist)
+    assert(got(2L)._3 < got(5L)._3)
+    // empty/whitespace-only docs yield NO score row
+    val empties = Seq((9L, ""), (10L, "   ")).toDF("doc_id", "text")
+    assert(TextOps.lmScore(empties, lm).count() == 0)
+  }
+
+  test("lmTrain: the vocabulary cap maps tail tokens to <unk> deterministically") {
+    // "b" and "c" tie at 2 occurrences — the (tf DESC, token ASC)
+    // cut keeps "b"; "c" and the singletons fall to <unk>
+    val docs = Seq((1L, "a a a b b c"), (2L, "c x y")).toDF("doc_id", "text")
+    val lm = TextOps.lmTrain(docs, maxVocab = 2, k = 0.5)
+    assert(lm.vocab.collect().map(_.getString(0)).toSet == Set("a", "b"))
+    assert(lm.vocabSize == 3) // {a, b} + <unk>
+    val bigs = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // doc 1: <s>→a, a→a, a→a, a→b, b→b, b→<unk>(c)
+    // doc 2: <s>→<unk>(c), <unk>→<unk>(x), <unk>→<unk>(y)
+    assert(bigs(("a", "a")) == 2 && bigs(("a", "b")) == 1)
+    assert(bigs(("<unk>", "<unk>")) == 2 && bigs(("<s>", "<unk>")) == 1)
+    val ctxs = lm.contexts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ctxs("<s>") == 2 && ctxs("a") == 3 && ctxs("<unk>") == 2)
+  }
+
   test("redactPii: emails/phones/IPs replaced with tokens, counts per pattern") {
     val docs = Seq(
       (1L, "contact bob.smith+x@example.co.uk or +1 (415) 555-0199 now"),
