@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -478,6 +478,35 @@ object TextOps {
     val bigrams = mapped.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcount"))
     val contexts = bigrams.groupBy(col("w1")).agg(sum(col("bcount")).as("ccount"))
     BigramLm(vocab, bigrams, contexts, vocab.count() + 1, k)
+  }
+
+  /** Persist a trained [[BigramLm]] as a reusable artifact — the
+    * [[Embeddings.saveQuantizer]] deployment shape: train once, load
+    * from every scoring job instead of re-running the corpus pass.
+    * Unlike the quantizer the model tables are vocabulary-sized, not
+    * driver-sized, so they are written as DISTRIBUTED parquet (only
+    * the one-row meta ever funnels). Layout:
+    * `<path>/{vocab,bigrams,contexts,meta}.parquet`. */
+  def lmSave(lm: BigramLm, path: String): Unit = {
+    lm.vocab.write.mode(SaveMode.Overwrite).parquet(s"$path/vocab.parquet")
+    lm.bigrams.write.mode(SaveMode.Overwrite).parquet(s"$path/bigrams.parquet")
+    lm.contexts.write.mode(SaveMode.Overwrite).parquet(s"$path/contexts.parquet")
+    val spark = lm.vocab.sparkSession
+    import spark.implicits._
+    Seq((lm.vocabSize, lm.k)).toDF("vocab_size", "k")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta.parquet")
+  }
+
+  /** Load a [[lmSave]] artifact. The returned tables are plain
+    * parquet scans — scoring against a loaded model re-reads files,
+    * never the training corpus. */
+  def lmLoad(spark: SparkSession, path: String): BigramLm = {
+    val meta = spark.read.parquet(s"$path/meta.parquet").collect()(0)
+    BigramLm(
+      spark.read.parquet(s"$path/vocab.parquet"),
+      spark.read.parquet(s"$path/bigrams.parquet"),
+      spark.read.parquet(s"$path/contexts.parquet"),
+      meta.getAs[Long]("vocab_size"), meta.getAs[Double]("k"))
   }
 
   /** Score documents against a trained [[BigramLm]]: per doc,

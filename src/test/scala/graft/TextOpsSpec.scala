@@ -339,6 +339,19 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.lmScore(empties, lm).count() == 0)
   }
 
+  test("lmSave/lmLoad: a loaded model scores identically to the in-memory one") {
+    val train = Seq((1L, "the cat sat on the mat"), (2L, "a dog ran")).toDF("doc_id", "text")
+    val eval = train.unionByName(Seq((3L, "the dog sat quietly")).toDF("doc_id", "text"))
+    val lm = TextOps.lmTrain(train, maxVocab = 4, k = 0.2) // cap forces <unk> rows too
+    val path = java.nio.file.Files.createTempDirectory("lm-artifact").toString
+    TextOps.lmSave(lm, path)
+    val loaded = TextOps.lmLoad(spark, path)
+    assert(loaded.vocabSize == lm.vocabSize && loaded.k == lm.k)
+    def rel(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Double, Double)] =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rel(TextOps.lmScore(eval, loaded)) == rel(TextOps.lmScore(eval, lm)))
+  }
+
   test("lmTrain: the vocabulary cap maps tail tokens to <unk> deterministically") {
     // "b" and "c" tie at 2 occurrences — the (tf DESC, token ASC)
     // cut keeps "b"; "c" and the singletons fall to <unk>
