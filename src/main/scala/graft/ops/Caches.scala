@@ -56,4 +56,20 @@ object Caches {
     live.valuesIterator.foreach(_.foreach(df => scala.util.Try(df.unpersist())))
     live.clear()
   }
+
+  /** Free the executor blocks behind a MATERIALIZED localCheckpoint.
+    * `Dataset.unpersist` cannot: localCheckpoint persists at the RDD
+    * level, below the SQL cache manager, so superseded per-round
+    * checkpoints in driver-loop iterations (bpeTrain's vocab,
+    * connectedComponents' labels) otherwise stay pinned until driver
+    * GC happens to run the ContextCleaner — corpus-sized storage ×
+    * rounds on a long-lived session. Call ONLY on a checkpoint no
+    * plan will read again: the blocks ARE the data (lineage is
+    * truncated), so a later read would fail, not recompute. */
+  def freeLocalCheckpoint(ds: org.apache.spark.sql.Dataset[_]): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        scala.util.Try(lr.rdd.unpersist(blocking = false))
+      case _ => ()
+    }
 }

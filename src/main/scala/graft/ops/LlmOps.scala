@@ -267,8 +267,12 @@ object LlmOps {
           // 2 of 12 rounds while adding a join to every round).
           converged = updated.filter(col("changed")).count() == 0L
           // the count materialized this round's checkpoint(s) — their
-          // build caches are now redundant (reads hit the checkpoint)
+          // build caches are now redundant (reads hit the checkpoint),
+          // and in LOCAL mode the superseded round's corpus-sized
+          // checkpoint blocks are too (reliable mode reads files; its
+          // per-round caches are the pendingUnpersist entries above)
           releaseRoundCaches()
+          if (checkpointDir.isEmpty) Caches.freeLocalCheckpoint(labels)
           labels = updated.drop("changed")
           i += 1
         }

@@ -355,15 +355,18 @@ object Multimodal {
           // format requires even dims there; guessing a rounding would
           // mis-frame the walk), as is 444alpha's extra plane ordering
           // twin 444 would silently mis-frame without its own case.
+          // EXACT-match the 8-bit tags: a prefix match would accept
+          // high-bit-depth variants ("420p10", "422p12", "mono10" —
+          // 2-byte samples) as 8-bit and mis-frame the whole walk
           val chroma = tagged('C').getOrElse("420jpeg") match {
-            case c if c.startsWith("420") =>
+            case "420" | "420jpeg" | "420mpeg2" | "420paldv" =>
               if (w % 2 != 0 || h % 2 != 0) -1 else 2 * ((w / 2) * (h / 2))
-            case c if c.startsWith("422") =>
+            case "422" =>
               if (w % 2 != 0) -1 else 2 * ((w / 2) * h)
-            case "444alpha"                => 3 * luma // U, V, A planes
-            case c if c.startsWith("444")  => 2 * luma
-            case c if c.startsWith("mono") => 0
-            case _                         => -1 // unknown tag → stub fallback
+            case "444alpha" => 3 * luma // U, V, A planes
+            case "444"      => 2 * luma
+            case "mono"     => 0
+            case _          => -1 // unknown/high-bit-depth tag → stub fallback
           }
           if (chroma < 0) return None
           val frames = Vector.newBuilder[Int]

@@ -74,7 +74,9 @@ object Storage {
     * needs on plain parquet (no table format in this stack): merge
     * `updates` into the newest committed snapshot under `root` by
     * `key` (update rows replace base rows; rows whose `deleteCol` is
-    * true are tombstones and drop the key; new keys append), then
+    * true are tombstones and drop the key; a NULL flag means "not a
+    * delete" — outer-join-built update sets carry nulls where no
+    * tombstone info exists; new keys append), then
     * publish the result ATOMICALLY as the next versioned subdirectory
     * — `v<n+1>/` + `_SUCCESS` marker, the exact layout
     * [[graft.stream.StreamingNearDedup.resolveSnapshot]] resolves, so
@@ -110,7 +112,13 @@ object Storage {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val resolved = graft.stream.StreamingNearDedup.resolveSnapshot(spark, root)
     val hasBase = resolved != root || fs.exists(new org.apache.hadoop.fs.Path(s"$root/_SUCCESS"))
-    val keep = deleteCol.map(d => updates.filter(!col(d)).drop(d)).getOrElse(updates)
+    // NULL delete flag = "not a delete" (outer-join-built update sets
+    // carry nulls where no tombstone info exists): without the
+    // coalesce, a null row would be anti-joined out of the base but
+    // dropped from `keep` too — a silent unintended tombstone
+    val keep = deleteCol
+      .map(d => updates.filter(!coalesce(col(d), lit(false))).drop(d))
+      .getOrElse(updates)
     val merged =
       if (!hasBase) keep
       else {

@@ -346,32 +346,47 @@ object TextOps {
       .toDF("syms", "cnt")
       .as[(Seq[String], Long)]
       .localCheckpoint()
+    // each new checkpoint supersedes the previous one — free its
+    // blocks explicitly (the [[Caches.freeLocalCheckpoint]] rule:
+    // ~nMerges/8 vocab-sized block sets would otherwise pile up on
+    // the executors until driver GC)
+    var lastCkpt = vocab
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var rank = 0
     var saturated = false
-    while (rank < nMerges && !saturated) {
-      // weighted pair counts over the CURRENT segmentation; argmax
-      // with the pinned tie-break, one row to the driver
-      val best = vocab.flatMap { case (syms, c) =>
-        (0 until syms.length - 1).map(i => ((syms(i), syms(i + 1)), c))
-      }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
-        .map { case ((l, r), n) => (l, r, n) }
-        .toDF("l", "r", "n")
-        .orderBy(col("n").desc, col("l"), col("r")).limit(1)
-        .as[(String, String, Long)].collect().headOption
-      best match {
-        case Some((l, r, n)) if n >= minPairCount =>
-          merges += ((rank, l, r, n))
-          val merged = l + r
-          // row-local merge: replace every (l, r) adjacency left-to-
-          // right (the standard greedy single-pass application)
-          vocab = vocab.map { case (syms, c) =>
-            (mergeOnce(syms, l, r, merged), c)
-          }
-          rank += 1
-          if (rank % checkpointEvery == 0) vocab = vocab.localCheckpoint()
-        case _ => saturated = true
+    try {
+      while (rank < nMerges && !saturated) {
+        // weighted pair counts over the CURRENT segmentation; argmax
+        // with the pinned tie-break, one row to the driver
+        val best = vocab.flatMap { case (syms, c) =>
+          (0 until syms.length - 1).map(i => ((syms(i), syms(i + 1)), c))
+        }.groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+          .map { case ((l, r), n) => (l, r, n) }
+          .toDF("l", "r", "n")
+          .orderBy(col("n").desc, col("l"), col("r")).limit(1)
+          .as[(String, String, Long)].collect().headOption
+        best match {
+          case Some((l, r, n)) if n >= minPairCount =>
+            merges += ((rank, l, r, n))
+            val merged = l + r
+            // row-local merge: replace every (l, r) adjacency left-to-
+            // right (the standard greedy single-pass application)
+            vocab = vocab.map { case (syms, c) =>
+              (mergeOnce(syms, l, r, merged), c)
+            }
+            rank += 1
+            if (rank % checkpointEvery == 0) {
+              vocab = vocab.localCheckpoint() // eager: materializes from lastCkpt's blocks
+              Caches.freeLocalCheckpoint(lastCkpt)
+              lastCkpt = vocab
+            }
+          case _ => saturated = true
+        }
       }
+    } finally {
+      // the merge list is driver-side — the current checkpoint's
+      // blocks have no further reader, on success OR a thrown round
+      Caches.freeLocalCheckpoint(lastCkpt)
     }
     merges.result()
   }
@@ -420,21 +435,35 @@ object TextOps {
 
   /** Add-k-smoothed bigram language model over a `documents`-shaped
     * relation — the tables + constants [[lmScore]] consumes. All
-    * three DataFrames are VOCABULARY-sized, never corpus-sized; they
-    * are lazy plans, so persist (or write out) before scoring many
-    * batches against one model. */
+    * three DataFrames are VOCABULARY-sized, never corpus-sized;
+    * [[lmTrain]] registers vocab and bigrams with [[Caches]] (the
+    * harness releaseAll contract), so repeated scoring never re-runs
+    * the corpus aggregations; [[lmSave]]/[[lmLoad]] make the model a
+    * durable artifact. */
   final case class BigramLm(vocab: DataFrame,    // (token) — top-maxVocab
                             bigrams: DataFrame,  // (w1, w2, bcount)
                             contexts: DataFrame, // (w1, ccount)
                             vocabSize: Long, k: Double)
 
-  /** Row-local bigram rows (doc_id, w1, w2): whitespace tokens, a
+  /** The sentence-start sentinel and the out-of-vocabulary bucket —
+    * RESERVED symbols: neither can enter the learned vocabulary, and
+    * a literal corpus `<s>` token is remapped to `<unk>` before
+    * adjacency, so the `<s>` value is unambiguously the sentinel in
+    * every model table (a literal `<unk>` needs no rewrite — it is
+    * never in the vocabulary, so it folds into the unk bucket like
+    * any OOV token). */
+  private val Sentinel = "<s>"
+  private val Unk = "<unk>"
+
+  /** Row-local bigram rows (doc_id, w1, w2): whitespace tokens
+    * (reserved symbols remapped per the [[Sentinel]] policy), a
     * `<s>` head so the first token is conditioned, adjacency built
     * INSIDE the row (array slice + zip) — the corpus never shuffles
     * to form its bigrams. A zero-token doc yields no rows. */
   private def bigramRows(docs: DataFrame): DataFrame = {
-    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-    val prevs = concat(array(lit("<s>")),
+    val raw = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val toks = transform(raw, t => when(t === Sentinel, Unk).otherwise(t))
+    val prevs = concat(array(lit(Sentinel)),
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
     docs.select(col("doc_id"),
         explode(arrays_zip(prevs.as("w1"), toks.as("w2"))).as("bg"))
@@ -444,38 +473,43 @@ object TextOps {
 
   /** Map both bigram sides through the capped vocabulary: tokens
     * outside it become `<unk>`; the `<s>` sentinel survives as a
-    * context. The vocab is maxVocab-bounded by construction → an
-    * explicit broadcast hash join on each side. */
+    * context (unambiguously — [[bigramRows]] already remapped any
+    * literal corpus `<s>`). The vocab is maxVocab-bounded by
+    * construction → an explicit broadcast hash join on each side. */
   private def mapUnk(bg: DataFrame, vocab: DataFrame): DataFrame = {
     val v1 = broadcast(vocab.select(col("token").as("w1"), lit(true).as("in1")))
     val v2 = broadcast(vocab.select(col("token").as("w2"), lit(true).as("in2")))
     bg.join(v1, Seq("w1"), "left").join(v2, Seq("w2"), "left")
       .select(col("doc_id"),
-        when(col("w1") === "<s>", col("w1"))
-          .otherwise(when(col("in1"), col("w1")).otherwise(lit("<unk>"))).as("w1"),
-        when(col("in2"), col("w2")).otherwise(lit("<unk>")).as("w2"))
+        when(col("w1") === Sentinel, col("w1"))
+          .otherwise(when(col("in1"), col("w1")).otherwise(lit(Unk))).as("w1"),
+        when(col("in2"), col("w2")).otherwise(lit(Unk)).as("w2"))
   }
 
   /** Bigram-LM quality-model TRAINING — the CCNet-style filter
     * (Wenzek et al. 2020 score documents with an n-gram model and
     * keep the low-perplexity tail; smoothing per Jurafsky & Martin
-    * ch. 3, add-k). ONE corpus pass builds the top-`maxVocab`
-    * vocabulary (heavy-tailed, everything else mapped to `<unk>` —
-    * the cap is what keeps the model bounded at 100 TB), then bigram
-    * counts and context totals over the mapped stream: one explode +
-    * two aggregations of corpus-wide work, with every model table
-    * vocabulary-sized. The vocabulary cut is deterministic
-    * (frequency DESC, token ASC). `vocabSize` = |vocab| + 1: the
-    * next-word space is the vocabulary plus `<unk>` (`<s>` is only
-    * ever a context). */
+    * ch. 3, add-k). TWO corpus passes total: one builds the
+    * top-`maxVocab` vocabulary (heavy-tailed, everything else mapped
+    * to `<unk>` — the cap is what keeps the model bounded at 100 TB;
+    * reserved symbols excluded per the [[Sentinel]] policy), one the
+    * bigram counts over the mapped stream; both results are
+    * vocabulary-sized and CACHED (via [[Caches]] — without that, the
+    * two broadcast sides of [[mapUnk]], the context roll-up, and
+    * every save/score replay the corpus-wide aggregations). The
+    * vocabulary cut is deterministic (frequency DESC, token ASC).
+    * `vocabSize` = |vocab| + 1: the next-word space is the
+    * vocabulary plus `<unk>` (`<s>` is only ever a context). */
   def lmTrain(docs: DataFrame, maxVocab: Int = 50000, k: Double = 0.1): BigramLm = {
     val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-    val vocab = docs.select(explode(toks).as("token"))
+    val vocab = Caches.persist(docs.select(explode(toks).as("token"))
+      .filter(!col("token").isin(Sentinel, Unk))
       .groupBy(col("token")).agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("token")).limit(maxVocab)
-      .select(col("token"))
+      .select(col("token")))
     val mapped = mapUnk(bigramRows(docs), vocab)
-    val bigrams = mapped.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcount"))
+    val bigrams = Caches.persist(
+      mapped.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bcount")))
     val contexts = bigrams.groupBy(col("w1")).agg(sum(col("bcount")).as("ccount"))
     BigramLm(vocab, bigrams, contexts, vocab.count() + 1, k)
   }

@@ -373,7 +373,10 @@ class MultimodalSpec extends SparkSpec {
     // way rather than guessed at
     val unknown = y4mBytes(Seq(flat51), w, h, colour = "410")
     val odd = y4mBytes(Seq(Array.fill(7 * h)(51.toByte)), 7, h)
-    for ((id, bad) <- Seq((4L, unknown), (6L, odd))) {
+    // high-bit-depth tags (2-byte samples) must NOT match their 8-bit
+    // prefix ("420p10" as "420" would mis-frame the whole walk)
+    val tenBit = y4mBytes(Seq(flat51), w, h, colour = "420p10")
+    for ((id, bad) <- Seq((4L, unknown), (6L, odd), (7L, tenBit))) {
       val gotU = Multimodal.VideoDecoder.decodeBatch(Seq(MediaRecord(id, "video", bad))).head
       val stubU = Multimodal.StubDecoder.decodeBatch(Seq(MediaRecord(id, "video", bad))).head
       assert(gotU.width == stubU.width && gotU.feature.toSeq == stubU.feature.toSeq)

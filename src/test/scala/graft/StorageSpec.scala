@@ -91,14 +91,17 @@ class StorageSpec extends SparkSpec {
     assert(rel(Storage.readSnapshot(spark, root)) ==
       Map(1L -> "one", 2L -> "two", 3L -> "three"))
 
-    // v2: update key 2, tombstone key 3, insert key 4
+    // v2: update key 2, tombstone key 3, insert key 4 — and key 1
+    // with a NULL delete flag (an outer-join-built update set): null
+    // means "not a delete", so key 1 is an update, never a tombstone
     val updates = Seq(
-      (2L, "TWO", false), (3L, "", true), (4L, "four", false)
+      (1L, "ONE", None: Option[Boolean]),
+      (2L, "TWO", Some(false)), (3L, "", Some(true)), (4L, "four", Some(false))
     ).toDF("doc_id", "text", "deleted")
     val v2 = Storage.upsertSnapshot(spark, root, updates, "doc_id", Some("deleted"))
     assert(v2.endsWith("/v2"))
     assert(rel(Storage.readSnapshot(spark, root)) ==
-      Map(1L -> "one", 2L -> "TWO", 4L -> "four"))
+      Map(1L -> "ONE", 2L -> "TWO", 4L -> "four"))
     // the superseded snapshot is untouched (a concurrent v1 scan
     // would have finished cleanly)
     assert(rel(spark.read.parquet(v1)) == Map(1L -> "one", 2L -> "two", 3L -> "three"))
@@ -109,7 +112,7 @@ class StorageSpec extends SparkSpec {
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/v3/part-junk.parquet"),
       Array[Byte](1, 2, 3))
     assert(rel(Storage.readSnapshot(spark, root)) ==
-      Map(1L -> "one", 2L -> "TWO", 4L -> "four"))
+      Map(1L -> "ONE", 2L -> "TWO", 4L -> "four"))
     // and the next successful upsert publishes past it
     val v4 = Storage.upsertSnapshot(spark, root,
       Seq((5L, "five")).toDF("doc_id", "text"), "doc_id")

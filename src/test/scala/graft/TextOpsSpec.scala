@@ -279,28 +279,35 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("lmTrain/lmScore: per-doc cross-entropy equals a driver-side brute force") {
+    // doc 6 carries LITERAL "<s>" and "<unk>" tokens (common in
+    // ML/tokenizer-related web text): the reserved-symbol policy maps
+    // both to <unk> — a literal "<s>" must never merge with the
+    // sentence-start sentinel's context
     val train = Seq(
       (1L, "the cat sat on the mat"),
       (2L, "the cat ran"),
-      (3L, "a dog ran fast")).toDF("doc_id", "text")
+      (3L, "a dog ran fast"),
+      (6L, "docs mention <s> and <unk> tokens")).toDF("doc_id", "text")
     val k = 0.1
     val lm = TextOps.lmTrain(train, maxVocab = 1000, k = k)
 
-    // brute force with the documented rules: <s> head, add-k, V=|vocab|+1
+    // brute force with the documented rules: <s> head, reserved
+    // symbols → <unk>, add-k, V=|vocab|+1
     val corpus = Map(1L -> "the cat sat on the mat", 2L -> "the cat ran",
-      3L -> "a dog ran fast")
+      3L -> "a dog ran fast", 6L -> "docs mention <s> and <unk> tokens")
     val toksOf = (s: String) => s.split("\\s+").filter(_.nonEmpty).toSeq
-    val vocabSet = corpus.values.flatMap(toksOf).toSet // all fit under the cap
+    val vocabSet = corpus.values.flatMap(toksOf).toSet - "<s>" - "<unk>" // rest fit under the cap
+    val mappedOf = (s: String) =>
+      toksOf(s).map(t => if (vocabSet(t)) t else "<unk>")
     val big = scala.collection.mutable.Map.empty[(String, String), Long]
     val ctx = scala.collection.mutable.Map.empty[String, Long]
-    for (t <- corpus.values; bg <- ("<s>" +: toksOf(t)).sliding(2)) {
+    for (t <- corpus.values; bg <- ("<s>" +: mappedOf(t)).sliding(2)) {
       big(bg(0) -> bg(1)) = big.getOrElse(bg(0) -> bg(1), 0L) + 1
       ctx(bg(0)) = ctx.getOrElse(bg(0), 0L) + 1
     }
     val v = vocabSet.size + 1
     def score(text: String): (Long, Double) = {
-      val mapped = toksOf(text).map(t => if (vocabSet(t)) t else "<unk>")
-      val lps = ("<s>" +: mapped).sliding(2).map { bg =>
+      val lps = ("<s>" +: mappedOf(text)).sliding(2).map { bg =>
         math.log((big.getOrElse(bg(0) -> bg(1), 0L) + k) /
           (ctx.getOrElse(bg(0), 0L) + k * v))
       }.toSeq
@@ -308,14 +315,16 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(lm.vocabSize == v)
 
-    // scoring the TRAINING docs plus an unseen-word doc and a doc in
-    // a wholly unseen context
+    // scoring the TRAINING docs plus an unseen-word doc, a doc in a
+    // wholly unseen context, and a doc LED by a literal "<s>"
     val eval = train.unionByName(Seq(
       (4L, "the zebra sat"),     // zebra → <unk> (unseen token)
-      (5L, "zzz qqq")).toDF("doc_id", "text"))
+      (5L, "zzz qqq"),
+      (7L, "<s> the cat")).toDF("doc_id", "text"))
     val got = TextOps.lmScore(eval, lm).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
-    for ((id, text) <- corpus ++ Map(4L -> "the zebra sat", 5L -> "zzz qqq")) {
+    for ((id, text) <- corpus ++ Map(4L -> "the zebra sat", 5L -> "zzz qqq",
+      7L -> "<s> the cat")) {
       val (n, xent) = score(text)
       val (gn, gx, gp) = got(id)
       assert(gn == n, s"doc $id n_tokens")
@@ -323,14 +332,16 @@ class TextOpsSpec extends SparkSpec {
       assert((gp - math.exp(xent)).abs < 1e-9, s"doc $id perplexity")
     }
     // a wholly unseen context scores exactly uniform 1/V per token:
-    // "zzz"→<unk> after <s> is a SEEN context (none — <s> is seen);
-    // the second bigram (<unk>, <unk>) has context <unk>, unseen in
-    // training (no OOV there) → logp = -log(V)
+    // "mat" is sentence-FINAL everywhere in training, so as a context
+    // it is unseen (note <unk> no longer demonstrates this — doc 6's
+    // reserved literals make it a seen context) → the add-k cancels
+    // to exactly 1/V
     val unseenCtxLogp = math.log(1.0 / v)
     val bruteZzz = score("zzz qqq")._2
     assert(got(5L)._2 > 0 && (got(5L)._2 - bruteZzz).abs < 1e-9)
-    assert((math.log((big.getOrElse("<unk>" -> "<unk>", 0L) + k) /
-      (ctx.getOrElse("<unk>", 0L) + k * v)) - unseenCtxLogp).abs < 1e-12)
+    assert(ctx.get("mat").isEmpty)
+    assert((math.log((big.getOrElse("mat" -> "the", 0L) + k) /
+      (ctx.getOrElse("mat", 0L) + k * v)) - unseenCtxLogp).abs < 1e-12)
     // training docs are more probable than the OOV doc (the filter's
     // reason to exist)
     assert(got(2L)._3 < got(5L)._3)
