@@ -350,6 +350,60 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.lmScore(empties, lm).count() == 0)
   }
 
+  test("lmTrain/lmScore: seeded random corpus agrees with the brute force " +
+    "(live vocab cap, reserved literals, empty docs)") {
+    val rnd = new scala.util.Random(20260813L)
+    // BMP-only alphabet: there, Spark's binary-UTF-8 sort == Java's
+    // UTF-16 sort == code-point order, so the brute force's vocabulary
+    // tie-break matches the engine's. Reserved literals ride along.
+    val alphabet = Vector("a", "b", "c", "ab", "ba", "ü", "日本", "<s>", "<unk>")
+    def randDoc(): String = Seq.fill(rnd.nextInt(9))(
+      alphabet(rnd.nextInt(alphabet.length))).mkString(" " * (1 + rnd.nextInt(2)))
+    val trainTexts = (1L to 40L).map(i => i -> randDoc()).toMap
+    val evalOnly = (101L to 115L).map(i => i -> randDoc()).toMap
+    val k = 0.3
+    val maxVocab = 5 // below the alphabet size → the (tf DESC, token ASC) cut is live
+    val lm = TextOps.lmTrain(trainTexts.toSeq.toDF("doc_id", "text"), maxVocab, k)
+
+    // independent driver-side model with the documented rules
+    val reserved = Set("<s>", "<unk>")
+    def toksOf(s: String) = s.split("\\s+").filter(_.nonEmpty).toSeq
+    val tf = trainTexts.values.flatMap(toksOf).filterNot(reserved)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val vocabSet = tf.toSeq.sortBy { case (t, n) => (-n, t) }.take(maxVocab).map(_._1).toSet
+    def mappedOf(s: String) = toksOf(s).map(t => if (vocabSet(t)) t else "<unk>")
+    val big = collection.mutable.Map.empty[(String, String), Long]
+    val ctx = collection.mutable.Map.empty[String, Long]
+    for (t <- trainTexts.values; bg <- ("<s>" +: mappedOf(t)).sliding(2) if bg.length == 2) {
+      big(bg(0) -> bg(1)) = big.getOrElse(bg(0) -> bg(1), 0L) + 1
+      ctx(bg(0)) = ctx.getOrElse(bg(0), 0L) + 1
+    }
+    val v = vocabSet.size + 1
+    def score(text: String): Option[(Long, Double)] = {
+      val m = mappedOf(text)
+      if (m.isEmpty) None
+      else {
+        val lps = ("<s>" +: m).sliding(2).map(bg =>
+          math.log((big.getOrElse(bg(0) -> bg(1), 0L) + k) /
+            (ctx.getOrElse(bg(0), 0L) + k * v))).toSeq
+        Some((lps.length.toLong, -lps.sum / lps.length))
+      }
+    }
+    assert(lm.vocabSize == v)
+    val all = trainTexts ++ evalOnly
+    val got = TextOps.lmScore(all.toSeq.toDF("doc_id", "text"), lm).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == all.filter(e => toksOf(e._2).nonEmpty).keySet)
+    for ((id, text) <- all) score(text) match {
+      case None => assert(!got.contains(id), s"doc $id: no row expected for an empty doc")
+      case Some((n, xent)) =>
+        val (gn, gx, gp) = got(id)
+        assert(gn == n, s"doc $id n_tokens: got $gn want $n")
+        assert((gx - xent).abs < 1e-9, s"doc $id xent: got $gx want $xent")
+        assert((gp - math.exp(xent)).abs < 1e-9, s"doc $id perplexity")
+    }
+  }
+
   test("lmSave/lmLoad: a loaded model scores identically to the in-memory one") {
     val train = Seq((1L, "the cat sat on the mat"), (2L, "a dog ran")).toDF("doc_id", "text")
     val eval = train.unionByName(Seq((3L, "the dog sat quietly")).toDF("doc_id", "text"))
