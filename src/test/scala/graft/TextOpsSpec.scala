@@ -254,6 +254,17 @@ class TextOpsSpec extends SparkSpec {
     val expected = brute(words, 12, 2L)
     val got = TextOps.bpeTrain(spark, dir, 12, 2L)
     assert(got == expected, s"merge trajectories diverged:\n got $got\n exp $expected")
+    // the same trajectory equality on a seeded RANDOM corpus: merge
+    // cascades, count ties, and saturation arise organically instead
+    // of by fixture construction
+    val rnd = new scala.util.Random(7L)
+    val pool = Vector("ab", "abc", "aab", "bc", "ca", "abcd", "dd")
+    val rwords = Seq.fill(60)(pool(rnd.nextInt(pool.length)))
+    val rdir = writeDocs(Seq(
+      (1L, rwords.take(30).mkString(" ")),
+      (2L, rwords.drop(30).mkString(" "))))
+    val rgot = TextOps.bpeTrain(spark, rdir, 8, 2L)
+    assert(rgot == brute(rwords, 8, 2L), s"random-corpus trajectories diverged: $rgot")
     // sanity of the worked example: 'e'+'s' or similar high-frequency
     // pairs surface early, and every learned pair met the floor
     assert(got.nonEmpty && got.forall(_._4 >= 2L))
