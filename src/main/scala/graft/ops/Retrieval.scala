@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over the documents relation (Robertson &
+  * Zaragoza 2009, the Okapi BM25 ranking function; idf in the
+  * always-positive Lucene form ln(1 + (N−df+0.5)/(df+0.5))) — the
+  * retrieval operator a training-data pipeline uses for
+  * retrieval-based quality probes, decontamination spot-checks, and
+  * eval-set neighbor pulls; the keyword counterpart of the embedding
+  * family's ANN top-k (q27/q31).
+  *
+  * The index IS a relation (the Spark-first inverted index): one
+  * postings table (term, doc_id, tf, dl, idf) with the document
+  * length and the term's idf DENORMALIZED in at build time — build
+  * pays the term-keyed shuffles once, and serving needs no join
+  * against corpus-sized side tables. Serving scans postings pruned
+  * by an explicit broadcast of the query-term list (query sets are
+  * small by contract — a broadcast semi-shape join that drops
+  * non-query terms at the scan), rolls up per (query_id, doc_id)
+  * with map-side partials, and takes the per-query top-k with one
+  * window over #candidate rows. No corpus-sized shuffle anywhere in
+  * the serve path; the only corpus-sized work is the build, which is
+  * the point of an index.
+  */
+object Retrieval {
+
+  /** A built BM25 index: `postings` is (term, doc_id, tf, dl, idf) —
+    * corpus-token-bounded; scalars are the corpus stats and the BM25
+    * free parameters pinned at build time. */
+  final case class Bm25Index(postings: DataFrame, nDocs: Long,
+                             avgdl: Double, k1: Double, b: Double)
+
+  /** Retrieval tokens: lowercased whitespace tokens — the engine's
+    * whitespace rule (q23/q25) plus case folding, matched by query
+    * tokenization so index and query can never disagree. */
+  private def termsOf(c: org.apache.spark.sql.Column) =
+    filter(split(lower(c), "\\s+"), t => length(t) > 0)
+
+  /** Build the index in one corpus pass: row-local tokenization and
+    * doc length, one (term, doc_id) aggregate for tf, one term
+    * aggregate for df → idf, idf joined back onto the postings
+    * (term-keyed, build-time only). The postings are CACHED via
+    * [[Caches]] (the df aggregate and every serve re-read them);
+    * `N`/`avgdl` funnel to the driver as one row (scalar corpus
+    * stats, the quantizer-collect contract). */
+  def bm25Build(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75): Bm25Index = {
+    require(k1 >= 0 && b >= 0 && b <= 1, "k1 must be >= 0 and b in [0,1]")
+    val toks = docs.select(col("doc_id"), termsOf(col("text")).as("terms"))
+      .select(col("doc_id"), size(col("terms")).as("dl"), col("terms"))
+    val tf = Caches.persist(toks
+      .select(col("doc_id"), col("dl"), explode(col("terms")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf")))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      coalesce(avg(size(termsOf(col("text")))), lit(0.0)).as("avgdl")).collect()(0)
+    val nDocs = stats.getLong(0)
+    val avgdl = stats.getDouble(1)
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .select(col("term"),
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)).as("idf"))
+    val postings = Caches.persist(tf.join(idf, Seq("term"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("idf")))
+    Bm25Index(postings, nDocs, avgdl, k1, b)
+  }
+
+  /** Persist the index as a parquet artifact (the lmSave shape): the
+    * postings distributed, the scalars as one meta row. A serving
+    * job [[bm25Load]]s and never touches the corpus. */
+  def bm25Save(ix: Bm25Index, path: String): Unit = {
+    ix.postings.write.mode(SaveMode.Overwrite).parquet(s"$path/postings.parquet")
+    val spark = ix.postings.sparkSession
+    import spark.implicits._
+    Seq((ix.nDocs, ix.avgdl, ix.k1, ix.b)).toDF("n_docs", "avgdl", "k1", "b")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta.parquet")
+  }
+
+  /** Load a [[bm25Save]] artifact. */
+  def bm25Load(spark: SparkSession, path: String): Bm25Index = {
+    val m = spark.read.parquet(s"$path/meta.parquet").collect()(0)
+    Bm25Index(spark.read.parquet(s"$path/postings.parquet"),
+      m.getAs[Long]("n_docs"), m.getAs[Double]("avgdl"),
+      m.getAs[Double]("k1"), m.getAs[Double]("b"))
+  }
+
+  /** Top-k documents per query: `queries` is (query_id: long,
+    * query: string), small by contract (an eval set, a probe list) —
+    * its DISTINCT (query_id, term) pairs broadcast onto the postings
+    * (explicit hint: the query side is bounded by contract, and the
+    * pruning join is the index lookup — without it the static
+    * planner would shuffle the postings). BM25 sums each matched
+    * term's idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) per
+    * (query_id, doc_id) — duplicate query terms count once (the
+    * standard unique-terms form); terms absent from the corpus
+    * contribute nothing by construction of the join. Ties rank by
+    * doc_id, so the cut is deterministic. Zero-term queries match
+    * nothing. */
+  def bm25TopK(ix: Bm25Index, queries: DataFrame, k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qterms = queries
+      .select(col("query_id"), explode(termsOf(col("query"))).as("term"))
+      .distinct()
+    val norm = col("tf") * (ix.k1 + 1) /
+      (col("tf") + lit(ix.k1) * (lit(1.0 - ix.b) + lit(ix.b) * col("dl") / ix.avgdl))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    ix.postings.join(broadcast(qterms), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("idf") * norm).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+}
