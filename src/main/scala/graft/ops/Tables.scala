@@ -21,15 +21,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark reads only as
-    * a raw long (requires `spark.sql.legacy.parquet.nanosAsLong=true`,
-    * set by every session builder in this project). Expose the exact
-    * nanos as `ts_ns` (ordering key) and a derived micros `ts`
-    * (integer div, no double rounding at 1e18 magnitudes). */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  /** `events.ts` has shipped in two physical encodings across driver
+    * testdata generations: parquet TIMESTAMP(NANOS) (reads as a raw
+    * long under `spark.sql.legacy.parquet.nanosAsLong=true`, set by
+    * every session builder here) and parquet TIMESTAMP(MICROS) (reads
+    * as TIMESTAMP_NTZ). Normalize both to the same logical shape:
+    * `ts` = session-local TimestampType (micros) and `ts_ns` = exact
+    * nanos-since-epoch long (the ordering key — integer arithmetic,
+    * no double rounding at 1e18 magnitudes). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ => // TIMESTAMP_NTZ (or LTZ): sessions pin UTC, so the
+        // NTZ→LTZ cast is identity on the wall-clock micros
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
