@@ -76,7 +76,12 @@ object Bench {
     // [[BenchFormat]] (spec-pinned — this line is the round's one
     // graded artifact and silently corrupting it costs the round).
     import BenchFormat.{jmap, num, sfJson}
-    val qs = jmap(results.map(r => r._1 -> r._2))
+    // Graded keys are the 3-char qNN prefixes (unique by
+    // DriverContractSpec): at 73+ queries the full-name map no longer
+    // fits the harness's ~2,000-char stdout capture window
+    // (BenchFormatSpec pins the budget). Full names ride in
+    // BENCH_DETAIL.json, which is a file and has no window.
+    val qs = jmap(results.map(r => r._1.take(3) -> r._2))
     val total = results.map(_._2).sum
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":${sfJson(sfDir)}}"""

@@ -102,6 +102,9 @@ object SparkEntry {
     "q68_semantic_dedup"    -> ((s, d) => Embeddings.semanticDedup(s, d)),
     "q69_skew_salted_join"  -> ((s, d) => Skew.skewedEventSegments(s, d)),
     "q70_semantic_scaled"   -> ((s, d) => Embeddings.semanticDedupScaled(s, d)),
+    "q71_bm25_topk"         -> Retrieval.bm25TopKDocs _,
+    "q72_lm_perplexity"     -> TextOps.lmPerplexityScores _,
+    "q73_dsir_select"       -> Dsir.dsirSelectDocs _,
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -1175,5 +1178,127 @@ object SparkEntry {
            JOIN v vy ON vy.vec_id = y.vec_id
            WHERE ${VecCosineGE("vx", "vy")}),
          $VecComponentSql""",
+    // BM25 over the documents relation: Lucene-form idf, k1=1.2,
+    // b=0.75, per-term contributions quantized DECIMAL(18,6) before
+    // the sum (exact addition — the q62 rule), probes = every 100th
+    // doc's first 8 tokens, top-10. Double literals are CAST to
+    // DOUBLE (a bare 0.5 is DECIMAL in DuckDB and would divide on a
+    // different grid than Spark's double arithmetic).
+    "q71_bm25_topk" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> length(w) > 0) AS ws
+           FROM documents),
+         dl AS (SELECT doc_id, len(ws) AS dl, ws FROM toks),
+         tf AS (
+           SELECT doc_id, dl, term, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dl) t GROUP BY 1, 2, 3),
+         stats AS (
+           SELECT (SELECT count(*) FROM documents) AS n,
+                  CAST(sum(dl) AS DOUBLE)/count(dl) AS avgdl FROM dl),
+         idf AS (
+           SELECT term, ln(1 + (CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))/(df + CAST(0.5 AS DOUBLE))) AS idf
+           FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) d, stats),
+         qterms AS (
+           SELECT DISTINCT doc_id AS query_id, term
+           FROM (SELECT doc_id, unnest(ws[1:8]) AS term FROM toks WHERE doc_id % 100 = 0) t),
+         contrib AS (
+           SELECT q.query_id, t.doc_id,
+             CAST(i.idf * (t.tf*(CAST(1.2 AS DOUBLE) + 1)/(t.tf + CAST(1.2 AS DOUBLE)*(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)*t.dl/avgdl))) AS DECIMAL(18,6)) AS c
+           FROM qterms q JOIN tf t USING (term) JOIN idf i USING (term), stats),
+         scores AS (SELECT query_id, doc_id, sum(c) AS score_q FROM contrib GROUP BY 1, 2),
+         ranked AS (
+           SELECT query_id, doc_id, score_q,
+             row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
+           FROM scores)
+         SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(score_q AS DOUBLE) AS score
+         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    // Bigram-LM perplexity: train on doc_id%10<8, score the held-out
+    // 20%; vocab = top-2000 raw tokens (freq DESC, token ASC), <s>
+    // head conditions every token, literal <s> remaps to <unk> before
+    // adjacency, add-0.1 smoothing over V = |vocab|+1. Per-bigram
+    // log-probs quantized DECIMAL(18,8) before the per-doc sum.
+    "q72_lm_perplexity" ->
+      """WITH raw AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws0
+           FROM documents),
+         toks AS (
+           SELECT doc_id, ws0,
+             list_transform(ws0, t -> CASE WHEN t = '<s>' THEN '<unk>' ELSE t END) AS ws
+           FROM raw),
+         vocab AS (
+           SELECT token FROM (SELECT unnest(ws0) AS token FROM toks WHERE doc_id % 10 < 8) t
+           WHERE token NOT IN ('<s>', '<unk>')
+           GROUP BY token ORDER BY count(*) DESC, token LIMIT 2000),
+         vsize AS (SELECT count(*) + 1 AS v FROM vocab),
+         bg0 AS (
+           SELECT doc_id,
+             CASE WHEN i = 1 THEN '<s>' ELSE ws[i-1] END AS w1, ws[i] AS w2
+           FROM toks, unnest(generate_series(1, len(ws))) AS t(i)),
+         bgm AS (
+           SELECT doc_id,
+             CASE WHEN w1 = '<s>' THEN w1
+                  WHEN w1 IN (SELECT token FROM vocab) THEN w1 ELSE '<unk>' END AS w1,
+             CASE WHEN w2 IN (SELECT token FROM vocab) THEN w2 ELSE '<unk>' END AS w2
+           FROM bg0),
+         bc AS (SELECT w1, w2, count(*) AS bcount FROM bgm WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+         cc AS (SELECT w1, CAST(sum(bcount) AS BIGINT) AS ccount FROM bc GROUP BY 1),
+         scored AS (
+           SELECT g.doc_id,
+             CAST(ln((coalesce(b.bcount, 0) + CAST(0.1 AS DOUBLE)) /
+                     (coalesce(c.ccount, 0) + CAST(0.1 AS DOUBLE)*v)) AS DECIMAL(18,8)) AS logp
+           FROM bgm g LEFT JOIN bc b USING (w1, w2) LEFT JOIN cc c USING (w1), vsize
+           WHERE g.doc_id % 10 >= 8),
+         perdoc AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, sum(logp) AS sum_logp
+           FROM scored GROUP BY 1),
+         xents AS (
+           SELECT doc_id, n_tokens,
+             -CAST(sum_logp AS DOUBLE)/n_tokens AS cross_entropy
+           FROM perdoc)
+         SELECT doc_id, n_tokens, cross_entropy,
+           CAST(CAST(exp(cross_entropy) AS DECIMAL(18,6)) AS DOUBLE) AS perplexity
+         FROM xents ORDER BY doc_id""",
+    // DSIR selection: hashed uni+bigram models (10000 buckets,
+    // add-0.1), target = doc_id%7=0 slice, raw = the whole pool;
+    // per-bucket log ratios quantized DECIMAL(18,8), Gumbel-top-100
+    // on deterministic hash noise; the gumbel key itself is dropped
+    // from the output (libm-ulp-sensitive) — membership + exact
+    // weights are gated.
+    "q73_dsir_select" ->
+      """WITH raw AS (
+           SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+           FROM documents),
+         feats AS (
+           SELECT doc_id, CAST(('0x' || substr(md5(ngram), 1, 15)) AS BIGINT) % 10000 AS bucket
+           FROM (
+             SELECT doc_id, unnest(ws) AS ngram FROM raw
+             UNION ALL
+             SELECT doc_id, ws[i] || ' ' || ws[i+1] AS ngram
+             FROM raw, unnest(generate_series(1, len(ws)-1)) AS t(i)) t),
+         tm AS (SELECT bucket, count(*) AS tcnt FROM feats WHERE doc_id % 7 = 0 GROUP BY 1),
+         rm AS (SELECT bucket, count(*) AS rcnt FROM feats GROUP BY 1),
+         tot AS (
+           SELECT (SELECT CAST(coalesce(sum(tcnt), 0) AS BIGINT) FROM tm) AS tt,
+                  (SELECT CAST(coalesce(sum(rcnt), 0) AS BIGINT) FROM rm) AS rt),
+         lr AS (
+           SELECT rm.bucket,
+             CAST(ln((coalesce(tm.tcnt, 0) + CAST(0.1 AS DOUBLE))/(tt + CAST(0.1 AS DOUBLE)*10000)) -
+                  ln((rm.rcnt + CAST(0.1 AS DOUBLE))/(rt + CAST(0.1 AS DOUBLE)*10000)) AS DECIMAL(18,8)) AS lr
+           FROM rm LEFT JOIN tm USING (bucket), tot),
+         dflt AS (
+           SELECT CAST(ln(CAST(0.1 AS DOUBLE)/(tt + CAST(0.1 AS DOUBLE)*10000)) -
+                       ln(CAST(0.1 AS DOUBLE)/(rt + CAST(0.1 AS DOUBLE)*10000)) AS DECIMAL(18,8)) AS d
+           FROM tot),
+         w AS (
+           SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(coalesce(l.lr, dflt.d)) AS DOUBLE) AS log_weight
+           FROM feats f LEFT JOIN lr l USING (bucket), dflt
+           GROUP BY f.doc_id, dflt.d),
+         keyed AS (
+           SELECT doc_id, n_feats, log_weight,
+             log_weight + -ln(-ln((CAST(('0x' || substr(md5('dsir-v1:' || doc_id), 1, 15)) AS BIGINT) + CAST(0.5 AS DOUBLE))/1152921504606846976)) AS gk
+           FROM w),
+         sel AS (SELECT doc_id, n_feats, log_weight FROM keyed ORDER BY gk DESC, doc_id LIMIT 100)
+         SELECT doc_id, n_feats, log_weight FROM sel ORDER BY doc_id""",
   )
 }

@@ -100,18 +100,30 @@ object Dsir {
     * because a scored document can hash a feature into a bucket no
     * training n-gram touched. */
   private def logRatio(target: HashNgramModel,
-                       raw: HashNgramModel): (DataFrame, Double) = {
+                       raw: HashNgramModel): (DataFrame, java.math.BigDecimal) = {
     require(target.nBuckets == raw.nBuckets,
       "target and raw models must share the feature space (nBuckets)")
     val denomT = target.total + target.k * target.nBuckets
     val denomR = raw.total + raw.k * raw.nBuckets
-    val dflt = math.log(target.k / denomT) - math.log(raw.k / denomR)
+    // Per-bucket log ratio QUANTIZED to an 8-dp decimal (the q62
+    // never-sum-raw-doubles rule): the per-doc weight is an exact
+    // decimal sum — bit-identical under any partitioning, summation
+    // order, or engine (libm ln ulp noise dies in the cast). |lr| is
+    // a log-prob difference (< ~40), so DECIMAL(18,8) holds 10^5
+    // features per doc with headroom.
+    // valueOf (shortest-string repr), NOT new BigDecimal(double):
+    // Spark's double→decimal cast rounds the shortest representation,
+    // and the driver-side constant must quantize on the same rule.
+    val dflt = java.math.BigDecimal.valueOf(
+      math.log(target.k / denomT) - math.log(raw.k / denomR))
+      .setScale(8, java.math.RoundingMode.HALF_UP)
     val t = target.buckets.select(col("bucket"), col("cnt").as("tcnt"))
     val r = raw.buckets.select(col("bucket"), col("cnt").as("rcnt"))
     val lr = t.join(r, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         (log((coalesce(col("tcnt"), lit(0L)) + target.k) / denomT) -
-         log((coalesce(col("rcnt"), lit(0L)) + raw.k) / denomR)).as("lr"))
+         log((coalesce(col("rcnt"), lit(0L)) + raw.k) / denomR))
+          .cast("decimal(18,8)").as("lr"))
     (lr, dflt)
   }
 
@@ -130,7 +142,10 @@ object Dsir {
       .join(lr, Seq("bucket"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"),
-        sum(coalesce(col("lr"), lit(dflt))).as("log_weight"))
+        sum(coalesce(col("lr"), lit(dflt).cast("decimal(18,8)")))
+          .as("log_weight_q"))
+      .select(col("doc_id"), col("n_feats"),
+        col("log_weight_q").cast("double").as("log_weight"))
   }
 
   /** Gumbel-top-k resampling WITHOUT replacement (the paper's
@@ -153,5 +168,20 @@ object Dsir {
       .withColumn("gumbel_key", col("log_weight") + -log(-log(u)))
       .orderBy(col("gumbel_key").desc, col("doc_id"))
       .limit(nKeep)
+  }
+
+  /** q73 — the oracle-gated conformance shape: target model on the
+    * hash-stable doc_id % 7 = 0 slice (the distribution to upweight),
+    * raw model on the whole pool, Gumbel-top-100 selection. The
+    * gumbel_key is dropped from the output (it carries libm-ulp
+    * noise); membership + the exact-decimal weights are the gated
+    * result, ordered by doc_id. */
+  def dsirSelectDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val target = dsirTrain(docs.filter(col("doc_id") % 7 === 0))
+    val raw = dsirTrain(docs)
+    dsirResample(docs, target, raw, nKeep = 100)
+      .select(col("doc_id"), col("n_feats"), col("log_weight"))
+      .orderBy(col("doc_id"))
   }
 }

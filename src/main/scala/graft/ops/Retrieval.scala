@@ -104,13 +104,39 @@ object Retrieval {
       .distinct()
     val norm = col("tf") * (ix.k1 + 1) /
       (col("tf") + lit(ix.k1) * (lit(1.0 - ix.b) + lit(ix.b) * col("dl") / ix.avgdl))
+    // Per-term contribution QUANTIZED to a 6-dp decimal before the
+    // sum (the q62 rule: never sum raw doubles): decimal addition is
+    // exact, so the score — and therefore the ranking and the top-k
+    // cut — is bit-identical under any partitioning, summation order,
+    // or engine (a double sum is none of these; at 1000 executors the
+    // per-query roll-up order is nondeterministic). 6 dp ≈ 5e-7
+    // absolute on O(1..100) scores: far below any rank-relevant gap.
+    val contrib = (col("idf") * norm).cast("decimal(18,6)")
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("doc_id"))
+      .orderBy(col("score_q").desc, col("doc_id"))
     ix.postings.join(broadcast(qterms), Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("idf") * norm).as("score"))
+      .agg(sum(contrib).as("score_q"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_q").cast("double").as("score"))
+  }
+
+  /** q71 — the oracle-gated conformance shape: index the `documents`
+    * relation, probe it with corpus-derived queries (every 100th
+    * doc's first 8 whitespace tokens — deterministic at every scale
+    * factor, ~N/100 probes), top-10 per probe. Probing with in-corpus
+    * prefixes makes every BM25 term — tf saturation, dl
+    * normalization, idf — load-bearing in the ranking the oracle
+    * replays. */
+  def bm25TopKDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ix = bm25Build(docs)
+    val probes = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(filter(split(col("text"), "\\s+"),
+          t => length(t) > 0), 1, 8)).as("query"))
+    bm25TopK(ix, probes, k = 10).orderBy(col("query_id"), col("rank"))
   }
 }

@@ -556,15 +556,45 @@ object TextOps {
     * score row — there is nothing to condition. */
   def lmScore(docs: DataFrame, lm: BigramLm): DataFrame = {
     val mapped = mapUnk(bigramRows(docs), lm.vocab)
+    // Per-bigram log-prob QUANTIZED to an 8-dp decimal before the
+    // per-doc sum (the q62 never-sum-raw-doubles rule): decimal
+    // addition is exact, so the score is bit-identical under any
+    // partitioning or summation order — and a 1-ulp libm difference
+    // in ln() between engines dies in the cast. |logp| < 40, so
+    // DECIMAL(18,8) holds ~10^5-bigram documents with headroom; the
+    // 5e-9 grid is ~6 orders below any filter-relevant xent gap.
+    // cross_entropy/perplexity derive from the exact sum by single
+    // IEEE ops (÷, exp) + one final 6-dp quantization.
     mapped
       .join(lm.bigrams, Seq("w1", "w2"), "left")
       .join(lm.contexts, Seq("w1"), "left")
       .select(col("doc_id"),
         log((coalesce(col("bcount"), lit(0L)) + lm.k) /
-            (coalesce(col("ccount"), lit(0L)) + lm.k * lm.vocabSize)).as("logp"))
+            (coalesce(col("ccount"), lit(0L)) + lm.k * lm.vocabSize))
+          .cast("decimal(18,8)").as("logp"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-           (-avg(col("logp"))).as("cross_entropy"),
-           exp(-avg(col("logp"))).as("perplexity"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("sum_logp"))
+      // cross_entropy is NOT re-quantized: -(exact sum)/n is a single
+      // IEEE division of identical inputs — already bit-deterministic
+      // everywhere. (Quantizing it WOULD flake: an 8-dp sum over a
+      // small n lands exactly on 8-dp half-boundaries, where Spark's
+      // shortest-string double→decimal rounding and other engines'
+      // scaled-multiply rounding disagree.) perplexity goes through
+      // libm exp, so it alone gets the 6-dp absorb-the-ulp cast.
+      .select(col("doc_id"), col("n_tokens"),
+        (-(col("sum_logp").cast("double")) / col("n_tokens")).as("cross_entropy"))
+      .withColumn("perplexity",
+        exp(col("cross_entropy")).cast("decimal(18,6)").cast("double"))
+  }
+
+  /** q72 — the oracle-gated conformance shape of the CCNet-style
+    * quality filter: train the bigram LM on the hash-stable 80%
+    * "train" docs (doc_id % 10 < 8 — the q36 split rule family),
+    * score the held-out 20%. maxVocab pinned small (2000) so the
+    * `<unk>` path is exercised at every scale factor. */
+  def lmPerplexityScores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lm = lmTrain(docs.filter(col("doc_id") % 10 < 8), maxVocab = 2000)
+    lmScore(docs.filter(col("doc_id") % 10 >= 8), lm).orderBy(col("doc_id"))
   }
 }

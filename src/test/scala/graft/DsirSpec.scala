@@ -39,8 +39,13 @@ class DsirSpec extends SparkSpec {
     val fs = feats(text, nBuckets)
     val denomT = t._2 + k * nBuckets
     val denomR = r._2 + k * nBuckets
-    val lw = fs.map(b => math.log((t._1.getOrElse(b, 0L) + k) / denomT) -
-      math.log((r._1.getOrElse(b, 0L) + k) / denomR)).sum
+    // mirror the engine's DECIMAL(18,8) per-bucket quantization + the
+    // exact decimal sum (HALF_UP = Spark's cast rounding)
+    def q8(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(8, java.math.RoundingMode.HALF_UP)
+    val lw = fs.map(b => q8(math.log((t._1.getOrElse(b, 0L) + k) / denomT) -
+        math.log((r._1.getOrElse(b, 0L) + k) / denomR)))
+      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
     (fs.size.toLong, lw)
   }
 

@@ -29,10 +29,15 @@ class RetrievalSpec extends SparkSpec {
       matched = terms(q).distinct.filter(t => dterms.contains(t))
       if matched.nonEmpty
     } yield {
+      // mirror the engine's DECIMAL(18,6) per-term quantization + the
+      // exact decimal sum (HALF_UP = Spark's cast rounding), with the
+      // engine's exact FP evaluation order idf * (tf-norm)
       val score = matched.map { t =>
         val tf = dterms.count(_ == t).toDouble
-        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls(did) / avgdl))
-      }.sum
+        java.math.BigDecimal.valueOf(
+          idf(t) * (tf * (k1 + 1) / (tf + k1 * (1 - b + b * dls(did) / avgdl))))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+      }.foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
       (qid, did) -> score
     }).toMap
   }

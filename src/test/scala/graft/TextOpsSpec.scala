@@ -9,6 +9,15 @@ import org.apache.spark.sql.functions._
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  /** The engine's lmScore quantization, mirrored: DECIMAL(18,8) on
+    * per-bigram log-probs / cross-entropy, DECIMAL(18,6) on
+    * perplexity (HALF_UP = Spark's decimal-cast rounding). */
+  private def q8(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(8, java.math.RoundingMode.HALF_UP)
+  private def q6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue
+
   private def writeDocs(rows: Seq[(Long, String)], lang: String = "en"): String = {
     val dir = java.nio.file.Files.createTempDirectory("textops").toString
     rows.toDF("doc_id", "text")
@@ -319,10 +328,11 @@ class TextOpsSpec extends SparkSpec {
     val v = vocabSet.size + 1
     def score(text: String): (Long, Double) = {
       val lps = ("<s>" +: mappedOf(text)).sliding(2).map { bg =>
-        math.log((big.getOrElse(bg(0) -> bg(1), 0L) + k) /
-          (ctx.getOrElse(bg(0), 0L) + k * v))
+        q8(math.log((big.getOrElse(bg(0) -> bg(1), 0L) + k) /
+          (ctx.getOrElse(bg(0), 0L) + k * v)))
       }.toSeq
-      (lps.length.toLong, -lps.sum / lps.length)
+      val sum = lps.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      (lps.length.toLong, -sum.doubleValue / lps.length)
     }
     assert(lm.vocabSize == v)
 
@@ -339,8 +349,8 @@ class TextOpsSpec extends SparkSpec {
       val (n, xent) = score(text)
       val (gn, gx, gp) = got(id)
       assert(gn == n, s"doc $id n_tokens")
-      assert((gx - xent).abs < 1e-9, s"doc $id xent: got $gx want $xent")
-      assert((gp - math.exp(xent)).abs < 1e-9, s"doc $id perplexity")
+      assert(gx == xent, s"doc $id xent: got $gx want $xent")
+      assert((gp - q6(math.exp(xent))).abs < 1e-12, s"doc $id perplexity")
     }
     // a wholly unseen context scores exactly uniform 1/V per token:
     // "mat" is sentence-FINAL everywhere in training, so as a context
@@ -349,7 +359,7 @@ class TextOpsSpec extends SparkSpec {
     // to exactly 1/V
     val unseenCtxLogp = math.log(1.0 / v)
     val bruteZzz = score("zzz qqq")._2
-    assert(got(5L)._2 > 0 && (got(5L)._2 - bruteZzz).abs < 1e-9)
+    assert(got(5L)._2 > 0 && got(5L)._2 == bruteZzz)
     assert(ctx.get("mat").isEmpty)
     assert((math.log((big.getOrElse("mat" -> "the", 0L) + k) /
       (ctx.getOrElse("mat", 0L) + k * v)) - unseenCtxLogp).abs < 1e-12)
@@ -395,9 +405,10 @@ class TextOpsSpec extends SparkSpec {
       if (m.isEmpty) None
       else {
         val lps = ("<s>" +: m).sliding(2).map(bg =>
-          math.log((big.getOrElse(bg(0) -> bg(1), 0L) + k) /
-            (ctx.getOrElse(bg(0), 0L) + k * v))).toSeq
-        Some((lps.length.toLong, -lps.sum / lps.length))
+          q8(math.log((big.getOrElse(bg(0) -> bg(1), 0L) + k) /
+            (ctx.getOrElse(bg(0), 0L) + k * v)))).toSeq
+        val sum = lps.foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+        Some((lps.length.toLong, -sum.doubleValue / lps.length))
       }
     }
     assert(lm.vocabSize == v)
@@ -410,8 +421,8 @@ class TextOpsSpec extends SparkSpec {
       case Some((n, xent)) =>
         val (gn, gx, gp) = got(id)
         assert(gn == n, s"doc $id n_tokens: got $gn want $n")
-        assert((gx - xent).abs < 1e-9, s"doc $id xent: got $gx want $xent")
-        assert((gp - math.exp(xent)).abs < 1e-9, s"doc $id perplexity")
+        assert(gx == xent, s"doc $id xent: got $gx want $xent")
+        assert((gp - q6(math.exp(xent))).abs < 1e-12, s"doc $id perplexity")
     }
   }
 
