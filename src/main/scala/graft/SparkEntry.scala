@@ -105,6 +105,7 @@ object SparkEntry {
     "q71_bm25_topk"         -> Retrieval.bm25TopKDocs _,
     "q72_lm_perplexity"     -> TextOps.lmPerplexityScores _,
     "q73_dsir_select"       -> Dsir.dsirSelectDocs _,
+    "q74_temperature_mix"   -> Sampling.temperatureMix _,
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -1300,5 +1301,31 @@ object SparkEntry {
            FROM w),
          sel AS (SELECT doc_id, n_feats, log_weight FROM keyed ORDER BY gk DESC, doc_id LIMIT 100)
          SELECT doc_id, n_feats, log_weight FROM sel ORDER BY doc_id""",
+    // Temperature-flattened mixing: weight n_s^0.5 quantized to a
+    // DECIMAL(18,6) grid (pow ulps die in the cast), then all-integer
+    // budget/target/threshold arithmetic and the q40 hash-acceptance
+    // rule — the selected SET replays bit-for-bit.
+    "q74_temperature_mix" ->
+      """WITH strata AS (SELECT source, count(*) AS n_stratum FROM documents GROUP BY 1),
+         w AS (
+           SELECT source, n_stratum,
+             CAST(CAST(pow(n_stratum, CAST(0.5 AS DOUBLE)) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS wq
+           FROM strata),
+         tot AS (
+           SELECT CAST(sum(wq) AS BIGINT) AS sum_wq,
+                  CAST(sum(n_stratum) AS BIGINT) AS n_total FROM w),
+         rates AS (
+           SELECT source, n_stratum,
+             LEAST(n_stratum, (((n_total * 500) // 1000) * wq) // sum_wq) AS target_n
+           FROM w, tot),
+         acc AS (
+           SELECT source, n_stratum, target_n,
+             CASE WHEN target_n >= n_stratum THEN 1152921504606846976
+                  ELSE (1152921504606846976 // n_stratum) * target_n END AS accept_threshold
+           FROM rates)
+         SELECT d.doc_id, d.source, a.n_stratum, a.target_n
+         FROM documents d JOIN acc a USING (source)
+         WHERE CAST(('0x' || substr(md5('temp-v1/' || d.source || ':' || d.doc_id), 1, 15)) AS BIGINT) < a.accept_threshold
+         ORDER BY d.doc_id""",
   )
 }

@@ -200,6 +200,70 @@ object Sampling {
       expr("CAST(substr(source, 4) AS BIGINT) % 4 + 1"), salt)
       .orderBy(col("doc_id"))
 
+  /** q74 — temperature-flattened source mixing: sample source `s`
+    * ∝ `n_s^alpha` (the multilingual-LM upsampling rule — XLM /
+    * mBERT exponential smoothing: α < 1 flattens the source
+    * distribution, boosting low-resource sources' share without the
+    * hard targets of [[sourceMixDocs]]; α = 1 is proportional
+    * sampling). Where q48 hits EXACT configured proportions, this is
+    * the rule a pipeline uses when the mix should ADAPT to whatever
+    * the crawl produced.
+    *
+    * Oracle-exact arithmetic: the one real-valued step, `n_s^alpha`,
+    * is quantized to a DECIMAL(18,6) weight grid (libm pow ulps die
+    * in the cast — the q71-q73 rule) and scaled to an integer `wq`;
+    * everything after is exact-integer — `budget = n_total·
+    * budgetPermille div 1000`, `target_n = min(n_s, budget·wq div
+    * Σwq)`, and q40's hash-threshold acceptance — so the selected
+    * SET is a pure function of (corpus, α, budget, salt) on any
+    * engine or partitioning. `budget·wq` must fit a long: fine
+    * through ~10^9-doc corpora at the 10^6 grid; rescale the grid
+    * for corpora beyond that.
+    *
+    * Plan shape at 100 TB (the q48 posture): one #source-sized
+    * aggregate with map-side partials, a 1-row total under it, the
+    * rate table broadcast back onto the scan, acceptance filter
+    * rides the scan — the corpus is read once and dropped rows never
+    * materialize. */
+  def temperatureMixDocs(docs: DataFrame, alpha: Double = 0.5,
+                         budgetPermille: Int = 500,
+                         salt: String = "temp-v1"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(budgetPermille >= 0 && budgetPermille <= 1000,
+      "budgetPermille must be in [0, 1000]")
+    val hashRange = 1L << 60 // one past portableHash64's maximum
+    val strata = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_stratum"))
+      .withColumn("wq",
+        (pow(col("n_stratum"), lit(alpha)).cast("decimal(18,6)") *
+          lit(1000000L)).cast("long"))
+    // 1-row totals joined by a broadcast nested loop of one row (the
+    // q48 global-min shape — not a data-path cross join)
+    val tot = strata.agg(sum(col("wq")).as("sum_wq"),
+      sum(col("n_stratum")).as("n_total"))
+    val rates = strata.crossJoin(broadcast(tot))
+      .withColumn("target_n",
+        least(col("n_stratum"),
+          expr(s"(((n_total * $budgetPermille) div 1000) * wq) div sum_wq")))
+      .withColumn("accept_threshold",
+        when(col("target_n") >= col("n_stratum"), lit(hashRange))
+          .otherwise(expr(s"($hashRange div n_stratum) * target_n")))
+      .select(col("source"), col("n_stratum"), col("target_n"),
+        col("accept_threshold"))
+    // null-propagating concat (see saltedHash): a null source nulls
+    // the hash and the row drops out, matching the oracle's `||`
+    val h = saltedHash(col("doc_id"), concat(lit(salt + "/"), col("source")))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter(h < col("accept_threshold"))
+      .select(col("doc_id"), col("source"), col("n_stratum"), col("target_n"))
+  }
+
+  /** [[temperatureMixDocs]] over the `documents` table — the q74
+    * conformance shape (α = 0.5, half-corpus budget). */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixDocs(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"))
+
   /** q39 — sequence packing: lay documents end to end and cut
     * fixed-size context windows of `contextLen` tokens — the batch
     * assembly step between a curated corpus and a training run. Each

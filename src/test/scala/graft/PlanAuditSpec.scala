@@ -13,11 +13,14 @@ class PlanAuditSpec extends SparkSpec {
   // the INTENTIONAL BroadcastNestedLoopJoins: q16's owners glob
   // theta join (build side = a config-file-sized pattern table),
   // q45's brute-force cosine baseline (definitionally all-pairs on
-  // the query side; build side = the query set), and q48's global-T
-  // attach (build side = ONE row, the min over per-source supply).
-  // Everything else must keep an equi-key.
+  // the query side; build side = the query set), q48's global-T
+  // attach (build side = ONE row, the min over per-source supply),
+  // and q74's totals attach (build side = ONE row, Σwq + n_total —
+  // the same global-scalar shape as q48). Everything else must keep
+  // an equi-key.
   private val BnljAllowed =
-    Set("q16_owners_glob_join", "q45_brute_topk", "q48_source_mix")
+    Set("q16_owners_glob_join", "q45_brute_topk", "q48_source_mix",
+      "q74_temperature_mix")
 
   test("no CartesianProduct in any query plan; BNLJ only where all-pairs IS the operator") {
     assume(new java.io.File(dir).isDirectory, "testdata not present")

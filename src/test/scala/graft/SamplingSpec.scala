@@ -161,6 +161,65 @@ class SamplingSpec extends SparkSpec {
     mixedRows.foreach(r => assert(r.getLong(2) == oddTotals(r.getString(1))))
   }
 
+  test("temperatureMix: flattening boosts low-resource share, exact arithmetic, α=1 ≡ proportional") {
+    assume(available, "testdata not present")
+    val docs = Tables.documents(spark, dir)
+    val totals = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver-side brute replay of the documented arithmetic, with the
+    // engine's DECIMAL(18,6) weight quantization (valueOf = Spark's
+    // shortest-string cast rounding)
+    def brute(alpha: Double, permille: Int): Map[String, Long] = {
+      val wq = totals.view.mapValues(n =>
+        java.math.BigDecimal.valueOf(math.pow(n.toDouble, alpha))
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .movePointRight(6).longValueExact()).toMap
+      val sumWq = wq.values.sum
+      val budget = totals.values.sum * permille / 1000
+      totals.map { case (s, n) => s -> math.min(n, budget * wq(s) / sumWq) }
+    }
+    val got = Sampling.temperatureMixDocs(docs).collect()
+    val targets = got.map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(targets == brute(0.5, 500), s"targets $targets != ${brute(0.5, 500)}")
+    // per-row: n_stratum exact; kept count never exceeds the target's
+    // stratum population
+    got.foreach(r => assert(r.getLong(2) == totals(r.getString(1))))
+    val keptBy = got.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    keptBy.foreach { case (s, n) => assert(n <= totals(s)) }
+    // α=1 is proportional sampling exactly (on the real table)
+    val prop = brute(1.0, 500)
+    // the flattening property needs a SKEWED corpus (the driver
+    // fixture's sources are uniform, where temperature is a no-op by
+    // design): 200/40/10 docs — at α=0.5 the smallest source's share
+    // of the kept mix strictly exceeds its proportional share, and
+    // the largest's strictly shrinks
+    import spark.implicits._
+    val skewed = ((1 to 200).map(i => (i.toLong, "big")) ++
+      (201 to 240).map(i => (i.toLong, "mid")) ++
+      (241 to 250).map(i => (i.toLong, "rare")))
+      .toDF("doc_id", "source")
+    def mixShare(alpha: Double): Map[String, Double] = {
+      val t = Sampling.temperatureMixDocs(skewed, alpha = alpha)
+        .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+      t.view.mapValues(_.toDouble / t.values.sum).toMap
+    }
+    val (flatSh, propSh) = (mixShare(0.5), mixShare(1.0))
+    assert(flatSh("rare") > propSh("rare"),
+      s"α=0.5 must boost the rare source's share: $flatSh vs $propSh")
+    assert(flatSh("big") < propSh("big"),
+      s"α=0.5 must shrink the big source's share: $flatSh vs $propSh")
+    // α=1 is proportional sampling exactly
+    val atOne = Sampling.temperatureMixDocs(docs, alpha = 1.0).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(atOne == prop)
+    // deterministic replay
+    val again = Sampling.temperatureMixDocs(docs).collect()
+    assert(got.map(_.getLong(0)).sorted.toSeq == again.map(_.getLong(0)).sorted.toSeq)
+    // guards
+    intercept[IllegalArgumentException](Sampling.temperatureMixDocs(docs, alpha = 0.0))
+    intercept[IllegalArgumentException](Sampling.temperatureMixDocs(docs, budgetPermille = 1001))
+  }
+
   test("pipeline composition: curate → split → pack runs over the surviving subset") {
     assume(available, "testdata not present")
     val docs = Tables.documents(spark, dir)
