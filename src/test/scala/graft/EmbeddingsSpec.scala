@@ -260,6 +260,45 @@ class EmbeddingsSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
   }
 
+  test("assignCells: two-level routing — degenerate forms exact, deterministic, high agreement") {
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val cents = Embeddings.trainQuantizer(spark, dir)
+    def asMap(nSuper: Int) = Embeddings.assignCells(spark, dir, cents, nSuper)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = asMap(1)
+    // nSuper = 1 and nSuper ≥ nCells are the EXACT assignment
+    // bit-for-bit (the degenerate-identity contract)
+    assert(asMap(cents.size) == exact)
+    assert(asMap(100) == exact)
+    // real two-level routing: total coverage, only known cells,
+    // deterministic replay
+    val routed = asMap(3)
+    assert(routed.keySet == exact.keySet)
+    val cellIds = cents.map(_.j).toSet
+    routed.values.foreach(c => assert(cellIds.contains(c)))
+    assert(asMap(3) == routed)
+    // routing agreement with exact assignment: coarse probes misroute
+    // only near super-group boundaries — on this fixture the
+    // agreement is high; the floor here is deliberately loose (the
+    // property that matters for blocking is "mostly the same cells",
+    // not bit-equality — that is what the degenerate contract pins)
+    val agree = routed.count { case (k, v) => exact(k) == v }.toDouble / exact.size
+    assert(agree >= 0.6, f"two-level routing agreement $agree%.3f < 0.6")
+    // guards
+    intercept[IllegalArgumentException](Embeddings.assignCells(spark, dir, cents, 0))
+    intercept[IllegalArgumentException](Embeddings.assignCells(spark, dir, Seq.empty, 1))
+    graft.ops.Caches.releaseAll(spark)
+    // the pipeline knob: semanticDedup at a degenerate nSuper equals
+    // the exact default bit-for-bit (the end-to-end identity)
+    val dflt = Embeddings.semanticDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.Caches.releaseAll(spark)
+    val degen = Embeddings.semanticDedup(spark, dir, nSuper = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(degen == dflt)
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("buckets are non-degenerate and candidates never include self") {
     val out = Embeddings.annTopK(spark, dir).collect()
     assert(out.nonEmpty)
