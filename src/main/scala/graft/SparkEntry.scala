@@ -1201,7 +1201,8 @@ object SparkEntry {
            FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) d, stats),
          qterms AS (
            SELECT DISTINCT doc_id AS query_id, term
-           FROM (SELECT doc_id, unnest(ws[1:8]) AS term FROM toks WHERE doc_id % 100 = 0) t),
+           FROM (SELECT doc_id, unnest(ws[1:8]) AS term FROM toks
+                 WHERE doc_id % 100 = 0 AND doc_id < 102400) t),
          contrib AS (
            SELECT q.query_id, t.doc_id,
              CAST(i.idf * (t.tf*(CAST(1.2 AS DOUBLE) + 1)/(t.tf + CAST(1.2 AS DOUBLE)*(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)*t.dl/avgdl))) AS DECIMAL(18,6)) AS c
@@ -1257,7 +1258,7 @@ object SparkEntry {
              -CAST(sum_logp AS DOUBLE)/n_tokens AS cross_entropy
            FROM perdoc)
          SELECT doc_id, n_tokens, cross_entropy,
-           CAST(CAST(exp(cross_entropy) AS DECIMAL(18,6)) AS DOUBLE) AS perplexity
+           CAST(CAST(exp(cross_entropy) AS DECIMAL(38,6)) AS DOUBLE) AS perplexity
          FROM xents ORDER BY doc_id""",
     // DSIR selection: hashed uni+bigram models (10000 buckets,
     // add-0.1), target = doc_id%7=0 slice, raw = the whole pool;
@@ -1292,12 +1293,12 @@ object SparkEntry {
            FROM tot),
          w AS (
            SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-             CAST(sum(coalesce(l.lr, dflt.d)) AS DOUBLE) AS log_weight
+             sum(coalesce(l.lr, dflt.d)) AS lwq
            FROM feats f LEFT JOIN lr l USING (bucket), dflt
            GROUP BY f.doc_id, dflt.d),
          keyed AS (
-           SELECT doc_id, n_feats, log_weight,
-             log_weight + -ln(-ln((CAST(('0x' || substr(md5('dsir-v1:' || doc_id), 1, 15)) AS BIGINT) + CAST(0.5 AS DOUBLE))/1152921504606846976)) AS gk
+           SELECT doc_id, n_feats, CAST(lwq AS DOUBLE) AS log_weight,
+             lwq + CAST(-ln(-ln((CAST(('0x' || substr(md5('dsir-v1:' || doc_id), 1, 15)) AS BIGINT) + CAST(0.5 AS DOUBLE))/1152921504606846976)) AS DECIMAL(18,8)) AS gk
            FROM w),
          sel AS (SELECT doc_id, n_feats, log_weight FROM keyed ORDER BY gk DESC, doc_id LIMIT 100)
          SELECT doc_id, n_feats, log_weight FROM sel ORDER BY doc_id""",

@@ -136,7 +136,16 @@ object Dsir {
     * they have no features to weigh (curation's length gate owns
     * them, not selection). */
   def dsirLogWeights(docs: DataFrame, target: HashNgramModel,
-                     raw: HashNgramModel): DataFrame = {
+                     raw: HashNgramModel): DataFrame =
+    logWeightsQ(docs, target, raw)
+      .select(col("doc_id"), col("n_feats"),
+        col("log_weight_q").cast("double").as("log_weight"))
+
+  /** [[dsirLogWeights]] with the weight still in its EXACT decimal
+    * form — [[dsirResample]] ranks on it so the selection cut never
+    * rides double noise. */
+  private def logWeightsQ(docs: DataFrame, target: HashNgramModel,
+                          raw: HashNgramModel): DataFrame = {
     val (lr, dflt) = logRatio(target, raw)
     featureRows(docs, target.nBuckets)
       .join(lr, Seq("bucket"), "left")
@@ -144,8 +153,6 @@ object Dsir {
       .agg(count(lit(1)).as("n_feats"),
         sum(coalesce(col("lr"), lit(dflt).cast("decimal(18,8)")))
           .as("log_weight_q"))
-      .select(col("doc_id"), col("n_feats"),
-        col("log_weight_q").cast("double").as("log_weight"))
   }
 
   /** Gumbel-top-k resampling WITHOUT replacement (the paper's
@@ -155,7 +162,12 @@ object Dsir {
     * DETERMINISTIC — u = (hash60(salt:doc_id) + 0.5) / 2^60 ∈ (0,1),
     * g = −log(−log u) — so the selection is a pure function of
     * (pool, salt, nKeep) and replays identically anywhere; ties
-    * break on doc_id. Plan: the weight roll-up, one TakeOrdered
+    * break on doc_id. The ranking key is EXACT: the decimal weight
+    * sum plus the Gumbel noise QUANTIZED to the same DECIMAL(18,8)
+    * grid — membership at the nKeep cut is bit-deterministic across
+    * engines (a raw-double key would let a libm ln ulp flip the
+    * rank-k/rank-k+1 order; the q71-q74 rule applies to the KEY, not
+    * just the output). Plan: the weight roll-up, one TakeOrdered
     * top-k — no global sort, nothing driver-side but the k rows. */
   def dsirResample(docs: DataFrame, target: HashNgramModel,
                    raw: HashNgramModel, nKeep: Int,
@@ -164,18 +176,24 @@ object Dsir {
     val h = LlmOps.portableHash64(
       concat(lit(salt), lit(":"), col("doc_id").cast("string")))
     val u = (h.cast("double") + 0.5) / math.pow(2.0, 60)
-    dsirLogWeights(docs, target, raw)
-      .withColumn("gumbel_key", col("log_weight") + -log(-log(u)))
-      .orderBy(col("gumbel_key").desc, col("doc_id"))
+    val g = (-log(-log(u))).cast("decimal(18,8)")
+    logWeightsQ(docs, target, raw)
+      .withColumn("gumbel_key_q", col("log_weight_q") + g)
+      .orderBy(col("gumbel_key_q").desc, col("doc_id"))
       .limit(nKeep)
+      .select(col("doc_id"), col("n_feats"),
+        col("log_weight_q").cast("double").as("log_weight"),
+        col("gumbel_key_q").cast("double").as("gumbel_key"))
   }
 
   /** q73 — the oracle-gated conformance shape: target model on the
     * hash-stable doc_id % 7 = 0 slice (the distribution to upweight),
-    * raw model on the whole pool, Gumbel-top-100 selection. The
-    * gumbel_key is dropped from the output (it carries libm-ulp
-    * noise); membership + the exact-decimal weights are the gated
-    * result, ordered by doc_id. */
+    * raw model on the whole pool, Gumbel-top-100 selection on the
+    * exact decimal key. The gumbel_key is still dropped from the
+    * gated output (its DOUBLE rendering carries libm-ulp noise even
+    * though the ranking itself is exact); membership + the
+    * exact-decimal weights are the gated result, ordered by
+    * doc_id. */
   def dsirSelectDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val target = dsirTrain(docs.filter(col("doc_id") % 7 === 0))

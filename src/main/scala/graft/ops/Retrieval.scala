@@ -125,18 +125,23 @@ object Retrieval {
 
   /** q71 — the oracle-gated conformance shape: index the `documents`
     * relation, probe it with corpus-derived queries (every 100th
-    * doc's first 8 whitespace tokens — deterministic at every scale
-    * factor, ~N/100 probes), top-10 per probe. Probing with in-corpus
-    * prefixes makes every BM25 term — tf saturation, dl
-    * normalization, idf — load-bearing in the ranking the oracle
-    * replays. */
+    * doc's first 8 whitespace tokens, CAPPED at doc_id < 102,400 —
+    * so ≤1,024 probes at ANY scale factor; without the cap the probe
+    * set would grow ∝ corpus and the broadcast hint inside
+    * [[bm25TopK]] — correct for its bounded-query-set contract —
+    * would eventually broadcast a corpus-sized build side), top-10
+    * per probe. Probing with in-corpus prefixes makes every BM25
+    * term — tf saturation, dl normalization, idf — load-bearing in
+    * the ranking the oracle replays. The probe text reuses
+    * [[termsOf]], the ONE tokenization rule (already lowercased —
+    * [[bm25TopK]]'s own termsOf pass is idempotent on it). */
   def bm25TopKDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val ix = bm25Build(docs)
-    val probes = docs.filter(col("doc_id") % 100 === 0)
+    val probes = docs
+      .filter(col("doc_id") % 100 === 0 && col("doc_id") < 102400L)
       .select(col("doc_id").as("query_id"),
-        concat_ws(" ", slice(filter(split(col("text"), "\\s+"),
-          t => length(t) > 0), 1, 8)).as("query"))
+        concat_ws(" ", slice(termsOf(col("text")), 1, 8)).as("query"))
     bm25TopK(ix, probes, k = 10).orderBy(col("query_id"), col("rank"))
   }
 }

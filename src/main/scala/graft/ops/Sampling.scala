@@ -216,9 +216,13 @@ object Sampling {
     * budgetPermille div 1000`, `target_n = min(n_s, budget·wq div
     * Σwq)`, and q40's hash-threshold acceptance — so the selected
     * SET is a pure function of (corpus, α, budget, salt) on any
-    * engine or partitioning. `budget·wq` must fit a long: fine
-    * through ~10^9-doc corpora at the 10^6 grid; rescale the grid
-    * for corpora beyond that.
+    * engine or partitioning. The `budget·wq` product runs in
+    * DECIMAL(38,0) — a long would wrap at α→1 past ~10^6-doc
+    * sources (DuckDB's HUGEINT never wraps, so the engines would
+    * also diverge) — exact through ~10^12-doc corpora at the 10^6
+    * grid; past THAT, Spark's non-ANSI decimal overflow nulls the
+    * product and `least` would silently full-accept, so rescale
+    * the grid first.
     *
     * Plan shape at 100 TB (the q48 posture): one #source-sized
     * aggregate with map-side partials, a 1-row total under it, the
@@ -244,7 +248,8 @@ object Sampling {
     val rates = strata.crossJoin(broadcast(tot))
       .withColumn("target_n",
         least(col("n_stratum"),
-          expr(s"(((n_total * $budgetPermille) div 1000) * wq) div sum_wq")))
+          expr(s"(CAST((n_total * $budgetPermille) div 1000 AS DECIMAL(38,0))" +
+            s" * CAST(wq AS DECIMAL(38,0))) div CAST(sum_wq AS DECIMAL(38,0))")))
       .withColumn("accept_threshold",
         when(col("target_n") >= col("n_stratum"), lit(hashRange))
           .otherwise(expr(s"($hashRange div n_stratum) * target_n")))

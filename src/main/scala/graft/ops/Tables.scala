@@ -35,10 +35,24 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      case _ => // TIMESTAMP_NTZ (or LTZ): sessions pin UTC, so the
-        // NTZ→LTZ cast is identity on the wall-clock micros
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+      case _ =>
+        // TIMESTAMP_NTZ (or LTZ): the NTZ→LTZ cast interprets the
+        // wall clock in the SESSION time zone, so a non-UTC session
+        // would silently shift every ts_ns by the zone offset and
+        // diverge from the oracle (which reads the raw micros). All
+        // project sessions pin UTC; for library callers, fail LOUDLY
+        // instead of shifting. Column order matches the nanos branch
+        // (ts_ns mid-schema, ts last) so consumers never see an
+        // encoding-dependent layout.
+        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events' TIMESTAMP_NTZ encoding requires " +
+            "spark.sql.session.timeZone=UTC (a non-UTC session would " +
+            "shift ts_ns by the zone offset)")
+        val ts = col("ts").cast(org.apache.spark.sql.types.TimestampType)
+        raw.select(col("event_id"),
+          (unix_micros(ts) * lit(1000L)).as("ts_ns"),
+          col("user_id"), col("event_type"), col("value"), col("props"),
+          ts.as("ts"))
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

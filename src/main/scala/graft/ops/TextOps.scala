@@ -583,8 +583,14 @@ object TextOps {
       // libm exp, so it alone gets the 6-dp absorb-the-ulp cast.
       .select(col("doc_id"), col("n_tokens"),
         (-(col("sum_logp").cast("double")) / col("n_tokens")).as("cross_entropy"))
+      // DECIMAL(38,6), not (18,6): xent can legitimately reach ~35
+      // (an all-unseen-bigram doc against a 100 TB-trained model has
+      // logp ≈ −ln(ccount/k)), and exp(35) ≈ 1.6e15 overflows the
+      // 1e12 ceiling of precision 18 — Spark's non-ANSI cast would
+      // NULL it silently while DuckDB errors. Precision 38 holds to
+      // e^73, far past any reachable cross-entropy.
       .withColumn("perplexity",
-        exp(col("cross_entropy")).cast("decimal(18,6)").cast("double"))
+        exp(col("cross_entropy")).cast("decimal(38,6)").cast("double"))
   }
 
   /** q72 — the oracle-gated conformance shape of the CCNet-style

@@ -33,20 +33,29 @@ class DsirSpec extends SparkSpec {
     (counts, counts.values.sum)
   }
 
-  private def bruteLogW(text: String, nBuckets: Int, k: Double,
-                        t: (Map[Long, Long], Long),
-                        r: (Map[Long, Long], Long)): (Long, Double) = {
+  /** The engine's DECIMAL(18,8) quantization rule (valueOf = Spark's
+    * shortest-string cast rounding). */
+  private def q8(x: Double) = java.math.BigDecimal.valueOf(x)
+    .setScale(8, java.math.RoundingMode.HALF_UP)
+
+  /** Exact-decimal log weight (the engine's internal ranking form). */
+  private def bruteLogWQ(text: String, nBuckets: Int, k: Double,
+                         t: (Map[Long, Long], Long),
+                         r: (Map[Long, Long], Long)): (Long, java.math.BigDecimal) = {
     val fs = feats(text, nBuckets)
     val denomT = t._2 + k * nBuckets
     val denomR = r._2 + k * nBuckets
-    // mirror the engine's DECIMAL(18,8) per-bucket quantization + the
-    // exact decimal sum (HALF_UP = Spark's cast rounding)
-    def q8(x: Double) = java.math.BigDecimal.valueOf(x)
-      .setScale(8, java.math.RoundingMode.HALF_UP)
     val lw = fs.map(b => q8(math.log((t._1.getOrElse(b, 0L) + k) / denomT) -
         math.log((r._1.getOrElse(b, 0L) + k) / denomR)))
-      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
+      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
     (fs.size.toLong, lw)
+  }
+
+  private def bruteLogW(text: String, nBuckets: Int, k: Double,
+                        t: (Map[Long, Long], Long),
+                        r: (Map[Long, Long], Long)): (Long, Double) = {
+    val (n, lw) = bruteLogWQ(text, nBuckets, k, t, r)
+    (n, lw.doubleValue)
   }
 
   private def collectW(df: DataFrame): Map[Long, (Long, Double)] =
@@ -122,10 +131,13 @@ class DsirSpec extends SparkSpec {
     val br = bruteModel(rawTexts.values, nBuckets)
     val pool = rawTexts.toSeq.toDF("doc_id", "text")
 
+    // the engine's EXACT ranking key: decimal weight + the q8-quantized
+    // Gumbel noise, rendered to double only for display
     def bruteTopK(salt: String, nKeep: Int): Seq[(Long, Double)] =
       rawTexts.toSeq.map { case (id, text) =>
         val u = (h60(s"$salt:$id") + 0.5) / math.pow(2.0, 60)
-        id -> (bruteLogW(text, nBuckets, k, bt, br)._2 + -math.log(-math.log(u)))
+        id -> bruteLogWQ(text, nBuckets, k, bt, br)._2
+          .add(q8(-math.log(-math.log(u)))).doubleValue
       }.sortBy { case (id, key) => (-key, id) }.take(nKeep)
 
     for (salt <- Seq("dsir-v1", "dsir-v2")) {
