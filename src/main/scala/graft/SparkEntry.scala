@@ -1317,7 +1317,8 @@ object SparkEntry {
                   CAST(sum(n_stratum) AS BIGINT) AS n_total FROM w),
          rates AS (
            SELECT source, n_stratum,
-             LEAST(n_stratum, (((n_total * 500) // 1000) * wq) // sum_wq) AS target_n
+             CAST(LEAST(CAST(n_stratum AS HUGEINT),
+               ((CAST(n_total AS HUGEINT) * 500 // 1000) * wq) // sum_wq) AS BIGINT) AS target_n
            FROM w, tot),
          acc AS (
            SELECT source, n_stratum, target_n,

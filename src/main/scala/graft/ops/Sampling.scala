@@ -217,12 +217,13 @@ object Sampling {
     * Σwq)`, and q40's hash-threshold acceptance — so the selected
     * SET is a pure function of (corpus, α, budget, salt) on any
     * engine or partitioning. The `budget·wq` product runs in
-    * DECIMAL(38,0) — a long would wrap at α→1 past ~10^6-doc
-    * sources (DuckDB's HUGEINT never wraps, so the engines would
-    * also diverge) — exact through ~10^12-doc corpora at the 10^6
-    * grid; past THAT, Spark's non-ANSI decimal overflow nulls the
-    * product and `least` would silently full-accept, so rescale
-    * the grid first.
+    * DECIMAL(38,0) on the Spark side and HUGEINT in the oracle —
+    * a 64-bit product wraps silently on Spark and ERRORS on DuckDB
+    * (BIGINT multiplication does not auto-promote) at α→1 past
+    * ~10^6-doc sources, so both engines widen — exact through
+    * ~10^12-doc corpora at the 10^6 grid; past THAT, Spark's
+    * non-ANSI decimal overflow nulls the product and `least` would
+    * silently full-accept, so rescale the grid first.
     *
     * Plan shape at 100 TB (the q48 posture): one #source-sized
     * aggregate with map-side partials, a 1-row total under it, the

@@ -35,24 +35,36 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      case _ =>
-        // TIMESTAMP_NTZ (or LTZ): the NTZ→LTZ cast interprets the
-        // wall clock in the SESSION time zone, so a non-UTC session
+      case dt =>
+        // TIMESTAMP_NTZ: the NTZ→LTZ cast interprets the wall clock
+        // in the SESSION time zone, so a non-zero-offset session
         // would silently shift every ts_ns by the zone offset and
         // diverge from the oracle (which reads the raw micros). All
         // project sessions pin UTC; for library callers, fail LOUDLY
-        // instead of shifting. Column order matches the nanos branch
-        // (ts_ns mid-schema, ts last) so consumers never see an
-        // encoding-dependent layout.
-        require(s.conf.get("spark.sql.session.timeZone") == "UTC",
-          "events' TIMESTAMP_NTZ encoding requires " +
-            "spark.sql.session.timeZone=UTC (a non-UTC session would " +
-            "shift ts_ns by the zone offset)")
+        // instead of shifting. Any FIXED zero-offset zone (UTC,
+        // Etc/UTC, GMT, +00:00) is accepted, and a true LTZ physical
+        // encoding needs no guard at all — unix_micros on an instant
+        // is zone-independent.
+        if (dt == org.apache.spark.sql.types.TimestampNTZType) {
+          val zone = java.time.ZoneId.of(
+            s.conf.get("spark.sql.session.timeZone"),
+            java.time.ZoneId.SHORT_IDS)
+          val rules = zone.getRules
+          require(rules.isFixedOffset &&
+            rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
+            "events' TIMESTAMP_NTZ encoding requires a zero-offset " +
+              "session time zone (a shifted session would shift ts_ns " +
+              s"by the zone offset; got $zone)")
+        }
+        // same layout rule as the nanos branch for ANY schema: ts_ns
+        // takes ts's original position, ts is appended last — no
+        // encoding-dependent column order, and extra/renamed columns
+        // pass through identically in both branches
         val ts = col("ts").cast(org.apache.spark.sql.types.TimestampType)
-        raw.select(col("event_id"),
-          (unix_micros(ts) * lit(1000L)).as("ts_ns"),
-          col("user_id"), col("event_type"), col("value"), col("props"),
-          ts.as("ts"))
+        raw.select(raw.columns.map {
+          case "ts" => (unix_micros(ts) * lit(1000L)).as("ts_ns")
+          case c    => col(c)
+        }.toIndexedSeq :+ ts.as("ts"): _*)
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

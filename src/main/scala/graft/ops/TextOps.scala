@@ -588,7 +588,13 @@ object TextOps {
       // logp ≈ −ln(ccount/k)), and exp(35) ≈ 1.6e15 overflows the
       // 1e12 ceiling of precision 18 — Spark's non-ANSI cast would
       // NULL it silently while DuckDB errors. Precision 38 holds to
-      // e^73, far past any reachable cross-entropy.
+      // e^73, far past any reachable cross-entropy. Bound on the
+      // absorb-the-ulp property: the fixed 1e-6 grid out-coarsens a
+      // double ulp only while perplexity < ~4e9 (xent < ~22) — true
+      // at every oracle SF by construction (xent ≤ ln(corpus
+      // tokens/k) ≈ 13 at sf0.01), so the GATE is safe; past that,
+      // perplexity is a display value and filtering/conformance
+      // should key on cross_entropy, which is exact at every scale.
       .withColumn("perplexity",
         exp(col("cross_entropy")).cast("decimal(38,6)").cast("double"))
   }

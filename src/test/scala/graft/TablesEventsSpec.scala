@@ -61,14 +61,20 @@ class TablesEventsSpec extends SparkSpec {
     assert(m(2L).last.asInstanceOf[java.sql.Timestamp].getTime == 1700000000123L)
   }
 
-  test("micros encoding fails loudly on a non-UTC session") {
+  test("micros encoding fails loudly on a shifted session; zero-offset aliases pass") {
     val (_, microsDir) = writeBoth()
     val prev = spark.conf.get("spark.sql.session.timeZone")
     try {
       spark.conf.set("spark.sql.session.timeZone", "America/New_York")
       val e = intercept[IllegalArgumentException](
         Tables.events(spark, microsDir))
-      assert(e.getMessage.contains("UTC"))
+      assert(e.getMessage.contains("zero-offset"))
+      // equivalent zero-offset zone ids are NOT rejected (the guard
+      // targets shifted sessions, not spelling)
+      for (tz <- Seq("Etc/UTC", "GMT", "+00:00")) {
+        spark.conf.set("spark.sql.session.timeZone", tz)
+        assert(Tables.events(spark, microsDir).count() == 3, s"zone $tz")
+      }
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 }
