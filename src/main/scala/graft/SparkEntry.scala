@@ -106,6 +106,7 @@ object SparkEntry {
     "q72_lm_perplexity"     -> TextOps.lmPerplexityScores _,
     "q73_dsir_select"       -> Dsir.dsirSelectDocs _,
     "q74_temperature_mix"   -> Sampling.temperatureMix _,
+    "q75_ngram_novelty"     -> ((s, d) => LlmOps.ngramNovelty(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -1329,5 +1330,21 @@ object SparkEntry {
          FROM documents d JOIN acc a USING (source)
          WHERE CAST(('0x' || substr(md5('temp-v1/' || d.source || ':' || d.doc_id), 1, 15)) AS BIGINT) < a.accept_threshold
          ORDER BY d.doc_id""",
+    // Per-doc n-gram novelty of the held-out 20% vs train: the q20
+    // family's UNCAPPED distinct-shingle relation (sh0 — the df cap
+    // is a near-dup optimization, not a novelty semantic), one
+    // distinct train set, indicator left join, exact-integer counts,
+    // one IEEE division.
+    "q75_ngram_novelty" ->
+      s"""WITH $ShingleCtes,
+         train AS (SELECT DISTINCT shingle FROM sh0 WHERE doc_id % 10 < 8),
+         ev AS (
+           SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+           FROM sh0 s LEFT JOIN train t USING (shingle)
+           WHERE s.doc_id % 10 >= 8 GROUP BY 1)
+         SELECT doc_id, n_shingles, n_seen,
+           1 - CAST(n_seen AS DOUBLE)/n_shingles AS novelty
+         FROM ev ORDER BY doc_id""",
   )
 }

@@ -427,6 +427,38 @@ object LlmOps {
     * corpus × BENCHMARK — the benchmark side is evaluation-set-sized,
     * so candidate generation is linear in the corpus even where the
     * full self-join would be quadratic. */
+  /** q75 — per-document n-gram NOVELTY of the held-out split against
+    * the train split (the q36/q72 hash-stable 80/20 rule): for every
+    * eval doc, the fraction of its distinct 3-gram shingles NOT seen
+    * anywhere in train. The leakage diagnostic that complements q38:
+    * q38 names the best-matching benchmark doc per contaminated
+    * document; novelty scores EVERY held-out doc on a 0..1 scale
+    * (0 = fully memorizable from train, 1 = fully novel), which is
+    * what an eval-set audit thresholds on.
+    *
+    * Plan shape at 100 TB: the row-local [[shingles]] explode (zero
+    * pre-exchange), the train side reduced to a DISTINCT shingle set
+    * (shingle-keyed shuffle with map-side partials — linear in corpus
+    * shingles), one shingle-keyed left join carrying an indicator,
+    * and a per-doc roll-up whose map-side partials collapse each
+    * doc's shingles before the exchange. novelty = 1 − seen/n is a
+    * single IEEE division of exact integers — bit-deterministic on
+    * any engine or partitioning. Short (<n-token) docs have no
+    * shingles and no row, the q20-family rule. */
+  def ngramNovelty(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val sh = Caches.persist(shingles(Tables.documents(spark, dir), n))
+    val train = sh.filter(col("doc_id") % 10 < 8)
+      .select(col("shingle")).distinct().withColumn("seen", lit(1L))
+    sh.filter(col("doc_id") % 10 >= 8)
+      .join(train, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("seen"), lit(0L))).as("n_seen"))
+      .withColumn("novelty",
+        lit(1.0) - col("n_seen").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   def benchmarkOverlap(spark: SparkSession, dir: String,
                        benchMod: Int = 50, n: Int = 3,
                        minJaccard: Double = 0.2, maxDf: Int = 50): DataFrame = {

@@ -289,6 +289,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === Map(3L -> 2L, 9L -> 1L))
   }
 
+  test("ngramNovelty: 0 for memorized, 1 for novel, exact mix, short docs absent") {
+    import spark.implicits._
+    // train split = doc_id % 10 < 8; eval = the rest
+    val docs = Seq(
+      (1L, "a b c d e"),          // train: shingles {a b c, b c d, c d e}
+      (2L, "x y z w"),            // train: {x y z, y z w}
+      (18L, "a b c d e"),         // eval: all three shingles in train → novelty 0
+      (28L, "p q r s"),           // eval: none seen → novelty 1
+      (38L, "a b c q r s"),       // eval: 1 of 4 seen → novelty 0.75
+      (48L, "t u"))               // eval: < 3 tokens → no row
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = writeDocsFixture(docs)
+    val got = LlmOps.ngramNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(18L, 28L, 38L))
+    assert(got(18L) == ((3L, 3L, 0.0)))
+    assert(got(28L) == ((2L, 0L, 1.0)))
+    assert(got(38L) == ((4L, 1L, 0.75)))
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   /** LlmOps loads via Tables.documents(dir) — materialize the fixture
     * as a one-file parquet table like the driver testdata. */
   private def writeDocsFixture(df: org.apache.spark.sql.DataFrame): String = {
