@@ -107,6 +107,7 @@ object SparkEntry {
     "q73_dsir_select"       -> Dsir.dsirSelectDocs _,
     "q74_temperature_mix"   -> Sampling.temperatureMix _,
     "q75_ngram_novelty"     -> ((s, d) => LlmOps.ngramNovelty(s, d)),
+    "q76_semantic_twolevel" -> ((s, d) => Embeddings.semanticDedupTwoLevel(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -248,10 +249,140 @@ object SparkEntry {
     * the cell count derived from the corpus the way
     * [[graft.ops.Embeddings.cellsFor]] does — exact-integer ceil with
     * the [[graft.ops.Embeddings.OracleCells]] floor. */
-  private val IvfCtesScaled = ivfCtes(
+  private val CellsForSql =
     s"""SELECT greatest(${Embeddings.OracleCells},
           (count(*) + ${Embeddings.OracleTargetCell} - 1) // ${Embeddings.OracleTargetCell})
-        FROM embeddings""")
+        FROM embeddings"""
+
+  private val IvfCtesScaled = ivfCtes(CellsForSql)
+
+  /** The exact-integer scaled distance Σ(n·q−s)²/n² over a `v` row
+    * and a centroid alias — the ONE distance formula of the IVF
+    * family, shared by [[ivfCtes]]' inline copies and the q76
+    * two-level replay below. */
+  private def IvfDist(c: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1,64),
+               i -> ($c.n*v.qv[i]-$c.s[i])*($c.n*v.qv[i]-$c.s[i]))) AS DOUBLE)
+               / CAST($c.n*$c.n AS DOUBLE)"""
+
+  /** One TWO-LEVEL cell-assignment replay block ([[graft.ops
+    * .Embeddings.nearestCellTwoLevel]] / [[graft.ops.Embeddings
+    * .superGroups]] bit-for-bit): from the centroid CTE `cents`,
+    * derive each centroid's integer mean grid (⌊s_d/n + 0.5⌋ — ONE
+    * IEEE division per component, the `meanGrid` contract), seed
+    * `ns` groups STRIDED over the (grid[1], j) ordering, run the
+    * pinned 3 exact-integer grouping rounds (ties to the smallest
+    * group, empty groups keeping their previous mean), build the
+    * 1-member super-centroids from the final membership's exact sums,
+    * route every vector to its nearest super (ties to the smallest
+    * group) and assign within ONLY the chosen group's member cells
+    * (ties to the smallest cell id). Emits `${p}a(vec_id, j)`. */
+  private def twoLevelAssign(cents: String, p: String): String = {
+    val cnt = s"(SELECT count(*) FROM ${p}mm)"
+    val ns = "(SELECT ns FROM params)"
+    def grpDist(m: String, gm: String): String =
+      s"""list_sum(list_transform(generate_series(1,64),
+               i -> ($m.mm[i]-$gm.gm[i])*($m.mm[i]-$gm.gm[i])))"""
+    def grpRound(t: Int): String = {
+      val upd =
+        if (t >= Embeddings.SuperIters) "" // final membership: no mean update
+        else s""",
+         ${p}gs$t AS MATERIALIZED (
+           SELECT ga.g, dims.d, CAST(sum(m.s[dims.d]) AS BIGINT) AS sv
+           FROM ${p}ga$t ga JOIN ${p}mm m USING (j), dims GROUP BY ga.g, dims.d),
+         ${p}gn$t AS MATERIALIZED (
+           SELECT ga.g, CAST(sum(m.n) AS BIGINT) AS tn
+           FROM ${p}ga$t ga JOIN ${p}mm m USING (j) GROUP BY ga.g),
+         ${p}gu$t AS MATERIALIZED (
+           SELECT gs.g, list(CAST(floor(CAST(gs.sv AS DOUBLE)/CAST(gn.tn AS DOUBLE) + 0.5) AS BIGINT)
+                             ORDER BY gs.d) AS gm
+           FROM ${p}gs$t gs JOIN ${p}gn$t gn USING (g) GROUP BY gs.g),
+         ${p}gm$t AS MATERIALIZED (
+           SELECT prev.g, coalesce(nu.gm, prev.gm) AS gm
+           FROM ${p}gm${t - 1} prev LEFT JOIN ${p}gu$t nu USING (g))"""
+      s"""${p}ga$t AS MATERIALIZED (
+           SELECT j, g FROM (
+             SELECT m.j, gm.g,
+               row_number() OVER (PARTITION BY m.j ORDER BY ${grpDist("m", "gm")}, gm.g) AS rn
+             FROM ${p}mm m, ${p}gm${t - 1} gm) t WHERE rn = 1)$upd"""
+    }
+    val last = Embeddings.SuperIters
+    s"""${p}mm AS MATERIALIZED (
+           SELECT j, n, s, list_transform(generate_series(1,64),
+             i -> CAST(floor(CAST(s[i] AS DOUBLE)/CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS mm
+           FROM $cents),
+         ${p}ord AS MATERIALIZED (
+           SELECT j, mm, row_number() OVER (ORDER BY mm[1], j) - 1 AS rk FROM ${p}mm),
+         ${p}gm0 AS MATERIALIZED (
+           SELECT gg.g, o.mm AS gm
+           FROM (SELECT unnest(generate_series(1, $ns)) AS g) gg
+           JOIN ${p}ord o ON o.rk = ((gg.g - 1) * ($cnt - 1)) // ($ns - 1)),
+         ${(1 to last).map(grpRound).mkString(",\n         ")},
+         ${p}ss AS MATERIALIZED (
+           SELECT ga.g, dims.d, CAST(sum(m.s[dims.d]) AS BIGINT) AS sv
+           FROM ${p}ga$last ga JOIN ${p}mm m USING (j), dims GROUP BY ga.g, dims.d),
+         ${p}sn AS MATERIALIZED (
+           SELECT ga.g, CAST(sum(m.n) AS BIGINT) AS tn
+           FROM ${p}ga$last ga JOIN ${p}mm m USING (j) GROUP BY ga.g),
+         ${p}sup AS MATERIALIZED (
+           SELECT ss.g AS j, list(CAST(floor(CAST(ss.sv AS DOUBLE)/CAST(sn.tn AS DOUBLE) + 0.5) AS BIGINT)
+                                  ORDER BY ss.d) AS s,
+                  CAST(1 AS BIGINT) AS n
+           FROM ${p}ss ss JOIN ${p}sn sn USING (g) GROUP BY ss.g),
+         ${p}sd AS MATERIALIZED (SELECT v.vec_id, c.j AS g, ${IvfDist("c")} AS dist FROM v, ${p}sup c),
+         ${p}ch AS MATERIALIZED (
+           SELECT vec_id, g FROM (
+             SELECT vec_id, g, row_number() OVER (PARTITION BY vec_id ORDER BY dist, g) AS rn
+             FROM ${p}sd) t WHERE rn = 1),
+         ${p}dd AS MATERIALIZED (
+           SELECT v.vec_id, c.j, ${IvfDist("c")} AS dist
+           FROM v JOIN ${p}ch ch USING (vec_id)
+           JOIN ${p}ga$last mb ON mb.g = ch.g
+           JOIN $cents c ON c.j = mb.j),
+         ${p}a AS MATERIALIZED (
+           SELECT vec_id, j FROM (
+             SELECT vec_id, j, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+             FROM ${p}dd) t WHERE rn = 1)"""
+  }
+
+  /** q76's replay: the [[ivfCtes]] training trajectory at the
+    * [[graft.ops.Embeddings.cellsFor]] sizing with EVERY assignment —
+    * both Lloyd's rounds and the final one — routed through the
+    * two-level block above at nSuper = ⌈√nCells⌉ ([[graft.ops
+    * .Embeddings.superFor]]: the same IEEE sqrt + ceil on both
+    * engines). Emits `af(vec_id, j)` like [[ivfCtes]], so the q70
+    * pairing/resolution tail applies unchanged. */
+  private val IvfCtesTwoLevel: String = {
+    require(Embeddings.OracleIters == 2,
+      "IvfCtesTwoLevel structurally unrolls exactly 2 Lloyd's rounds — re-derive the replay SQL")
+    require(Embeddings.SuperIters == 3,
+      "twoLevelAssign structurally unrolls exactly 3 grouping rounds — re-derive the replay SQL")
+    s"""q AS MATERIALIZED (
+           SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         v AS MATERIALIZED (
+           SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q),
+         dims AS MATERIALIZED (SELECT unnest(generate_series(1,64)) AS d),
+         params AS MATERIALIZED (
+           SELECT nc, CAST(ceil(sqrt(CAST(nc AS DOUBLE))) AS BIGINT) AS ns
+           FROM (SELECT ($CellsForSql) AS nc) t),
+         c0 AS MATERIALIZED (SELECT vec_id AS j, qv AS s, CAST(1 AS BIGINT) AS n
+                FROM v ORDER BY vec_id LIMIT (SELECT nc FROM params)),
+         ${twoLevelAssign("c0", "t1")},
+         s1 AS MATERIALIZED (SELECT a.j, dims.d, CAST(sum(v.qv[dims.d]) AS BIGINT) AS sv
+                FROM t1a a JOIN v USING (vec_id), dims GROUP BY a.j, dims.d),
+         n1 AS MATERIALIZED (SELECT j, CAST(count(*) AS BIGINT) AS n FROM t1a GROUP BY j),
+         c1 AS MATERIALIZED (SELECT s1.j, list(sv ORDER BY d) AS s, n1.n
+                FROM s1 JOIN n1 USING (j) GROUP BY s1.j, n1.n),
+         ${twoLevelAssign("c1", "t2")},
+         s2 AS MATERIALIZED (SELECT a.j, dims.d, CAST(sum(v.qv[dims.d]) AS BIGINT) AS sv
+                FROM t2a a JOIN v USING (vec_id), dims GROUP BY a.j, dims.d),
+         n2 AS MATERIALIZED (SELECT j, CAST(count(*) AS BIGINT) AS n FROM t2a GROUP BY j),
+         c2 AS MATERIALIZED (SELECT s2.j, list(sv ORDER BY d) AS s, n2.n
+                FROM s2 JOIN n2 USING (j) GROUP BY s2.j, n2.n),
+         ${twoLevelAssign("c2", "tf")},
+         af AS MATERIALIZED (SELECT vec_id, j FROM tfa)"""
+  }
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
     * ORDER BY, explicit casts so dtypes line up (see Relational docs). */
@@ -1172,6 +1303,22 @@ object SparkEntry {
     // of the semantic-dedup family, oracle-gated like q34's planesFor
     "q70_semantic_scaled" ->
       s"""WITH RECURSIVE $IvfCtesScaled,
+         pairs AS (
+           SELECT x.vec_id AS d1, y.vec_id AS d2
+           FROM af x
+           JOIN af y ON y.j = x.j AND x.vec_id < y.vec_id
+           JOIN v vx ON vx.vec_id = x.vec_id
+           JOIN v vy ON vy.vec_id = y.vec_id
+           WHERE ${VecCosineGE("vx", "vy")}),
+         $VecComponentSql""",
+    // q70's trajectory with every assignment routed TWO-LEVEL
+    // (IvfCtesTwoLevel) — the executed production scale path of the
+    // semantic-dedup family, gated end-to-end: seeding, grouping
+    // rounds, super-routing, training, pairing, and resolution all
+    // replay bit-for-bit because the router is exact-integer plus the
+    // pinned single-division meanGrid rounding
+    "q76_semantic_twolevel" ->
+      s"""WITH RECURSIVE $IvfCtesTwoLevel,
          pairs AS (
            SELECT x.vec_id AS d1, y.vec_id AS d2
            FROM af x

@@ -281,31 +281,106 @@ object Embeddings {
       array_position(distArr, array_min(distArr)).cast("int"))
   }
 
+  /** Grouping rounds of the two-level router's driver-side centroid
+    * clustering — structurally unrolled in the q76 replay SQL, so
+    * pinned here and require-guarded at the SQL definition site. */
+  val SuperIters: Int = 3
+
+  /** nSuper-vs-nCells rule for [[nearestCellTwoLevel]]: ⌈√nCells⌉
+    * balances the two per-row cost terms (nSuper super distances +
+    * ~nCells/nSuper member distances), the standard two-level IVF
+    * sizing. One IEEE sqrt + ceil on an integer — the q76 oracle
+    * replays it with the same two double ops. */
+  def superFor(nCells: Int): Int = {
+    require(nCells > 0, "need a positive cell count")
+    math.ceil(math.sqrt(nCells.toDouble)).toInt
+  }
+
+  /** Integer mean grid of a component-sum vector: ⌊s_d/n + 0.5⌋ per
+    * dimension — ONE IEEE division and add per component, so every
+    * engine reproduces the grid bit-for-bit from the exact (s, n)
+    * pair. The shared rounding rule of the two-level router (centroid
+    * mean grid, group-mean updates, super-centroids). */
+  private def meanGrid(s: Seq[Long], n: Long): IndexedSeq[Long] =
+    s.map(v => math.floor(v.toDouble / n.toDouble + 0.5).toLong).toIndexedSeq
+
+  /** Deterministic exact-replayable grouping of `cents` (sorted by j)
+    * into ≤ nSuper groups — the driver-side clustering behind
+    * [[nearestCellTwoLevel]], designed so a SQL engine replays it
+    * bit-for-bit (the q76 gate):
+    *  - each centroid is represented by its [[meanGrid]] integer mean;
+    *  - seeds are STRIDED over the (grid(0), j) ordering — nSuper
+    *    evenly-spaced ranks including both endpoints — so near-
+    *    duplicate seeds can't collapse the grouping the way a
+    *    take-first seed could (ADVICE r8);
+    *  - [[SuperIters]] assignment passes over the nCells grids
+    *    (exact-integer L², ties to the smallest group), group means
+    *    re-derived from exact member sums via [[meanGrid]] between
+    *    passes, empty groups keeping their previous mean;
+    *  - returns (group id, members) with members in j order; empty
+    *    groups drop out.
+    * Everything is integer arithmetic plus [[meanGrid]]'s pinned
+    * single-division rounding — no accumulation-order-sensitive
+    * floating point anywhere, which is what makes the replay exact. */
+  private[ops] def superGroups(cents: Seq[Centroid],
+                               nSuper: Int): Seq[(Int, Seq[Centroid])] = {
+    val nc = cents.size
+    require(nSuper >= 2 && nSuper < nc,
+      "superGroups needs 2 <= nSuper < nCells (degenerate forms route through nearestCell)")
+    val mm = cents.map(c => meanGrid(c.s, c.n))
+    val order = cents.indices.sortBy(i => (mm(i)(0), cents(i).j))
+    var gm: IndexedSeq[IndexedSeq[Long]] = (0 until nSuper)
+      .map(g => mm(order(((g.toLong * (nc - 1)) / (nSuper - 1)).toInt)))
+    def d2(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long = {
+      var i = 0; var acc = 0L
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    var asg: Seq[Int] = Seq.empty
+    for (t <- 0 until SuperIters) {
+      asg = cents.indices.map(i => (0 until nSuper).minBy(g => (d2(mm(i), gm(g)), g)))
+      if (t < SuperIters - 1)
+        gm = (0 until nSuper).map { g =>
+          val member = cents.indices.filter(asg(_) == g)
+          if (member.isEmpty) gm(g)
+          else meanGrid(
+            (0 until Dim).map(d => member.map(i => cents(i).s(d)).sum),
+            member.map(i => cents(i).n).sum)
+        }
+    }
+    (0 until nSuper).map(g => g -> cents.indices.filter(asg(_) == g).map(cents(_)))
+      .filter(_._2.nonEmpty)
+  }
+
   /** Two-level nearest-cell routing — the production path past
     * [[nearestCell]]'s per-row nCells distance evaluations (the
     * [[cellsFor]] scaladoc's "coarse-over-coarse" note made real):
     * with cells growing ∝ corpus, literal assignment is N·nCells =
     * N²/targetCell; grouping the centroids into `nSuper` ≈ √nCells
-    * super-centroids DRIVER-side (tiny k-means over ≤ nCells mean
-    * vectors) cuts the per-row cost to nSuper + |chosen group| ≈
-    * 2·√nCells evaluations — the standard two-level IVF.
+    * super-centroids DRIVER-side ([[superGroups]] — deterministic
+    * exact-integer clustering over ≤ nCells mean grids) cuts the
+    * per-row cost to nSuper + |chosen group| ≈ 2·√nCells evaluations
+    * — the standard two-level IVF.
     *
     * Each super-centroid is the member-count-weighted mean of its
-    * group, ROUNDED to the integer grid and carried as a 1-member
-    * [[Centroid]], so the routing distance is the same exact-integer
-    * [[scaledDist]] kernel (no new arithmetic, no overflow exposure —
-    * n = 1 is always under [[MaxCellMembers]]). The row evaluates
-    * `nSuper` super distances, then ONLY the chosen group's members
-    * (CASE branches are lazy in codegen).
+    * group, ROUNDED to the integer grid ([[meanGrid]]) and carried as
+    * a 1-member [[Centroid]], so the routing distance is the same
+    * exact-integer [[scaledDist]] kernel (no new arithmetic, no
+    * overflow exposure — n = 1 is always under [[MaxCellMembers]]).
+    * The row evaluates `nSuper` super distances, then ONLY the chosen
+    * group's members (CASE branches are lazy in codegen). Super ties
+    * break to the smallest group id, member ties to the smallest
+    * cell id — both first-minimum semantics the q76 oracle replays.
     *
     * Routing is APPROXIMATE at super-group boundaries — a point may
     * land in a neighboring group whose best member beats the chosen
     * group's (the recall trade every coarse-probe IVF makes).
     * `nSuper = 1` and `nSuper ≥ nCells` degenerate to the exact
-    * [[nearestCell]] bit-for-bit (spec-pinned). NOT on the graded
-    * surface: the q68/q70 oracles replay EXACT assignment; this is
-    * the spec-certified scale path — the q27-LSH-vs-q45-brute
-    * relationship, for assignment. */
+    * [[nearestCell]] bit-for-bit (spec-pinned). ON the graded
+    * surface since round 9: q76 gates the full two-level trajectory
+    * (training + final assignment) at [[superFor]] sizing, while
+    * q68/q70 keep replaying EXACT assignment — the q27-LSH-vs-q45-
+    * brute relationship, for assignment. */
   private[ops] def nearestCellTwoLevel(rawCents: Seq[Centroid],
                                        nSuper: Int): Column = {
     require(rawCents.nonEmpty, "quantizer has no centroids")
@@ -313,42 +388,15 @@ object Embeddings {
     val cents = rawCents.sortBy(_.j)
     if (nSuper == 1 || nSuper >= cents.size) nearestCell(cents)
     else {
-      // driver-side k-means over the centroid means: deterministic
-      // (Forgy seed = the nSuper smallest ids, 5 rounds, first-min
-      // ties) and driver-only, so plain double arithmetic is fine —
-      // nothing here crosses an engine boundary
-      val means = cents.map(c => c.s.map(_.toDouble / c.n).toIndexedSeq)
-      def d2(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
-        var i = 0; var acc = 0.0
-        while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
-        acc
-      }
-      var gm = means.take(nSuper)
-      var asg = Seq.empty[Int]
-      for (_ <- 0 until 5) {
-        asg = means.map(m =>
-          gm.indices.minBy(g => (d2(m, gm(g)), g)))
-        gm = gm.indices.map { g =>
-          val member = asg.zipWithIndex.collect { case (a, i) if a == g => i }
-          if (member.isEmpty) gm(g)
-          else {
-            val n = member.map(i => cents(i).n).sum.toDouble
-            (0 until Dim).map(d =>
-              member.map(i => cents(i).s(d)).sum / n).toIndexedSeq
-          }
-        }
-      }
-      val groups = asg.zipWithIndex.groupMap(_._1) { case (_, i) => cents(i) }
-        .toSeq.sortBy(_._1).map(_._2).filter(_.nonEmpty)
-      val supers = groups.zipWithIndex.map { case (ms, g) =>
-        val n = ms.map(_.n).sum.toDouble
-        Centroid(g, (0 until Dim).map(d =>
-          math.round(ms.map(_.s(d)).sum / n)), 1L)
+      val groups = superGroups(cents, nSuper)
+      val supers = groups.map { case (g, ms) =>
+        Centroid(g, meanGrid((0 until Dim).map(d => ms.map(_.s(d)).sum),
+          ms.map(_.n).sum), 1L)
       }
       val sDist = array(supers.map(scaledDist): _*)
       val sIdx = array_position(sDist, array_min(sDist))
-      coalesce(groups.zipWithIndex.map { case (ms, g) =>
-        when(sIdx === (g + 1).toLong, nearestCell(ms))
+      coalesce(groups.zipWithIndex.map { case ((_, ms), p) =>
+        when(sIdx === (p + 1).toLong, nearestCell(ms))
       }: _*)
     }
   }
@@ -398,11 +446,19 @@ object Embeddings {
     * training passes per query — at 100 TB the training scans are the
     * dominant cost and re-paying them on the serving path is wrong. */
   def trainQuantizer(spark: SparkSession, dir: String,
-                     nCells: Int = OracleCells, iters: Int = OracleIters): Seq[Centroid] =
-    trainQuantizerOn(Caches.persist(quantized(spark, dir)), nCells, iters)
+                     nCells: Int = OracleCells, iters: Int = OracleIters,
+                     nSuper: Int = 1): Seq[Centroid] =
+    trainQuantizerOn(Caches.persist(quantized(spark, dir)), nCells, iters, nSuper)
 
+  /** `nSuper = 1` (the oracle-replayed default) assigns each Lloyd's
+    * round with the exact [[nearestCell]]; `nSuper > 1` routes every
+    * round through [[nearestCellTwoLevel]] — the SAME N·nCells term
+    * that dominates final assignment lives in each training pass, so
+    * a production-sized training run must route both (q76 gates the
+    * routed trajectory end-to-end). */
   private def trainQuantizerOn(vecs: DataFrame,
-                               nCells: Int, iters: Int): Seq[Centroid] = {
+                               nCells: Int, iters: Int,
+                               nSuper: Int = 1): Seq[Centroid] = {
     // Forgy seeding, pinned: the nCells smallest vec_ids, each a
     // 1-member centroid (its own exact component vector).
     var cents: Seq[Centroid] = vecs.orderBy(col("vec_id")).limit(nCells)
@@ -413,7 +469,11 @@ object Embeddings {
     // nCells rows collected (the broadcast-centroid training loop).
     val sumCols = (0 until Dim).map(d => sum(element_at(col("qv"), d + 1)).as(s"s$d"))
     for (_ <- 0 until iters) {
-      val rows = vecs.withColumn("cell", nearestCell(cents))
+      // same fail-loud guard as semanticDedup: the q76 replay assumes
+      // every routed round is non-degenerate
+      require(nSuper == 1 || cents.size > nSuper,
+        s"two-level training round needs more live cells (${cents.size}) than nSuper ($nSuper)")
+      val rows = vecs.withColumn("cell", nearestCellTwoLevel(cents, nSuper))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"), sumCols: _*)
         .collect()
@@ -653,9 +713,20 @@ object Embeddings {
                     threshold: Double = OracleThreshold,
                     nCells: Int = OracleCells, iters: Int = OracleIters,
                     checkpointDir: Option[String] = None,
-                    nSuper: Int = 1): DataFrame = {
+                    nSuper: Int = 1, trainNSuper: Int = 1): DataFrame = {
     val vecs = Caches.persist(quantized(spark, dir))
-    val cents = trainQuantizerOn(vecs, nCells, iters)
+    val cents = trainQuantizerOn(vecs, nCells, iters, trainNSuper)
+    // the q76 oracle replays nearestCellTwoLevel's NON-degenerate
+    // routing; if training shrank the live cell set to ≤ nSuper the
+    // degenerate branch would silently diverge from the replay — fail
+    // loudly instead (never observed on real corpora: cells die only
+    // when no vector is nearest them). Scoped to the replay-gated
+    // two-level-trained path (trainNSuper > 1, i.e. q76): plain
+    // semanticDedup callers keep the DOCUMENTED degenerate identity
+    // (nSuper ≥ nCells ⇒ exact assignment, spec-pinned).
+    require(trainNSuper == 1 || cents.size > nSuper,
+      s"two-level routing needs more live cells (${cents.size}) than nSuper ($nSuper) " +
+        "— training collapsed the quantizer; lower nSuper or retrain with more cells")
     // persisted: the cell assignment (nCells codegen distance evals
     // per row at the default nSuper = 1, which is the oracle-replayed
     // exact form; nSuper > 1 routes through the two-level
@@ -692,5 +763,33 @@ object Embeddings {
     val n = Tables.embeddings(spark, dir).count()
     semanticDedup(spark, dir, threshold, cellsFor(n, targetCell), iters,
       checkpointDir, nSuper)
+  }
+
+  /** q76 — [[semanticDedupScaled]] with BOTH the training rounds and
+    * the final assignment routed through [[nearestCellTwoLevel]] at
+    * the [[superFor]] sizing (nSuper = ⌈√nCells⌉): the EXECUTED
+    * production scale path. q70 measured the remaining super-linear
+    * term of the semantic-dedup family — literal-centroid assignment
+    * is N·nCells = N²/targetCell, paid once per Lloyd's round and
+    * once at final assignment (7.44× for the sf0.1→sf1 decade,
+    * bench/SCALING_r08.md); this variant pays nSuper + ~√nCells evals
+    * per row instead, restoring ~N·√(N/targetCell) growth, and is
+    * oracle-gated end-to-end because every step of [[superGroups]] /
+    * [[meanGrid]] is exact-integer plus pinned single-division
+    * rounding — the DuckDB twin replays seeding, grouping rounds,
+    * super-routing, training, pairing, and resolution bit-for-bit.
+    * q70 (exact assignment, same sizing rule) stays on the surface as
+    * the recall baseline this trades against — the q45-brute-vs-q27
+    * relationship, for assignment. */
+  def semanticDedupTwoLevel(spark: SparkSession, dir: String,
+                            threshold: Double = OracleThreshold,
+                            targetCell: Int = OracleTargetCell,
+                            iters: Int = OracleIters,
+                            checkpointDir: Option[String] = None): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    val nCells = cellsFor(n, targetCell)
+    val ns = superFor(nCells)
+    semanticDedup(spark, dir, threshold, nCells, iters, checkpointDir,
+      nSuper = ns, trainNSuper = ns)
   }
 }
