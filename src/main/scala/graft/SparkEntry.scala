@@ -831,13 +831,15 @@ object SparkEntry {
            FROM documents) t
          WHERE h < 200 ORDER BY doc_id""",
     // q20's shingle machinery with one side restricted to the
-    // benchmark subset (doc_id % 50 = 0) and a best-match argmax
+    // benchmark subset (doc_id % 50 = 0, capped at doc_id < 51200 —
+    // the q71 probe-cap pattern: ≤1,024 bench docs at any SF) and a
+    // best-match argmax
     "q38_benchmark_overlap" ->
       s"""WITH $ShingleCtes,
          inter AS (
            SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS inter
            FROM sh c JOIN sh b ON c.shingle = b.shingle
-           WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+           WHERE b.doc_id % 50 = 0 AND b.doc_id < 51200 AND c.doc_id % 50 <> 0
            GROUP BY 1, 2),
          scored AS (
            SELECT i.doc_id, i.bench_id, i.inter,
@@ -1034,7 +1036,7 @@ object SparkEntry {
          inter AS (
            SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS inter
            FROM sh c JOIN sh b ON c.shingle = b.shingle
-           WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+           WHERE b.doc_id % 50 = 0 AND b.doc_id < 51200 AND c.doc_id % 50 <> 0
            GROUP BY 1, 2),
          scored AS (
            SELECT i.doc_id, i.bench_id, i.inter,
@@ -1343,7 +1345,7 @@ object SparkEntry {
            FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dl) t GROUP BY 1, 2, 3),
          stats AS (
            SELECT (SELECT count(*) FROM documents) AS n,
-                  CAST(sum(dl) AS DOUBLE)/count(dl) AS avgdl FROM dl),
+                  CAST(sum(dl) AS DOUBLE)/(SELECT count(*) FROM documents) AS avgdl FROM dl),
          idf AS (
            SELECT term, ln(1 + (CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))/(df + CAST(0.5 AS DOUBLE))) AS idf
            FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) d, stats),

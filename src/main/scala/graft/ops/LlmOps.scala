@@ -426,7 +426,14 @@ object LlmOps {
     * document-frequency cap before the join), but the join is
     * corpus × BENCHMARK — the benchmark side is evaluation-set-sized,
     * so candidate generation is linear in the corpus even where the
-    * full self-join would be quadratic. */
+    * full self-join would be quadratic. The benchmark subset is
+    * additionally CAPPED at doc_id < benchMod·1024 (the q71 probe-cap
+    * pattern, round 9): without it the `% benchMod` convention grows
+    * the benchmark side ∝ corpus, self-violating the "benchmark is
+    * eval-set-sized" premise the linearity argument rests on (the
+    * 3.42× decade ratio bench/SCALING_r08.md measured). ≤1,024 bench
+    * docs at any scale factor; a production benchmark is its own
+    * bounded table and needs no cap. */
   /** q75 — per-document n-gram NOVELTY of the held-out split against
     * the train split (the q36/q72 hash-stable 80/20 rule): for every
     * eval doc, the fraction of its distinct 3-gram shingles NOT seen
@@ -463,7 +470,8 @@ object LlmOps {
                        benchMod: Int = 50, n: Int = 3,
                        minJaccard: Double = 0.2, maxDf: Int = 50): DataFrame = {
     val (sh, sizes) = cappedShingles(spark, dir, n, maxDf)
-    val bench = sh.filter(col("doc_id") % benchMod === 0)
+    val bench = sh.filter(col("doc_id") % benchMod === 0 &&
+        col("doc_id") < benchMod.toLong * 1024)
       .select(col("doc_id").as("bench_id"), col("shingle"))
     val corpus = sh.filter(col("doc_id") % benchMod =!= 0)
     overlapBestMatch(corpus, bench, sizes, minJaccard)
@@ -519,7 +527,10 @@ object LlmOps {
                             minJaccard: Double = 0.2, maxDf: Int = 50,
                             fpp: Double = 0.01): DataFrame = {
     val (sh, sizes) = cappedShingles(spark, dir, n, maxDf)
-    val bench = sh.filter(col("doc_id") % benchMod === 0)
+    // same benchMod·1024 cap as benchmarkOverlap — the q50 oracle is
+    // q38's verbatim, so the two subset rules must never diverge
+    val bench = sh.filter(col("doc_id") % benchMod === 0 &&
+        col("doc_id") < benchMod.toLong * 1024)
       .select(col("doc_id").as("bench_id"), col("shingle"))
     // expectedNumItems = DISTINCT bench shingles off the cached
     // shingle table (benchmark-set-sized): sizing from the real

@@ -54,10 +54,23 @@ object Retrieval {
       .select(col("doc_id"), col("dl"), explode(col("terms")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).as("tf")))
-    val stats = docs.agg(count(lit(1)).as("n"),
-      coalesce(avg(size(termsOf(col("text")))), lit(0.0)).as("avgdl")).collect()(0)
-    val nDocs = stats.getLong(0)
-    val avgdl = stats.getDouble(1)
+    // corpus stats WITHOUT a second tokenization pass (round 9):
+    // Σdl folds off the cached tf relation's per-doc (doc_id, dl)
+    // rows — zero-term docs have no tf rows but contribute 0 to the
+    // sum, so only the COUNT must come from the corpus, and count(*)
+    // over a parquet scan is metadata-only (no text column read).
+    // avgdl = Σdl/N as ONE IEEE division of exact integers — the
+    // same value avg(size(tokens)) produced, without re-reading and
+    // re-splitting every text at build time (at 100 TB the build is
+    // the corpus-sized cost; paying it twice was the r8 finding).
+    // Semantics pin: a NULL-text doc now counts in the denominator
+    // with dl = 0 (it used to vanish from the null-skipping avg) —
+    // "null tokenizes to no tokens", the engine's q23/q25 rule; the
+    // documents contract has no null text, so the gate is unaffected.
+    val nDocs = docs.count()
+    val sumDl = tf.select(col("doc_id"), col("dl")).distinct()
+      .agg(coalesce(sum(col("dl")), lit(0L)).as("s")).collect()(0).getLong(0)
+    val avgdl = if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .select(col("term"),
         log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)).as("idf"))

@@ -35,7 +35,8 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-      case dt =>
+      case dt @ (org.apache.spark.sql.types.TimestampNTZType |
+                 org.apache.spark.sql.types.TimestampType) =>
         // TIMESTAMP_NTZ: the NTZ→LTZ cast interprets the wall clock
         // in the SESSION time zone, so a non-zero-offset session
         // would silently shift every ts_ns by the zone offset and
@@ -65,6 +66,16 @@ object Tables {
           case "ts" => (unix_micros(ts) * lit(1000L)).as("ts_ns")
           case c    => col(c)
         }.toIndexedSeq :+ ts.as("ts"): _*)
+      case other =>
+        // a THIRD physical encoding (string/int32/date/...) from a
+        // future testdata generation must fail at load, not silently
+        // cast through TimestampType — the exact drift class this
+        // adapter exists to surface (ADVICE r8). Known encodings are
+        // handled above; anything else needs a reviewed adapter.
+        throw new IllegalStateException(
+          s"events.ts has unrecognized physical type $other — " +
+            "known encodings: TIMESTAMP(NANOS)-as-long (legacy nanosAsLong), " +
+            "TIMESTAMP_NTZ (micros), TIMESTAMP_LTZ; extend Tables.events deliberately")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -1,13 +1,11 @@
 package graft
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** The SparkEntry ↔ driver contract, guarded mechanically: the
   * correctness gate only checks queries that HAVE an oracle, so a new
   * query whose author forgets the oracleSql twin would silently
   * downgrade to the weak rows-only check and still look green. Every
   * exclusion must be explicit here with its documented reason. */
-class DriverContractSpec extends AnyFunSuite {
+class DriverContractSpec extends SparkSpec {
 
   /** Queries deliberately without a DuckDB twin. q65: HLL/t-digest
     * estimates are engine-specific (accuracy band spec'd in
@@ -33,6 +31,33 @@ class DriverContractSpec extends AnyFunSuite {
     names.foreach(n => assert(n.matches("q[0-9]{2}_[a-z0-9_]+"), s"bad name: $n"))
     val nums = names.map(_.take(3))
     assert(nums.distinct.size == nums.size, "duplicate query numbers")
+  }
+
+  test("documents.text is single-space tokenizable (the q71/q72/q73 oracle contract)") {
+    // three oracles tokenize with DuckDB's string_split(text, ' ')
+    // while the Spark twins split on \s+ — identical ONLY while text
+    // contains no tabs/newlines/CRs and no leading/trailing/double
+    // spaces that \s+ collapses differently than ' '-split's
+    // empty-token filter... in fact both sides filter empty tokens,
+    // so runs of spaces agree too; the REAL divergence class is any
+    // non-space whitespace. The driver regenerates testdata between
+    // rounds: pin the invariant on every generation present so drift
+    // fails HERE, loudly, instead of as a silent oracle mismatch
+    // (ADVICE r8).
+    import org.apache.spark.sql.functions._
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(d).isDirectory)
+    assume(dirs.nonEmpty, "testdata not present")
+    dirs.foreach { d =>
+      val bad = graft.ops.Tables.documents(spark, d)
+        .filter(col("text").rlike("[\\t\\n\\r\\x0b\\f]"))
+        .count()
+      assert(bad == 0,
+        s"$d: $bad documents contain non-space whitespace — the " +
+          "q71/q72/q73 DuckDB oracles (string_split on ' ') would " +
+          "silently diverge from the Spark \\s+ tokenizers; switch the " +
+          "oracles to regexp_split_to_array(text, '\\s+') before trusting the gate")
+    }
   }
 
   test("every oracle ends with a deterministic ORDER BY") {

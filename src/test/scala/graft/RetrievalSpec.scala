@@ -147,4 +147,45 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Retrieval.bm25TopK(Retrieval.bm25Build(docs), docs.toDF("query_id", "query"), 0))
   }
+
+  test("bm25Build: corpus stats ride the built relation — no second tokenization pass") {
+    import org.apache.spark.sql.functions.{col, udf}
+    // count how many times the text column is MATERIALIZED: the r8
+    // finding was a stats aggregate re-reading + re-splitting every
+    // text after the tf relation already carried (doc_id, dl)
+    val reads = spark.sparkContext.longAccumulator("textReads")
+    val tap = udf((s: String) => { reads.add(1); s })
+    // keep the local fixture plan-shaped like a parquet scan: without
+    // this, ConvertToLocalRelation eagerly evaluates the tap
+    // projection at OPTIMIZATION time for the metadata-only count()
+    // job, charging reads a real corpus never pays
+    val prev = spark.conf.getOption("spark.sql.optimizer.excludedRules")
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.ConvertToLocalRelation")
+    try {
+      val base = Seq((1L, "a b c"), (2L, "a a"), (3L, "")).toDF("doc_id", "text")
+      val docs = base.select(col("doc_id"), tap(col("text")).as("text"))
+      val ix = Retrieval.bm25Build(docs)
+      val perPass = reads.value
+      // empty docs count in the stats (dl = 0), exactly as avg(size) did
+      assert(ix.nDocs == 3)
+      assert(ix.avgdl == (3 + 2 + 0) / 3.0)
+      // the build's own tokenization already materialized text; the
+      // stats jobs (metadata count + cached-tf fold) must not again.
+      // ONE pass costs 5 taps on this fixture (the collapsed dl/terms
+      // projection evaluates the tapped column twice for docs that
+      // reach the explode — an artifact of the opaque UDF: production
+      // codegen CSE dedupes the pure-expression form; measured
+      // per-stage: docs.count() +0, Σdl off the cached tf +0). The
+      // old stats aggregate re-tokenized every doc: +3 on 3 docs.
+      assert(perPass <= 5,
+        s"text materialized $perPass times for 3 docs — a second corpus pass leaked in")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.optimizer.excludedRules", v)
+        case None => spark.conf.unset("spark.sql.optimizer.excludedRules")
+      }
+      graft.ops.Caches.releaseAll(spark)
+    }
+  }
 }

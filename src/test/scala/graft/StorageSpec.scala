@@ -141,4 +141,69 @@ class StorageSpec extends SparkSpec {
       Seq((6L, "six")).toDF("doc_id", "text"), "doc_id")
     assert(v5.endsWith("/v5"))
   }
+
+  test("upsertSnapshot under a live refreshing stream: no micro-batch sees a partial or mixed snapshot") {
+    // Storage.upsertSnapshot and StreamingNearDedup share one
+    // snapshot protocol (versioned subdirs + _SUCCESS, staging dirs
+    // hidden, atomic rename publish). This runs the nightly-rebuild
+    // upsert UNDER a live refreshing stream and asserts the
+    // composition: every micro-batch's matches correspond to exactly
+    // ONE committed version — never a half-written directory (missing
+    // part files ⇒ subset) and never files from two versions (⇒
+    // superset/mixed ids).
+    import graft.stream.StreamingNearDedup
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graftsnaprace").toString + "/index"
+    val alpha = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def versionIds(v: Int): Set[Long] = (1 to 3).map(k => v * 1000L + k).toSet
+    def indexRows(v: Int) = StreamingNearDedup.simhashIndex(spark,
+      versionIds(v).toSeq.sorted.map(id => (id, alpha)).toDF("doc_id", "text"))
+
+    Storage.upsertSnapshot(spark, root, indexRows(1), "idx_doc_id")
+    val lastVersion = 6
+
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Set[Long]]()
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = StreamingNearDedup.nearDupMatchesRefreshing(
+      input.toDF().toDF("ts", "doc_id", "text"), root) { m =>
+      batches.add(m.collect().map(_.getAs[Long]("match_id")).toSet)
+    }
+    try {
+      def probe(i: Int): Unit = {
+        input.addData((java.sql.Timestamp.valueOf(f"2026-01-01 11:${i}%02d:00"),
+          500L + i, alpha))
+        q.processAllAvailable()
+      }
+      probe(1) // before any rebuild: must see v1 exactly
+      // nightly rebuilds v2..v6 racing the stream: each upsert
+      // tombstones the previous version's docs and inserts its own,
+      // so each COMMITTED snapshot's alpha-match set is exactly one
+      // version's ids
+      val writer = new Thread(() => {
+        for (v <- 2 to lastVersion) {
+          Storage.upsertSnapshot(spark, root,
+            indexRows(v).withColumn("deleted", lit(false))
+              .unionByName(indexRows(v - 1).withColumn("deleted", lit(true))),
+            "idx_doc_id", Some("deleted"))
+          Thread.sleep(30)
+        }
+      })
+      writer.start()
+      var i = 2
+      while (writer.isAlive && i < 40) { probe(i); i += 1 }
+      writer.join()
+      probe(i) // after the last rebuild: must see the final version
+      val seen = batches.toArray(Array.empty[Set[Long]]).toSeq
+      val committed = (1 to lastVersion).map(versionIds)
+      seen.foreach(b => assert(committed.contains(b),
+        s"micro-batch saw id-set $b — not any committed snapshot " +
+          "(partial directory or mixed versions)"))
+      assert(seen.head == versionIds(1))
+      assert(seen.last == versionIds(lastVersion))
+      assert(seen.distinct.size >= 2, "the race window was never exercised")
+    } finally q.stop()
+  }
 }

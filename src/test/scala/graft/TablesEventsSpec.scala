@@ -77,4 +77,16 @@ class TablesEventsSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
+
+  test("a third unrecognized ts encoding fails at load, not silently casts") {
+    // a future testdata generation shipping ts as STRING (or int32,
+    // date, ...) must surface as a loud load error — the r7 bench
+    // lost a whole round to silent schema drift (ADVICE r8)
+    val base = java.nio.file.Files.createTempDirectory("events-str").toString
+    rowsUs.map { case (id, us, u, t, v, p) => (id, us.toString, u, t, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, base))
+    assert(e.getMessage.contains("unrecognized physical type"))
+  }
 }
