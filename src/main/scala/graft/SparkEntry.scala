@@ -108,6 +108,8 @@ object SparkEntry {
     "q74_temperature_mix"   -> Sampling.temperatureMix _,
     "q75_ngram_novelty"     -> ((s, d) => LlmOps.ngramNovelty(s, d)),
     "q76_semantic_twolevel" -> ((s, d) => Embeddings.semanticDedupTwoLevel(s, d)),
+    "q77_pq_topk"           -> ((s, d) => Pq.pqTopK(s, d)),
+    "q78_knn_classify"      -> ((s, d) => Pq.knnClassify(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -382,6 +384,79 @@ object SparkEntry {
                 FROM s2 JOIN n2 USING (j) GROUP BY s2.j, n2.n),
          ${twoLevelAssign("c2", "tf")},
          af AS MATERIALIZED (SELECT vec_id, j FROM tfa)"""
+  }
+
+  /** DuckDB replay of the [[graft.ops.Pq]] trajectory (q77/q78): per
+    * subspace m (prefix `pm`), slice the shared quantized grid `q`,
+    * Forgy-seed [[graft.ops.Pq.K]] sub-centroids, run the pinned 2
+    * Lloyd's rounds with keep-previous-on-empty (PQ codes are
+    * POSITIONS in a fixed-K list, so a dead code must keep its
+    * centroid rather than shift its neighbors — unlike the IVF
+    * replay, where dead cells just drop), derive the 0-based code in
+    * seed-id order, encode the corpus (`pmf`), and build the
+    * per-probe ADC table (`pmt`, floor(dist·10⁶) BIGINT — one IEEE
+    * division and multiply, so the 4-term sum is exact-integer in
+    * both engines). `pqtopk` is the shared serve tail. */
+  private val PqCtes: String = {
+    require(Embeddings.OracleIters == 2,
+      "PqCtes structurally unrolls exactly 2 Lloyd's rounds — re-derive the replay SQL")
+    require(Pq.M == 4 && Pq.SubDim == 16 && Pq.K == 16,
+      "PqCtes hard-codes the 4×16 subspace grid and K=16 — re-derive the replay SQL")
+    def sub(m: Int): String = {
+      val o = m * Pq.SubDim
+      val p = s"p$m"
+      def dist(c: String, v: String) =
+        s"""CAST(list_sum(list_transform(generate_series(1,16),
+               i -> ($c.n*$v.sv[i]-$c.s[i])*($c.n*$v.sv[i]-$c.s[i]))) AS DOUBLE)
+               / CAST($c.n*$c.n AS DOUBLE)"""
+      def round(r: Int) =
+        s"""${p}a$r AS (SELECT vec_id, j FROM (
+               SELECT v.vec_id, c.j,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dist("c", "v")}, c.j) AS rn
+               FROM ${p}v v, ${p}c${r - 1} c) t WHERE rn = 1),
+           ${p}s$r AS (SELECT a.j, sd.d, CAST(sum(v.sv[sd.d]) AS BIGINT) AS sv
+               FROM ${p}a$r a JOIN ${p}v v USING (vec_id), sdims sd GROUP BY a.j, sd.d),
+           ${p}n$r AS (SELECT j, CAST(count(*) AS BIGINT) AS n FROM ${p}a$r GROUP BY j),
+           ${p}u$r AS (SELECT s.j, list(sv ORDER BY d) AS s, n.n
+               FROM ${p}s$r s JOIN ${p}n$r n USING (j) GROUP BY s.j, n.n),
+           ${p}c$r AS (SELECT prev.j, coalesce(u.s, prev.s) AS s, coalesce(u.n, prev.n) AS n
+               FROM ${p}c${r - 1} prev LEFT JOIN ${p}u$r u USING (j))"""
+      s"""${p}v AS (SELECT vec_id, list_transform(generate_series(1,16), i -> qv[i+$o]) AS sv FROM q),
+           ${p}c0 AS (SELECT vec_id AS j, sv AS s, CAST(1 AS BIGINT) AS n
+               FROM ${p}v ORDER BY vec_id LIMIT ${Pq.K}),
+           ${round(1)},
+           ${round(2)},
+           ${p}cd AS (SELECT j, row_number() OVER (ORDER BY j) - 1 AS code FROM ${p}c2),
+           ${p}f AS (SELECT vec_id, code FROM (
+               SELECT v.vec_id, x.code,
+                 row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dist("c", "v")}, c.j) AS rn
+               FROM ${p}v v, ${p}c2 c JOIN ${p}cd x USING (j)) t WHERE rn = 1),
+           ${p}t AS (SELECT v.vec_id AS q_id, x.code,
+                 CAST(floor((${dist("c", "v")}) * 1000000.0) AS BIGINT) AS dq
+               FROM ${p}v v JOIN probes USING (vec_id), ${p}c2 c JOIN ${p}cd x USING (j))"""
+    }
+    s"""q AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         sdims AS (SELECT unnest(generate_series(1,16)) AS d),
+         probes AS (SELECT vec_id FROM q WHERE vec_id % 50 = 0),
+         ${(0 until Pq.M).map(sub).mkString(",\n         ")},
+         pqest AS (
+           SELECT t0.q_id, f0.vec_id AS neighbor_id,
+             (t0.dq + t1.dq + t2.dq + t3.dq) AS est
+           FROM p0f f0
+           JOIN p1f f1 USING (vec_id)
+           JOIN p2f f2 USING (vec_id)
+           JOIN p3f f3 USING (vec_id)
+           JOIN p0t t0 ON t0.code = f0.code
+           JOIN p1t t1 ON t1.code = f1.code AND t1.q_id = t0.q_id
+           JOIN p2t t2 ON t2.code = f2.code AND t2.q_id = t0.q_id
+           JOIN p3t t3 ON t3.code = f3.code AND t3.q_id = t0.q_id
+           WHERE f0.vec_id <> t0.q_id),
+         pqtopk AS (
+           SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, est FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
+             FROM pqest) t WHERE rn <= 5)"""
   }
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -1495,5 +1570,26 @@ object SparkEntry {
          SELECT doc_id, n_shingles, n_seen,
            1 - CAST(n_seen AS DOUBLE)/n_shingles AS novelty
          FROM ev ORDER BY doc_id""",
+    // PQ ADC top-k (PqCtes replays training, encoding, the per-probe
+    // ADC tables, and the exact-integer estimate sum bit-for-bit)
+    "q77_pq_topk" ->
+      s"""WITH $PqCtes
+         SELECT q_id, rank, neighbor_id, est FROM pqtopk ORDER BY q_id, rank""",
+    // kNN majority vote over the PQ neighbors: per-probe label votes
+    // (ties to the smallest label), rolled up to per-true-label
+    // accuracy counts
+    "q78_knn_classify" ->
+      s"""WITH $PqCtes,
+         votes AS (SELECT t.q_id, e.label AS n_label, count(*) AS votes
+                   FROM pqtopk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+                   GROUP BY 1, 2),
+         pred AS (SELECT q_id, n_label AS pred FROM (
+                   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label) AS rn
+                   FROM votes) t WHERE rn = 1)
+         SELECT e.label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+         FROM pred p JOIN embeddings e ON e.vec_id = p.q_id
+         GROUP BY e.label ORDER BY e.label""",
   )
 }

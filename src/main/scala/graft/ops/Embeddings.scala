@@ -118,8 +118,10 @@ object Embeddings {
   /** Integer-quantized view of the embeddings: qv = floor(x·1000) per
     * component (exact in both engines: float→double widen, one double
     * multiply, floor), plus the exact squared norm. Keeps `label` as
-    * a sanity surface (the IVF quantizer is trained, not label-read). */
-  private def quantized(spark: SparkSession, dir: String): DataFrame = {
+    * a sanity surface (the IVF quantizer is trained, not label-read).
+    * `private[ops]`: [[Pq]] starts from the same quantized view so the
+    * PQ codes and the IVF cells share one integer-grid contract. */
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame = {
     // every embedding query path starts here, so the session function
     // behind the codegen dot products is registered before any plan
     // that uses it is analyzed

@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.Embeddings.Centroid
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search") — the memory axis of the ANN family.
+  *
+  * q45 (brute), q27 (LSH), q31 (IVF) and q76 (two-level IVF) all trade
+  * TIME against recall; at 100 TB the binding constraint is usually
+  * MEMORY: a 64-dim float corpus is 256 B/vector, so 10¹¹ vectors
+  * need 25 TB of RAM just for the vectors. PQ splits each vector into
+  * [[M]] = 4 subspaces of [[SubDim]] = 16 components, trains an
+  * independent [[K]] = 16-centroid codebook per subspace (Lloyd's, the
+  * exact-integer machinery q31 certifies, here over subvector slices)
+  * and stores each vector as 4 code bytes — a 64× compression. Serving
+  * is asymmetric distance computation (ADC): the QUERY stays exact;
+  * per query one 4×16 table of query-to-sub-centroid distances is
+  * precomputed, and each corpus vector's distance estimate is the sum
+  * of 4 table lookups — no per-pair arithmetic on raw vectors at all.
+  *
+  * Determinism contract (the q77/q78 oracle replays every step):
+  *  - training: Forgy seed = the K smallest vec_ids' subvectors,
+  *    [[Embeddings.OracleIters]] Lloyd's rounds, the scaled exact-
+  *    integer distance Σ(n·q−s)²/n² over the 16-dim slice, assignment
+  *    ties to the smallest code;
+  *  - each subdistance is ONE IEEE division (exact integer numerator);
+  *    floor(·×10⁶) quantizes it to a BIGINT so the 4-term ADC sum is
+  *    an exact integer — order-independent under Spark's partial
+  *    aggregation and bit-identical in DuckDB;
+  *  - top-k ties break on (est ASC, neighbor_id ASC).
+  *
+  * Plan shape at 100 TB: encoding is a scan-riding projection
+  * (M·K = 64 literal sub-centroid distances per row, all codegen, no
+  * shuffle). The serve is the q45 broadcast-cross-join shape — the
+  * fixed probe batch (carrying its 4 lookup arrays) broadcasts onto
+  * the CODES scan, which is 64× smaller than the raw-vector scan the
+  * brute path reads; the per-row work is 4 `element_at` lookups + 3
+  * integer adds instead of a 64-dim dot product. The only shuffle is
+  * the per-query top-k window over rows that already passed the
+  * per-partition rank prune. */
+object Pq {
+
+  /** Subspace count × width: 4 × 16 must cover [[Embeddings.Dim]]. */
+  val M = 4
+  val SubDim = 16
+
+  /** Sub-centroids per subspace — 4 code bits each, 2 code bytes per
+    * vector at the oracle size (production PQ uses K = 256 for byte
+    * codes; the trade is identical, the tables 16× taller). */
+  val K = 16
+
+  /** Per-sub-cell member bound for the exact-integer distance: the
+    * 16-dim numerator ≤ SubDim·(2n·10³)² = 6.4e7·n² must stay inside
+    * Long, so n ≤ √(2⁶³/6.4e7) ≈ 3.8e5 — 4× the 64-dim bound
+    * [[Embeddings.MaxCellMembers]]. Past it, shard the corpus per
+    * quantizer (the ScaleUp federation shape). */
+  val MaxSubCellMembers: Long = 380000L
+
+  /** floor(dist × 10⁶) — the one scale every engine applies to a
+    * subdistance before the exact-integer ADC sum. */
+  val DistScale = 1000000L
+
+  private def subSlice(v: Column, m: Int): Column =
+    slice(v, m * SubDim + 1, SubDim)
+
+  /** Nearest sub-centroid CODE (0-based position in `cents`, which
+    * arrive sorted by j) for the row's subspace-`m` slice; ties to the
+    * smallest code. The distances are built over a NAMED slice column
+    * (`__pq_m$m`) so the 16-dim slice is computed once per row per
+    * subspace, not once per centroid. */
+  private def nearestSubCode(cents: Seq[Centroid]): Column = {
+    val distArr = array(cents.map { c =>
+      require(c.n <= MaxSubCellMembers,
+        s"sub-cell ${c.j} has ${c.n} members — past the 16-dim exact-integer bound")
+      require(c.s.length == SubDim, s"sub-centroid ${c.j} is not $SubDim-dim")
+      val sLits = c.s.map(v => s"${v}L").mkString(",")
+      val sumS2 = c.s.map(v => v * v).sum
+      (lit(c.n) * lit(c.n) * col("__pq_nrm")
+        - lit(2L * c.n) * expr(s"vec_dot(__pq_sl, array($sLits))")
+        + lit(sumS2)).cast("double") / lit(c.n.toDouble * c.n.toDouble)
+    }: _*)
+    array_position(distArr, array_min(distArr)).cast("int") - 1
+  }
+
+  /** The per-(query, subspace, code) ADC table entry: floor(dist×10⁶)
+    * as a Long — exact in both engines (integer numerator, one IEEE
+    * division, one double multiply, floor). */
+  private def quantizedSubDist(cents: Seq[Centroid]): Column =
+    array(cents.map { c =>
+      require(c.n <= MaxSubCellMembers,
+        s"sub-cell ${c.j} has ${c.n} members — past the 16-dim exact-integer bound")
+      val sLits = c.s.map(v => s"${v}L").mkString(",")
+      val sumS2 = c.s.map(v => v * v).sum
+      floor(((lit(c.n) * lit(c.n) * col("__pq_nrm")
+        - lit(2L * c.n) * expr(s"vec_dot(__pq_sl, array($sLits))")
+        + lit(sumS2)).cast("double") / lit(c.n.toDouble * c.n.toDouble))
+        * lit(DistScale.toDouble)).cast("long")
+    }: _*)
+
+  /** Adds `__pq_sl` (the m-th slice) and `__pq_nrm` (its exact norm)
+    * to `df`, evaluates `f`, drops the helpers. */
+  private def withSlice(df: DataFrame, m: Int)(f: DataFrame => DataFrame): DataFrame =
+    f(df.withColumn("__pq_sl", subSlice(col("qv"), m))
+        .withColumn("__pq_nrm", expr("vec_dot(__pq_sl, __pq_sl)")))
+      .drop("__pq_sl", "__pq_nrm")
+
+  /** Train the subspace-`m` codebook on the quantized corpus `vecs`:
+    * Forgy seed (K smallest vec_ids), `iters` Lloyd's rounds. Returns
+    * the K trained sub-centroids sorted by seed id j (codes are the
+    * 0-based POSITION in this order). Exact-integer component sums —
+    * the same (s, n) never-divide representation as [[Embeddings]]. */
+  private[graft] def trainSubspace(vecs: DataFrame, m: Int,
+                                 iters: Int = Embeddings.OracleIters): Seq[Centroid] = {
+    val seed = vecs.orderBy(col("vec_id")).limit(K)
+      .select(col("vec_id"), subSlice(col("qv"), m).as("sv"))
+      .collect()
+      .map(r => Centroid(r.getLong(0),
+        r.getSeq[Long](1).toIndexedSeq, 1L)).toSeq.sortBy(_.j)
+    (1 to iters).foldLeft(seed) { (cents, _) =>
+      val assigned = withSlice(vecs, m)(df =>
+        df.withColumn("code", nearestSubCode(cents)))
+      val sums = assigned
+        .select(col("code"), posexplode(subSlice(col("qv"), m)).as(Seq("d", "x")))
+        .groupBy(col("code"), col("d"))
+        .agg(sum(col("x")).as("sv"))
+        .groupBy(col("code"))
+        .agg(array_sort(collect_list(struct(col("d"), col("sv")))).as("ds"))
+        .join(assigned.groupBy(col("code")).agg(count(lit(1)).as("n")), "code")
+        .collect()
+      val updated = sums.map { r =>
+        val code = r.getInt(0)
+        val s = r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toIndexedSeq
+        (code, Centroid(cents(code).j, s, r.getLong(2)))
+      }.toMap
+      // empty codes keep their previous centroid (the ivfCtes rule)
+      cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+  }
+
+  /** All M codebooks, trained off one cached scan. */
+  private[graft] def trainCodebooks(vecs: DataFrame,
+                                  iters: Int = Embeddings.OracleIters): Seq[Seq[Centroid]] =
+    (0 until M).map(m => trainSubspace(vecs, m, iters))
+
+  /** The PQ CODES relation (vec_id, c0..c3): the 64×-compressed
+    * corpus representation. A scan-riding projection — M·K literal
+    * sub-centroid distances per row, all codegen, zero shuffle. */
+  private[graft] def encode(vecs: DataFrame, books: Seq[Seq[Centroid]]): DataFrame =
+    (0 until M).foldLeft(vecs) { (df, m) =>
+      withSlice(df, m)(d => d.withColumn(s"c$m", nearestSubCode(books(m))))
+    }.select(col("vec_id") +: (0 until M).map(m => col(s"c$m")): _*)
+
+  /** q77 — PQ ADC top-k: for every probe (vec_id % queryMod = 0), the
+    * k nearest corpus vectors BY THE PQ DISTANCE ESTIMATE (est ASC —
+    * smaller is nearer; ties to the smaller neighbor_id; the probe
+    * itself excluded). `est` is the exact-integer sum of 4 quantized
+    * table lookups, so the ranking is bit-stable across engines and
+    * partitionings. Recall vs the exact ranking is measured in
+    * PqSpec against q45's brute-force baseline. */
+  def pqTopK(spark: SparkSession, dir: String,
+             k: Int = 5, queryMod: Int = 50,
+             iters: Int = Embeddings.OracleIters): DataFrame = {
+    val vecs = Caches.persist(Embeddings.quantized(spark, dir))
+    val books = trainCodebooks(vecs, iters)
+    val codes = encode(vecs, books)
+    // probe side: exact query vectors -> 4 lookup arrays of K
+    // quantized subdistances each (the ADC table, one row per probe)
+    val probes = (0 until M).foldLeft(
+      vecs.filter(col("vec_id") % queryMod === 0)) { (df, m) =>
+        withSlice(df, m)(d => d.withColumn(s"t$m", quantizedSubDist(books(m))))
+      }
+      .select(col("vec_id").as("q_id") +: (0 until M).map(m => col(s"t$m")): _*)
+    val est = (0 until M).map(m =>
+      element_at(col(s"t$m"), col(s"c$m") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("est"), col("neighbor_id"))
+    codes.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select((col("q_id") +: col("vec_id").as("neighbor_id") +:
+        (0 until M).map(m => col(s"c$m"))) ++
+        (0 until M).map(m => col(s"t$m")): _*)
+      .withColumn("est", est)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("est"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** q78 — kNN label classification over the PQ index: each probe
+    * votes its k PQ-nearest neighbors' labels (majority; ties to the
+    * smallest label), and the per-TRUE-label confusion rolls up to
+    * (label, n_queries, n_correct) — "similarity search put to work",
+    * the standard embedding-quality probe a curation pipeline runs
+    * after every re-embedding. Plan: q77's serve + two label joins
+    * against the (tiny, broadcast) probe/neighbor id→label map + a
+    * labels-sized aggregation. */
+  def knnClassify(spark: SparkSession, dir: String,
+                  k: Int = 5, queryMod: Int = 50): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val topk = pqTopK(spark, dir, k, queryMod)
+    val votes = topk
+      .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "n_label"), "neighbor_id")
+      .groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("n_label"))
+    val pred = votes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("n_label").as("pred"))
+    pred
+      .join(labels.withColumnRenamed("vec_id", "q_id"), "q_id")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred") === col("label"), 1L).otherwise(0L)).as("n_correct"))
+      .orderBy(col("label"))
+  }
+}

@@ -16,11 +16,14 @@ class PlanAuditSpec extends SparkSpec {
   // the query side; build side = the query set), q48's global-T
   // attach (build side = ONE row, the min over per-source supply),
   // and q74's totals attach (build side = ONE row, Σwq + n_total —
-  // the same global-scalar shape as q48). Everything else must keep
-  // an equi-key.
+  // the same global-scalar shape as q48). q77/q78 are the PQ ADC
+  // serve — the q45 shape with the probe batch (carrying its lookup
+  // arrays) as the broadcast build side; ADC is definitionally a
+  // scan of all codes per probe. Everything else must keep an
+  // equi-key.
   private val BnljAllowed =
     Set("q16_owners_glob_join", "q45_brute_topk", "q48_source_mix",
-      "q74_temperature_mix")
+      "q74_temperature_mix", "q77_pq_topk", "q78_knn_classify")
 
   test("no CartesianProduct in any query plan; BNLJ only where all-pairs IS the operator") {
     assume(new java.io.File(dir).isDirectory, "testdata not present")

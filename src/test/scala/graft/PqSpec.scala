@@ -1,0 +1,153 @@
+package graft
+
+import graft.ops.{Embeddings, Pq}
+import org.apache.spark.sql.functions.col
+
+/** q77/q78 conformance: the PQ trajectory against a plain-Scala model
+  * (training, encoding, ADC estimate — computed here independently
+  * over the collected sf0.001 table, the EmbeddingsSpec pattern), plus
+  * the operator-level contracts: code range, self-exclusion, k rows
+  * per probe, recall vs q45's exact ranking, and the kNN roll-up
+  * arithmetic. */
+class PqSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Plain-Scala replay of the full PQ trajectory. Returns
+    * (codes, books): codes(vec_id) = M code indices; books(m) = K
+    * (j, sums, n) sub-centroids. */
+  private lazy val model: (Map[Long, Seq[Int]], Seq[IndexedSeq[(Long, IndexedSeq[Long], Long)]]) = {
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toIndexedSeq))
+      .sortBy(_._1)
+    def slice(v: IndexedSeq[Long], m: Int) = v.slice(m * Pq.SubDim, (m + 1) * Pq.SubDim)
+    def dist(q: IndexedSeq[Long], s: IndexedSeq[Long], n: Long): Double =
+      q.indices.map { i => val t = n * q(i) - s(i); t * t }.sum.toDouble / (n.toDouble * n.toDouble)
+    val books = (0 until Pq.M).map { m =>
+      var cents: IndexedSeq[(Long, IndexedSeq[Long], Long)] =
+        rows.take(Pq.K).map(r => (r._1, slice(r._2, m), 1L)).toIndexedSeq
+      for (_ <- 1 to Embeddings.OracleIters) {
+        val asg = rows.map { case (_, v) =>
+          cents.indices.minBy(c => (dist(slice(v, m), cents(c)._2, cents(c)._3), c))
+        }
+        cents = cents.indices.map { c =>
+          val members = rows.indices.filter(asg(_) == c)
+          if (members.isEmpty) cents(c)
+          else {
+            val sums = (0 until Pq.SubDim)
+              .map(d => members.map(i => slice(rows(i)._2, m)(d)).sum)
+            (cents(c)._1, sums.toIndexedSeq, members.size.toLong)
+          }
+        }
+      }
+      cents
+    }
+    val codes = rows.map { case (id, v) =>
+      id -> (0 until Pq.M).map { m =>
+        books(m).indices.minBy(c => (dist(slice(v, m), books(m)(c)._2, books(m)(c)._3), c))
+      }
+    }.toMap
+    (codes, books)
+  }
+
+  test("trainSubspace matches the plain-Scala Lloyd's replay (sums, counts, seeds)") {
+    val vecs = Embeddings.quantized(spark, dir)
+    (0 until Pq.M).foreach { m =>
+      val got = Pq.trainSubspace(vecs, m)
+      val want = model._2(m)
+      assert(got.size == Pq.K)
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.j == w._1 && g.n == w._3 && g.s == w._2,
+          s"subspace $m centroid ${w._1} diverged")
+      }
+    }
+  }
+
+  test("encode assigns every vector the model's codes (codes in 0 until K)") {
+    val vecs = Embeddings.quantized(spark, dir)
+    val books = Pq.trainCodebooks(vecs)
+    val got = Pq.encode(vecs, books).collect()
+      .map(r => r.getLong(0) -> (1 to Pq.M).map(r.getInt)).toMap
+    assert(got.size == model._1.size)
+    got.foreach { case (id, cs) =>
+      assert(cs.forall(c => c >= 0 && c < Pq.K))
+      assert(cs == model._1(id), s"codes diverged for vec $id")
+    }
+  }
+
+  test("pqTopK: k rows per probe, self excluded, est = the model's ADC sum") {
+    val k = 5; val queryMod = 50
+    val rows = Pq.pqTopK(spark, dir, k, queryMod).collect()
+    val (codes, books) = model
+    val probes = codes.keySet.filter(_ % queryMod == 0)
+    assert(rows.map(_.getLong(0)).toSet == probes)
+    probes.foreach(p => assert(rows.count(_.getLong(0) == p) == k))
+    // ranks are 1..k and ests non-decreasing within a probe
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to k))
+      assert(sorted.map(_.getLong(3)).toSeq == sorted.map(_.getLong(3)).sortBy(identity).toSeq)
+    }
+    // replay est for every returned row from the model's tables
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toIndexedSeq))
+      .toMap
+    def subDistQ(q: IndexedSeq[Long], m: Int, c: Int): Long = {
+      val (_, s, n) = books(m)(c)
+      val qs = q.slice(m * Pq.SubDim, (m + 1) * Pq.SubDim)
+      val num = qs.indices.map { i => val t = n * qs(i) - s(i); t * t }.sum
+      math.floor((num.toDouble / (n.toDouble * n.toDouble)) * Pq.DistScale.toDouble).toLong
+    }
+    rows.foreach { r =>
+      val (q, nb, est) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(nb != q)
+      val want = (0 until Pq.M).map(m => subDistQ(raw(q), m, codes(nb)(m))).sum
+      assert(est == want, s"est diverged for probe $q neighbor $nb")
+    }
+  }
+
+  test("pqTopK recall@5 vs the exact brute-force ranking is a sane floor") {
+    val exact = Embeddings.bruteTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    val pq = Pq.pqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    assert(exact.keySet == pq.keySet)
+    val recall = exact.keys.toSeq.map(q => (pq(q) & exact(q)).size.toDouble / exact(q).size).sum / exact.size
+    // 4×16-dim codebooks on 64-dim embeddings: lossy by design, and
+    // the synthetic corpus is near-isotropic (pairwise cosines ≈ 0),
+    // the hardest case for any ANN sketch — measured 0.18 here vs
+    // ≈0.01 for a random top-5 of ~500. The floor pins "the estimate
+    // ranks genuinely, not randomly" with margin for the driver's
+    // between-round testdata regeneration.
+    assert(recall >= 0.08, s"PQ recall@5 collapsed to $recall")
+  }
+
+  test("knnClassify: per-label counts roll up the per-probe majority votes") {
+    val k = 5; val queryMod = 50
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val topk = Pq.pqTopK(spark, dir, k, queryMod).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val pred = topk.groupBy(_._1).map { case (q, g) =>
+      val votes = g.map(t => labels(t._2)).groupBy(identity).map { case (l, v) => (l, v.size) }
+      q -> votes.toSeq.minBy { case (l, n) => (-n, l) }._1
+    }
+    val want = pred.toSeq.groupBy { case (q, _) => labels(q) }
+      .map { case (l, g) => (l, g.size.toLong, g.count { case (q, p) => p == labels(q) }.toLong) }
+      .toSet
+    val got = Pq.knnClassify(spark, dir, k, queryMod).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // NOT asserted: accuracy above chance — the synthetic corpus
+    // assigns labels with no geometric signal (measured: same-label
+    // mean cosine ≈ diff-label ≈ 0, and EXACT kNN lands at chance
+    // too), so the conformance value here is the vote/roll-up
+    // arithmetic, not the classifier quality.
+    assert(want.toSeq.map(_._2).sum == pred.size.toLong)
+  }
+}
