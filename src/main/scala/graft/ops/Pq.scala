@@ -108,43 +108,60 @@ object Pq {
         .withColumn("__pq_nrm", expr("vec_dot(__pq_sl, __pq_sl)")))
       .drop("__pq_sl", "__pq_nrm")
 
-  /** Train the subspace-`m` codebook on the quantized corpus `vecs`:
-    * Forgy seed (K smallest vec_ids), `iters` Lloyd's rounds. Returns
-    * the K trained sub-centroids sorted by seed id j (codes are the
-    * 0-based POSITION in this order). Exact-integer component sums —
-    * the same (s, n) never-divide representation as [[Embeddings]]. */
-  private[graft] def trainSubspace(vecs: DataFrame, m: Int,
-                                 iters: Int = Embeddings.OracleIters): Seq[Centroid] = {
-    val seed = vecs.orderBy(col("vec_id")).limit(K)
-      .select(col("vec_id"), subSlice(col("qv"), m).as("sv"))
-      .collect()
-      .map(r => Centroid(r.getLong(0),
-        r.getSeq[Long](1).toIndexedSeq, 1L)).toSeq.sortBy(_.j)
-    (1 to iters).foldLeft(seed) { (cents, _) =>
-      val assigned = withSlice(vecs, m)(df =>
-        df.withColumn("code", nearestSubCode(cents)))
-      val sums = assigned
-        .select(col("code"), posexplode(subSlice(col("qv"), m)).as(Seq("d", "x")))
-        .groupBy(col("code"), col("d"))
-        .agg(sum(col("x")).as("sv"))
-        .groupBy(col("code"))
-        .agg(array_sort(collect_list(struct(col("d"), col("sv")))).as("ds"))
-        .join(assigned.groupBy(col("code")).agg(count(lit(1)).as("n")), "code")
+  /** Train all M codebooks on the quantized corpus `vecs`: Forgy seed
+    * (each subspace seeds from the K smallest vec_ids' slices — ONE
+    * collect), then per Lloyd's round ONE distributed job — the M
+    * assignments ride the scan as codegen projections, `posexplode`
+    * unrolls qv ONCE (pos encodes subspace m = pos/16 and dim
+    * d = pos%16), and a single (pos, code)-keyed aggregation emits
+    * every subspace's exact component sums and member counts
+    * (M·K·SubDim = 1,024 groups, map-side partials — the shuffle
+    * carries the codebook-sized aggregate, never the corpus). Codes
+    * are 0-based POSITIONS in the seed-id order; empty codes keep
+    * their previous centroid — PQ codes index a fixed-K list, so a
+    * dead code must not shift its neighbors (unlike the IVF trainer,
+    * where dead cells drop). Exact-integer (s, n) never-divide
+    * representation throughout, same as [[Embeddings]]. */
+  private[graft] def trainCodebooks(vecs: DataFrame,
+                                    iters: Int = Embeddings.OracleIters): Seq[Seq[Centroid]] = {
+    val seedRows = vecs.orderBy(col("vec_id")).limit(K)
+      .select(col("vec_id"), col("qv")).collect()
+    val seeds: Seq[Seq[Centroid]] = (0 until M).map(m =>
+      seedRows.map(r => Centroid(r.getLong(0),
+          r.getSeq[Long](1).slice(m * SubDim, (m + 1) * SubDim).toIndexedSeq, 1L))
+        .toSeq.sortBy(_.j))
+    (1 to iters).foldLeft(seeds) { (books, _) =>
+      val withCodes = (0 until M).foldLeft(vecs) { (df, m) =>
+        withSlice(df, m)(d => d.withColumn(s"c$m", nearestSubCode(books(m))))
+      }
+      val agg = withCodes
+        .select((0 until M).map(m => col(s"c$m")) :+
+          posexplode(col("qv")).as(Seq("pos", "x")): _*)
+        .withColumn("code", element_at(
+          array((0 until M).map(m => col(s"c$m")): _*),
+          (col("pos") / lit(SubDim)).cast("int") + 1))
+        .groupBy(col("pos"), col("code"))
+        .agg(sum(col("x")).as("sv"), count(lit(1)).as("n"))
         .collect()
-      val updated = sums.map { r =>
-        val code = r.getInt(0)
-        val s = r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toIndexedSeq
-        (code, Centroid(cents(code).j, s, r.getLong(2)))
-      }.toMap
-      // empty codes keep their previous centroid (the ivfCtes rule)
-      cents.indices.map(i => updated.getOrElse(i, cents(i)))
+      // (m, code) -> dim-ordered sums + member count
+      val byMC = agg.groupBy(r => (r.getInt(0) / SubDim, r.getInt(1)))
+      (0 until M).map { m =>
+        books(m).indices.map { code =>
+          byMC.get((m, code)) match {
+            case None => books(m)(code) // empty code: keep previous
+            case Some(rows) =>
+              require(rows.length == SubDim,
+                s"subspace $m code $code aggregated ${rows.length} dims (want $SubDim)")
+              val ns = rows.map(_.getLong(3)).distinct
+              require(ns.length == 1,
+                s"subspace $m code $code has inconsistent member counts: $ns")
+              val s = rows.sortBy(_.getInt(0)).map(_.getLong(2)).toIndexedSeq
+              Centroid(books(m)(code).j, s, ns.head)
+          }
+        }
+      }
     }
   }
-
-  /** All M codebooks, trained off one cached scan. */
-  private[graft] def trainCodebooks(vecs: DataFrame,
-                                  iters: Int = Embeddings.OracleIters): Seq[Seq[Centroid]] =
-    (0 until M).map(m => trainSubspace(vecs, m, iters))
 
   /** The PQ CODES relation (vec_id, c0..c3): the 64×-compressed
     * corpus representation. A scan-riding projection — M·K literal

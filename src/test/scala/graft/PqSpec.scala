@@ -52,10 +52,11 @@ class PqSpec extends SparkSpec {
     (codes, books)
   }
 
-  test("trainSubspace matches the plain-Scala Lloyd's replay (sums, counts, seeds)") {
+  test("trainCodebooks matches the plain-Scala Lloyd's replay (sums, counts, seeds)") {
     val vecs = Embeddings.quantized(spark, dir)
+    val trained = Pq.trainCodebooks(vecs)
     (0 until Pq.M).foreach { m =>
-      val got = Pq.trainSubspace(vecs, m)
+      val got = trained(m)
       val want = model._2(m)
       assert(got.size == Pq.K)
       got.zip(want).foreach { case (g, w) =>
