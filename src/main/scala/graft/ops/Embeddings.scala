@@ -274,14 +274,58 @@ object Embeddings {
       .cast("double") / lit(c.n.toDouble * c.n.toDouble)
   }
 
+  /** Build the [[graft.functions.CellTable]] reference object for a
+    * [[graft.functions.NearestCells]] expression: member cells in
+    * evaluation/tie-break order (the caller's order — j-sorted for
+    * the exact form, group-concatenated for the two-level form), with
+    * the [[MaxCellMembers]] wrap guard applied per cell exactly as
+    * [[scaledDist]] does. */
+  private def cellTable(ordered: Seq[Centroid],
+                        supers: Seq[Centroid] = Nil,
+                        groups: Seq[Seq[Centroid]] = Nil): graft.functions.CellTable = {
+    ordered.foreach(c => require(c.n <= MaxCellMembers,
+      s"cell ${c.j} has ${c.n} members — past the exact-integer bound " +
+        s"($MaxCellMembers); raise nCells or switch the quantizer to double means"))
+    new graft.functions.CellTable(Dim,
+      ordered.map(_.j).toArray, ordered.map(_.n).toArray,
+      ordered.flatMap(_.s).toArray,
+      ordered.map(c => c.s.map(v => v * v).sum).toArray,
+      supers.flatMap(_.s).toArray,
+      supers.map(c => c.s.map(v => v * v).sum).toArray,
+      if (groups.isEmpty) Array.emptyIntArray
+      else groups.scanLeft(0)(_ + _.size).toArray)
+  }
+
+  /** Wrap a [[graft.functions.CellTable]] as a Column over the frame's
+    * (qv, nrm). Spark 4 exposes no public Column-from-Expression
+    * constructor, so this registers a session function whose BUILDER
+    * closes over the reference table (the [[graft.functions.VecDot]]
+    * registration mechanism, carrying a payload) under a per-table
+    * unique name, then references it by SQL name. Registration is
+    * driver-side at plan-build time — [[org.apache.spark.sql
+    * .SparkSession.active]] is the session building the plan. */
+  private def nearestCellsCol(spark: SparkSession,
+                              table: graft.functions.CellTable): Column = {
+    val name = s"nearest_cells_${java.lang.System.identityHashCode(table).toHexString}"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      { case Seq(a, b) => graft.functions.NearestCells(a, b, table)
+        case _ => throw new IllegalArgumentException(s"$name(qv, nrm) takes 2 arguments") },
+      "built-in")
+    expr(s"$name(qv, nrm)")
+  }
+
   /** Nearest-centroid id: argmin of the scaled distances; ties break
     * to the smallest centroid id (centroids arrive sorted by id and
-    * `array_position` takes the FIRST minimum). */
-  private def nearestCell(cents: Seq[Centroid]): Column = {
-    val distArr = array(cents.map(scaledDist): _*)
-    element_at(array(cents.map(c => lit(c.j)): _*),
-      array_position(distArr, array_min(distArr)).cast("int"))
-  }
+    * the fused loop keeps the FIRST minimum). Since round 9 this is
+    * the [[graft.functions.NearestCells]] reference-data expression
+    * rather than an nCells-subtree literal plan: bit-identical
+    * arithmetic (NearestCellsProperties + the q31/q68/q70 oracles),
+    * O(1) plan size — the 625-literal-cell plans that dominated
+    * q70/q76 at sf1 (~25-36 s of analysis/codegen/interpretation)
+    * collapse to one compiled loop. */
+  private def nearestCell(spark: SparkSession, cents: Seq[Centroid]): Column =
+    nearestCellsCol(spark, cellTable(cents))
 
   /** Grouping rounds of the two-level router's driver-side centroid
     * clustering — structurally unrolled in the q76 replay SQL, so
@@ -383,23 +427,23 @@ object Embeddings {
     * (training + final assignment) at [[superFor]] sizing, while
     * q68/q70 keep replaying EXACT assignment — the q27-LSH-vs-q45-
     * brute relationship, for assignment. */
-  private[ops] def nearestCellTwoLevel(rawCents: Seq[Centroid],
+  private[ops] def nearestCellTwoLevel(spark: SparkSession, rawCents: Seq[Centroid],
                                        nSuper: Int): Column = {
     require(rawCents.nonEmpty, "quantizer has no centroids")
     require(nSuper >= 1, "nSuper must be positive")
     val cents = rawCents.sortBy(_.j)
-    if (nSuper == 1 || nSuper >= cents.size) nearestCell(cents)
+    if (nSuper == 1 || nSuper >= cents.size) nearestCell(spark, cents)
     else {
       val groups = superGroups(cents, nSuper)
       val supers = groups.map { case (g, ms) =>
         Centroid(g, meanGrid((0 until Dim).map(d => ms.map(_.s(d)).sum),
           ms.map(_.n).sum), 1L)
       }
-      val sDist = array(supers.map(scaledDist): _*)
-      val sIdx = array_position(sDist, array_min(sDist))
-      coalesce(groups.zipWithIndex.map { case ((_, ms), p) =>
-        when(sIdx === (p + 1).toLong, nearestCell(ms))
-      }: _*)
+      // one fused expression: super routing (exact-Long n=1 distances,
+      // first-min ties = smallest live group) then only the chosen
+      // group's members — same trajectory the q76 oracle replays,
+      // O(1) plan size (see nearestCell)
+      nearestCellsCol(spark, cellTable(groups.flatMap(_._2), supers, groups.map(_._2)))
     }
   }
 
@@ -410,7 +454,7 @@ object Embeddings {
   def assignCells(spark: SparkSession, dir: String, rawCents: Seq[Centroid],
                   nSuper: Int = 1): DataFrame =
     quantized(spark, dir)
-      .select(col("vec_id"), nearestCellTwoLevel(rawCents, nSuper).as("cell"))
+      .select(col("vec_id"), nearestCellTwoLevel(spark, rawCents, nSuper).as("cell"))
 
   /** q31 — IVF ANN top-k with a TRAINED coarse quantizer: Forgy
     * seeding (the `nCells` smallest vec_ids), `iters` Lloyd's rounds,
@@ -475,7 +519,7 @@ object Embeddings {
       // every routed round is non-degenerate
       require(nSuper == 1 || cents.size > nSuper,
         s"two-level training round needs more live cells (${cents.size}) than nSuper ($nSuper)")
-      val rows = vecs.withColumn("cell", nearestCellTwoLevel(cents, nSuper))
+      val rows = vecs.withColumn("cell", nearestCellTwoLevel(vecs.sparkSession, cents, nSuper))
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"), sumCols: _*)
         .collect()
@@ -534,7 +578,7 @@ object Embeddings {
     * ([[serveIndex]]) so the two cannot drift. */
   private def indexOf(vecs: DataFrame, cents: Seq[Centroid]): DataFrame =
     vecs.select(col("vec_id").as("neighbor_id"), col("qv").as("c_v"),
-      col("nrm").as("c_n"), nearestCell(cents).as("cell"))
+      col("nrm").as("c_n"), nearestCell(vecs.sparkSession, cents).as("cell"))
 
   /** ONE definition of the nprobe-nearest-cells expression over a row
     * carrying (qv, nrm): sort struct(dist, id) — lexicographic, so
@@ -736,7 +780,7 @@ object Embeddings {
     // knob for quantizers past O(10²-10³) literal cells) feeds BOTH
     // sides of the within-cell self-join
     val cells = Caches.persist(
-      vecs.withColumn("cell", nearestCellTwoLevel(cents, nSuper)))
+      vecs.withColumn("cell", nearestCellTwoLevel(vecs.sparkSession, cents, nSuper)))
     val a = cells.select(col("vec_id").as("d1"), col("qv").as("v1"),
       col("nrm").as("n1"), col("cell"))
     val b = cells.select(col("vec_id").as("d2"), col("qv").as("v2"),

@@ -171,6 +171,41 @@ object Pq {
       withSlice(df, m)(d => d.withColumn(s"c$m", nearestSubCode(books(m))))
     }.select(col("vec_id") +: (0 until M).map(m => col(s"c$m")): _*)
 
+  /** The ADC serve: `codes` (vec_id, c0..c3 — the compressed corpus)
+    * × broadcast probe batch (`probes` carries q_id + exact qv),
+    * est = exact-integer sum of [[M]] table lookups, per-probe top-k
+    * (est ASC, ties to the smaller neighbor_id). ONE definition shared
+    * by q77 and the streaming serving seam
+    * ([[graft.stream.StreamingPqServe]]) so batch/stream agreement is
+    * an identity, the q31 serveQueryBatch pattern.
+    *
+    * `excludeSelf`: pass true only when probe q_ids ARE corpus
+    * vec_ids (the q77 situation) — an external query whose id happens
+    * to collide with a corpus id must still see that vector. */
+  def adcServe(codes: DataFrame, books: Seq[Seq[Centroid]], probes: DataFrame,
+               k: Int = 5, excludeSelf: Boolean = false): DataFrame = {
+    // probe side: exact query vectors -> M lookup arrays of K
+    // quantized subdistances each (the ADC table, one row per probe)
+    val pt = (0 until M).foldLeft(probes) { (df, m) =>
+        withSlice(df, m)(d => d.withColumn(s"t$m", quantizedSubDist(books(m))))
+      }
+      .select(col("q_id") +: (0 until M).map(m => col(s"t$m")): _*)
+    val est = (0 until M).map(m =>
+      element_at(col(s"t$m"), col(s"c$m") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("est"), col("neighbor_id"))
+    val joined = codes.crossJoin(broadcast(pt))
+    (if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id")) else joined)
+      .select((col("q_id") +: col("vec_id").as("neighbor_id") +:
+        (0 until M).map(m => col(s"c$m"))) ++
+        (0 until M).map(m => col(s"t$m")): _*)
+      .withColumn("est", est)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("est"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** q77 — PQ ADC top-k: for every probe (vec_id % queryMod = 0), the
     * k nearest corpus vectors BY THE PQ DISTANCE ESTIMATE (est ASC —
     * smaller is nearer; ties to the smaller neighbor_id; the probe
@@ -184,28 +219,51 @@ object Pq {
     val vecs = Caches.persist(Embeddings.quantized(spark, dir))
     val books = trainCodebooks(vecs, iters)
     val codes = encode(vecs, books)
-    // probe side: exact query vectors -> 4 lookup arrays of K
-    // quantized subdistances each (the ADC table, one row per probe)
-    val probes = (0 until M).foldLeft(
-      vecs.filter(col("vec_id") % queryMod === 0)) { (df, m) =>
-        withSlice(df, m)(d => d.withColumn(s"t$m", quantizedSubDist(books(m))))
-      }
-      .select(col("vec_id").as("q_id") +: (0 until M).map(m => col(s"t$m")): _*)
-    val est = (0 until M).map(m =>
-      element_at(col(s"t$m"), col(s"c$m") + 1)).reduce(_ + _)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("est"), col("neighbor_id"))
-    codes.crossJoin(broadcast(probes))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select((col("q_id") +: col("vec_id").as("neighbor_id") +:
-        (0 until M).map(m => col(s"c$m"))) ++
-        (0 until M).map(m => col(s"t$m")): _*)
-      .withColumn("est", est)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("est"))
-      .orderBy(col("q_id"), col("rank"))
+    val probes = vecs.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    adcServe(codes, books, probes, k, excludeSelf = true)
   }
+
+  /** Persist the trained codebooks as a parquet artifact — rows
+    * (m, j, s, n); the PQ counterpart of
+    * [[Embeddings.saveQuantizer]]: a deployment trains once
+    * ([[trainCodebooks]]) and every serving job loads the
+    * exact-integer artifact instead of re-paying the training scans.
+    * M·K rows — broadcast-sized by construction. */
+  def saveCodebooks(spark: SparkSession, books: Seq[Seq[Centroid]], path: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex
+      .flatMap { case (b, m) => b.map(c => (m, c.j, c.s, c.n)) }
+      .toDF("m", "j", "s", "n")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCodebooks]] artifact: M books, each sorted by seed
+    * id j — the CODE ORDER serving depends on. */
+  def loadCodebooks(spark: SparkSession, path: String): Seq[Seq[Centroid]] = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getAs[Int]("m"),
+        Centroid(r.getAs[Long]("j"), r.getAs[collection.Seq[Long]]("s").toSeq,
+          r.getAs[Long]("n"))))
+    require(rows.map(_._1).toSet == (0 until M).toSet,
+      s"codebook artifact at $path does not cover subspaces 0 until $M")
+    (0 until M).map(m => rows.collect { case (`m`, c) => c }.sortBy(_.j).toSeq)
+  }
+
+  /** Quantize an external query batch (q_id, embedding: array<float>)
+    * onto the corpus grid — same floor(x·10³) contract as
+    * [[Embeddings.quantized]], so an external query and a corpus
+    * vector with equal embeddings get equal ADC tables. */
+  def quantizeQueries(queries: DataFrame): DataFrame = {
+    graft.functions.VecDot.register(queries.sparkSession)
+    queries.select(col("q_id"),
+      transform(col("embedding"), x => floor(x.cast("double") * 1000)).as("qv"))
+  }
+
+  /** The serving-path codes relation for a corpus dir (built from a
+    * loaded artifact; persisted by the caller if reused). */
+  def buildCodes(spark: SparkSession, dir: String, books: Seq[Seq[Centroid]]): DataFrame =
+    encode(Embeddings.quantized(spark, dir), books)
 
   /** q78 — kNN label classification over the PQ index: each probe
     * votes its k PQ-nearest neighbors' labels (majority; ties to the

@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
 object RecallReport {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 1, "usage: RecallReport <sfDir>")
+    require(args.length == 1 || args.length == 2,
+      "usage: RecallReport <sfDir> [targetCell]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,22 +36,25 @@ object RecallReport {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try println(report(spark, args(0)))
+    try println(report(spark, args(0),
+      if (args.length == 2) args(1).toInt
+      else graft.ops.Embeddings.OracleTargetCell))
     finally spark.stop()
   }
 
   /** One JSON line of overlap stats (pure function of the two
     * drop-lists; RecallReportSpec certifies the arithmetic on a
     * fixture corpus where the expected sets are known). */
-  def report(spark: SparkSession, dir: String): String = {
-    val exact = graft.ops.Embeddings.semanticDedupScaled(spark, dir)
+  def report(spark: SparkSession, dir: String,
+             targetCell: Int = graft.ops.Embeddings.OracleTargetCell): String = {
+    val exact = graft.ops.Embeddings.semanticDedupScaled(spark, dir, targetCell = targetCell)
       .select(col("vec_id"), col("keep").as("keep_exact"))
     // both paths recompute from the raw table; materialize the exact
     // side before releasing its lineage caches so the two runs don't
     // share (and double-count) cached subtrees
     val exactRows = exact.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     graft.ops.Caches.releaseAll(spark)
-    val two = graft.ops.Embeddings.semanticDedupTwoLevel(spark, dir)
+    val two = graft.ops.Embeddings.semanticDedupTwoLevel(spark, dir, targetCell = targetCell)
       .select(col("vec_id"), col("keep").as("keep_two"))
     val twoRows = two.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     graft.ops.Caches.releaseAll(spark)

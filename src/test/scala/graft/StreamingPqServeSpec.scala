@@ -1,0 +1,90 @@
+package graft
+
+import graft.ops.{Embeddings, Pq}
+import graft.stream.StreamingPqServe
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+/** The streaming PQ serving seam: a stream of query vectors scored
+  * against the PERSISTED codebook artifact + codes relation must
+  * agree bit-for-bit with the batch q77 path — across micro-batch
+  * boundaries, so the per-batch plan provably carries no cross-batch
+  * state. Also pins the artifact round-trip and the external-id
+  * default. */
+class StreamingPqServeSpec extends SparkSpec {
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  test("codebook artifact round-trips bit-for-bit") {
+    val vecs = Embeddings.quantized(spark, SfDir)
+    val books = Pq.trainCodebooks(vecs)
+    val path = Files.createTempDirectory("pqbooks").toString
+    Pq.saveCodebooks(spark, books, path)
+    val loaded = Pq.loadCodebooks(spark, path)
+    assert(loaded == books, "loaded codebooks diverged from the trained ones")
+    graft.ops.Caches.releaseAll(spark)
+  }
+
+  test("stream of query vectors ≡ batch pqTopK, across two micro-batches") {
+    assume(new java.io.File(SfDir).isDirectory, "testdata not present")
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // train once → persist → load: the deployment trajectory
+    val artifact = Files.createTempDirectory("pqbooks").toString
+    Pq.saveCodebooks(spark,
+      Pq.trainCodebooks(Embeddings.quantized(spark, SfDir)), artifact)
+
+    def key(r: Row): (Long, Long) = (r.getAs[Long]("q_id"), r.getAs[Long]("rank"))
+    def value(r: Row): (Long, Long) =
+      (r.getAs[Long]("neighbor_id"), r.getAs[Long]("est"))
+    // the batch twin IS the q77 oracle-certified path
+    val batch = Pq.pqTopK(spark, SfDir, k = 5, queryMod = 50)
+      .collect().map(r => key(r) -> value(r)).toMap
+    assert(batch.nonEmpty)
+
+    val queryVecs = graft.ops.Tables.embeddings(spark, SfDir)
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(queryVecs.length >= 2, "need at least two queries to split across batches")
+    val (firstHalf, secondHalf) = queryVecs.splitAt(queryVecs.length / 2)
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val got = collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    val ckpt = Files.createTempDirectory("pqserve-ckpt").toString
+    val q = StreamingPqServe.run(spark,
+      input.toDF().toDF("q_id", "embedding"),
+      SfDir, artifact, ckpt, k = 5, excludeSelf = true) { scored =>
+      scored.collect().foreach(r => got += key(r) -> value(r))
+    }
+    try {
+      input.addData(firstHalf.toSeq)
+      q.processAllAvailable()
+      val afterFirst = got.keySet.map(_._1)
+      assert(afterFirst == firstHalf.map(_._1).toSet,
+        "first micro-batch must serve exactly its own queries")
+      input.addData(secondHalf.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.toMap == batch,
+      "streamed PQ serving diverged from the batch q77 path")
+
+    // external-id default: a query whose q_id collides with a corpus
+    // vec_id must still see that vector — with equal embeddings the
+    // ADC estimate of a vector against its own codes is the minimum
+    // possible for that code combination, so the collision surfaces
+    // at rank 1 where the corpus-id mode would drop it
+    val (cid, cemb) = queryVecs.head
+    val books = Pq.loadCodebooks(spark, artifact)
+    val codes = Pq.buildCodes(spark, SfDir, books)
+    val external = Pq.quantizeQueries(Seq((cid, cemb)).toDF("q_id", "embedding"))
+    val kept = Pq.adcServe(codes, books, external, k = 5).collect()
+    assert(kept.length == 5 && kept.exists(r => r.getAs[Long]("neighbor_id") == cid),
+      "external-id serving must not drop an id-colliding vector")
+    graft.ops.Caches.releaseAll(spark)
+  }
+}
