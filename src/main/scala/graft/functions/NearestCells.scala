@@ -58,6 +58,42 @@ case class NearestCells(qv: Expression, nrm: Expression, table: CellTable)
     copy(qv = newLeft, nrm = newRight)
 }
 
+/** [[NearestCells]]' sibling for the SERVING path: the `nprobe`
+  * nearest cell ids, ordered (dist ASC, id ASC) — the fused form of
+  * the probe-cells expression (array_sort over nCells struct
+  * subtrees), with the same O(1)-plan-size rationale. Exact mode
+  * only: probing ranks ALL cells, which is what the q31 serve oracle
+  * pins. */
+case class ProbeCells(qv: Expression, nrm: Expression, table: CellTable, nprobe: Int)
+  extends BinaryExpression {
+
+  require(nprobe >= 1, "nprobe must be positive")
+  require(table.groupStart.isEmpty, "ProbeCells ranks all cells (exact mode only)")
+
+  override def left: Expression = qv
+  override def right: Expression = nrm
+
+  override def checkInputDataTypes(): TypeCheckResult = (qv.dataType, nrm.dataType) match {
+    case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"probe_cells needs (array<bigint>, bigint), got ${l.catalogString} and ${r.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "probe_cells"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    table.probe(a.asInstanceOf[ArrayData], b.asInstanceOf[Long], nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellTable", table, classOf[CellTable].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.probe($a, $b, $nprobe)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): ProbeCells =
+    copy(qv = newLeft, nrm = newRight)
+}
+
 /** The flattened centroid matrix a [[NearestCells]] expression carries.
   *
   * Cells live in EVALUATION ORDER (the tie-break order: sorted by id
@@ -110,6 +146,45 @@ final class CellTable(val dim: Int,
       i += 1
     }
     cellJ(bestI)
+  }
+
+  /** The `nprobe` nearest cell ids ordered (dist ASC, id ASC) — the
+    * semantics of lexicographic array_sort over (dist, j) structs
+    * followed by a head slice, as one insertion pass (nprobe is
+    * small by contract). Cells arrive id-sorted, so among equal
+    * distances the earlier index IS the smaller id. */
+  def probe(qv: ArrayData, nrm: Long, nprobe: Int): ArrayData = {
+    val kk = math.min(nprobe, cellJ.length)
+    val topD = new Array[Double](kk)
+    val topI = new Array[Int](kk)
+    var filled = 0
+    var i = 0
+    while (i < cellJ.length) {
+      val n = cellN(i)
+      val num = n * n * nrm - 2L * n * dot(qv, cellS, i * dim) + cellSumS2(i)
+      val d = num.toDouble / (n.toDouble * n.toDouble)
+      // shift only STRICTLY worse entries, so a later candidate with
+      // an equal distance lands after (larger index = larger id), and
+      // never evicts an equal-distance incumbent — array_sort's
+      // (dist, id) lexicographic order exactly
+      if (filled < kk) {
+        var p = filled
+        while (p > 0 && topD(p - 1) > d) {
+          topD(p) = topD(p - 1); topI(p) = topI(p - 1); p -= 1
+        }
+        topD(p) = d; topI(p) = i
+        filled += 1
+      } else if (d < topD(kk - 1)) {
+        var p = kk - 1
+        while (p > 0 && topD(p - 1) > d) {
+          topD(p) = topD(p - 1); topI(p) = topI(p - 1); p -= 1
+        }
+        topD(p) = d; topI(p) = i
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      topI.take(filled).map(cellJ(_)))
   }
 
   def assign(qv: ArrayData, nrm: Long): Long =

@@ -90,16 +90,16 @@ object Embeddings {
     * 10-cell config costs 90.4 s and `cellsFor`-scale cells (100)
     * cost 20.0 s — the dial that restores the linear trend.
     *
-    * Design bound: assignment inlines each centroid as a PLAN LITERAL
-    * (the zero-shuffle [[nearestCell]] form), which is the right trade
-    * up to O(10²-10³) cells — measured 625 literal cells complete
-    * but pay ~30 s of plan/codegen overhead. With the 2048 default
-    * that bound is reached around N ≈ 2M vectors per quantizer; past
-    * it, shard the corpus (each shard trains its own quantizer — the
-    * federation shape ScaleUp demonstrates) or route through
+    * Design bound (round 9): assignment is the zero-shuffle
+    * [[nearestCell]] form over a REFERENCE-DATA centroid table
+    * ([[graft.functions.NearestCells]] — O(1) plan size at any cell
+    * count; the earlier per-centroid plan literals paid ~30 s of
+    * plan/codegen overhead at 625 cells and capped the form at
+    * O(10²-10³) cells). The remaining per-row cost is nCells fused
+    * distance loops; past O(10³) cells route through
     * [[nearestCellTwoLevel]] / [[assignCells]] — the coarse-over-
-    * coarse two-level IVF, implemented: ~2·√nCells distance evals
-    * per row instead of nCells. */
+    * coarse two-level IVF: ~2·√nCells distance evals per row — or
+    * shard the corpus per quantizer (the ScaleUp federation shape). */
   def cellsFor(n: Long, targetCell: Int = 2048): Int = {
     require(n > 0 && targetCell > 0, "need positive corpus and cell sizes")
     math.max(OracleCells.toLong, (n + targetCell - 1) / targetCell).toInt
@@ -567,7 +567,8 @@ object Embeddings {
     val cands = indexOf(vecs, cents)
     val qs = vecs.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("qv").as("q_v"),
-        col("nrm").as("q_n"), explode(probeCellsCol(cents, nprobe)).as("cell"))
+        col("nrm").as("q_n"),
+        explode(probeCellsCol(vecs.sparkSession, cents, nprobe)).as("cell"))
     // queries ARE corpus vectors here → exclude the self-match
     scoreTopK(cands.join(broadcast(qs), Seq("cell")), k, excludeSelf = true)
   }
@@ -584,11 +585,17 @@ object Embeddings {
     * carrying (qv, nrm): sort struct(dist, id) — lexicographic, so
     * ties break to the smallest cell id — and keep the first nprobe
     * ids. Shared by both serving paths. */
-  private def probeCellsCol(cents: Seq[Centroid], nprobe: Int) =
-    slice(transform(
-      array_sort(array(cents.map(c =>
-        struct(scaledDist(c).as("dist"), lit(c.j).as("j"))): _*)),
-      e => e.getField("j")), 1, nprobe)
+  private def probeCellsCol(spark: SparkSession, cents: Seq[Centroid],
+                            nprobe: Int): Column = {
+    val table = cellTable(cents)
+    val name = s"probe_cells_${java.lang.System.identityHashCode(table).toHexString}_$nprobe"
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name,
+      { case Seq(a, b) => graft.functions.ProbeCells(a, b, table, nprobe)
+        case _ => throw new IllegalArgumentException(s"$name(qv, nrm) takes 2 arguments") },
+      "built-in")
+    expr(s"$name(qv, nrm)")
+  }
 
   /** The serving-side INDEX for [[serveQueryBatch]]: every corpus
     * vector with its home cell under `cents` — built (and typically
@@ -629,7 +636,8 @@ object Embeddings {
         transform(col("embedding"), x => floor(x.cast("double") * 1000)).as("qv"))
       .withColumn("nrm", expr("vec_dot(qv, qv)"))
     val qs = q.select(col("q_id"), col("qv").as("q_v"),
-      col("nrm").as("q_n"), explode(probeCellsCol(cents, nprobe)).as("cell"))
+      col("nrm").as("q_n"),
+      explode(probeCellsCol(queries.sparkSession, cents, nprobe)).as("cell"))
     scoreTopK(index.join(broadcast(qs), Seq("cell")), k, excludeSelf)
   }
 

@@ -101,6 +101,35 @@ class NearestCellsProperties extends SparkSpec {
     assert(!got.contains(9L), "a tie resolved away from the first minimum")
   }
 
+  test("ProbeCells returns the nprobe (dist, id)-lexicographic head, incl. ties") {
+    graft.functions.VecDot.register(spark)
+    val s = spark
+    import s.implicits._
+    val shared = randVec(200)
+    // duplicate centroid vectors with different n so several DISTINCT
+    // cells produce exactly equal distances
+    val cents = (Seq(C(5L, shared, 3L), C(12L, shared, 3L), C(20L, shared, 3L)) ++
+      (0 until 20).map(i => C(30L + i, randVec(200), 1L + rnd.nextInt(40)))).sortBy(_.j)
+    val vecs = Seq.fill(120)(randVec(200))
+    for (nprobe <- Seq(1, 2, 4, 30)) {
+      val table = tableOf(cents, Nil, Nil)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "pc_test", { case Seq(a, b) => graft.functions.ProbeCells(a, b, table, nprobe) },
+        "built-in")
+      val got = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("id", "qv")
+        .withColumn("nrm", expr("vec_dot(qv, qv)"))
+        .select(col("id"), expr("pc_test(qv, nrm)").as("cells"))
+        .collect().sortBy(_.getLong(0))
+        .map(_.getSeq[Long](1).toList)
+      val want = vecs.map { v =>
+        val nrm = v.map(x => x * x).sum
+        cents.map(c => (modelDist(v, nrm, c), c.j)).sorted.take(nprobe).map(_._2).toList
+      }
+      assert(got.toSeq == want, s"probe head diverged at nprobe=$nprobe")
+    }
+  }
+
   test("two-level form matches the model (supers route, members resolve, ties first)") {
     graft.functions.VecDot.register(spark)
     val groups = (0 until 5).map { g =>
