@@ -110,6 +110,7 @@ object SparkEntry {
     "q76_semantic_twolevel" -> ((s, d) => Embeddings.semanticDedupTwoLevel(s, d)),
     "q77_pq_topk"           -> ((s, d) => Pq.pqTopK(s, d)),
     "q78_knn_classify"      -> ((s, d) => Pq.knnClassify(s, d)),
+    "q79_ivfpq_topk"        -> ((s, d) => Pq.ivfPqTopK(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -397,20 +398,34 @@ object SparkEntry {
     * per-probe ADC table (`pmt`, floor(dist·10⁶) BIGINT — one IEEE
     * division and multiply, so the 4-term sum is exact-integer in
     * both engines). `pqtopk` is the shared serve tail. */
-  private val PqCtes: String = {
+  /** The 16-dim scaled sub-distance of alias `$v`'s `sv` slice to
+    * sub-centroid alias `$c` — the ONE distance formula of the PQ
+    * family's replay (training, encoding, ADC tables, q79's
+    * per-probed-cell tables). */
+  private def PqSubDist(c: String, v: String): String =
+    s"""CAST(list_sum(list_transform(generate_series(1,16),
+           i -> ($c.n*$v.sv[i]-$c.s[i])*($c.n*$v.sv[i]-$c.s[i]))) AS DOUBLE)
+           / CAST($c.n*$c.n AS DOUBLE)"""
+
+  /** PQ trajectory replay over the (vec_id, qv) relation named `src`:
+    * per subspace m (prefix `pm`) Forgy seed, 2 keep-previous Lloyd's
+    * rounds, code index `pmcd`, corpus codes `pmf`, per-probe ADC
+    * tables `pmt`, plus the shared `sdims`/`probes` and the plain-ADC
+    * serve tail `pqest`/`pqtopk`. q77/q78 instantiate it over the raw
+    * quantized grid; q79 instantiates it over the IVF RESIDUAL
+    * relation (and serves through its own per-cell tables — the
+    * plain tail prunes away unreferenced). */
+  private def pqCtes(src: String): String = {
     require(Embeddings.OracleIters == 2,
-      "PqCtes structurally unrolls exactly 2 Lloyd's rounds — re-derive the replay SQL")
+      "pqCtes structurally unrolls exactly 2 Lloyd's rounds — re-derive the replay SQL")
     require(Pq.M == 4 && Pq.SubDim == 16 && Pq.K == 16,
-      "PqCtes hard-codes the 4×16 subspace grid and K=16 — re-derive the replay SQL")
+      "pqCtes hard-codes the 4×16 subspace grid and K=16 — re-derive the replay SQL")
     def sub(m: Int): String = {
       val o = m * Pq.SubDim
       val p = s"p$m"
-      def dist(c: String, v: String) =
-        s"""CAST(list_sum(list_transform(generate_series(1,16),
-               i -> ($c.n*$v.sv[i]-$c.s[i])*($c.n*$v.sv[i]-$c.s[i]))) AS DOUBLE)
-               / CAST($c.n*$c.n AS DOUBLE)"""
+      def dist(c: String, v: String) = PqSubDist(c, v)
       def round(r: Int) =
-        s"""${p}a$r AS (SELECT vec_id, j FROM (
+        s"""${p}a$r AS MATERIALIZED (SELECT vec_id, j FROM (
                SELECT v.vec_id, c.j,
                  row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dist("c", "v")}, c.j) AS rn
                FROM ${p}v v, ${p}c${r - 1} c) t WHERE rn = 1),
@@ -419,27 +434,24 @@ object SparkEntry {
            ${p}n$r AS (SELECT j, CAST(count(*) AS BIGINT) AS n FROM ${p}a$r GROUP BY j),
            ${p}u$r AS (SELECT s.j, list(sv ORDER BY d) AS s, n.n
                FROM ${p}s$r s JOIN ${p}n$r n USING (j) GROUP BY s.j, n.n),
-           ${p}c$r AS (SELECT prev.j, coalesce(u.s, prev.s) AS s, coalesce(u.n, prev.n) AS n
+           ${p}c$r AS MATERIALIZED (SELECT prev.j, coalesce(u.s, prev.s) AS s, coalesce(u.n, prev.n) AS n
                FROM ${p}c${r - 1} prev LEFT JOIN ${p}u$r u USING (j))"""
-      s"""${p}v AS (SELECT vec_id, list_transform(generate_series(1,16), i -> qv[i+$o]) AS sv FROM q),
-           ${p}c0 AS (SELECT vec_id AS j, sv AS s, CAST(1 AS BIGINT) AS n
+      s"""${p}v AS MATERIALIZED (SELECT vec_id, list_transform(generate_series(1,16), i -> qv[i+$o]) AS sv FROM $src),
+           ${p}c0 AS MATERIALIZED (SELECT vec_id AS j, sv AS s, CAST(1 AS BIGINT) AS n
                FROM ${p}v ORDER BY vec_id LIMIT ${Pq.K}),
            ${round(1)},
            ${round(2)},
-           ${p}cd AS (SELECT j, row_number() OVER (ORDER BY j) - 1 AS code FROM ${p}c2),
-           ${p}f AS (SELECT vec_id, code FROM (
+           ${p}cd AS MATERIALIZED (SELECT j, row_number() OVER (ORDER BY j) - 1 AS code FROM ${p}c2),
+           ${p}f AS MATERIALIZED (SELECT vec_id, code FROM (
                SELECT v.vec_id, x.code,
                  row_number() OVER (PARTITION BY v.vec_id ORDER BY ${dist("c", "v")}, c.j) AS rn
                FROM ${p}v v, ${p}c2 c JOIN ${p}cd x USING (j)) t WHERE rn = 1),
-           ${p}t AS (SELECT v.vec_id AS q_id, x.code,
+           ${p}t AS MATERIALIZED (SELECT v.vec_id AS q_id, x.code,
                  CAST(floor((${dist("c", "v")}) * 1000000.0) AS BIGINT) AS dq
                FROM ${p}v v JOIN probes USING (vec_id), ${p}c2 c JOIN ${p}cd x USING (j))"""
     }
-    s"""q AS (
-           SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
-           FROM embeddings),
-         sdims AS (SELECT unnest(generate_series(1,16)) AS d),
-         probes AS (SELECT vec_id FROM q WHERE vec_id % 50 = 0),
+    s"""sdims AS (SELECT unnest(generate_series(1,16)) AS d),
+         probes AS (SELECT vec_id FROM $src WHERE vec_id % 50 = 0),
          ${(0 until Pq.M).map(sub).mkString(",\n         ")},
          pqest AS (
            SELECT t0.q_id, f0.vec_id AS neighbor_id,
@@ -457,6 +469,59 @@ object SparkEntry {
            SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, est FROM (
              SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
              FROM pqest) t WHERE rn <= 5)"""
+  }
+
+  /** q77/q78's instantiation: the PQ trajectory over the raw
+    * quantized grid. */
+  private val PqCtes: String =
+    s"""q AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         ${pqCtes("q")}"""
+
+  /** q79's replay — IVFADC: the [[IvfCtes]] coarse trajectory, each
+    * cell's [[graft.ops.Embeddings.meanGrid]] integer mean, exact
+    * integer RESIDUALS, the PQ trajectory trained over the residual
+    * relation ([[pqCtes]]("irq")), then the IVFADC serve: nprobe=2
+    * cells per probe (dist ASC, id ASC — the fused ProbeCells
+    * semantics), one ADC table per (probe, probed cell) over the
+    * probe's residual AGAINST THAT CELL, exact-integer estimate sum,
+    * ties (est, neighbor_id), self excluded. */
+  private val IvfPqCtes: String = {
+    def ipt(m: Int): String = {
+      val o = m * Pq.SubDim
+      val p = s"p$m"
+      s"""ipt$m AS MATERIALIZED (SELECT p.q_id, p.cell, x.code,
+               CAST(floor((${PqSubDist("c", "p")}) * 1000000.0) AS BIGINT) AS dq
+             FROM (SELECT q_id, cell, list_transform(generate_series(1,16), i -> qv[i+$o]) AS sv
+                   FROM iprq) p,
+                  ${p}c2 c JOIN ${p}cd x USING (j))"""
+    }
+    s"""$IvfCtes,
+         igr AS MATERIALIZED (SELECT j AS cell, list_transform(generate_series(1,64),
+               i -> CAST(floor(CAST(s[i] AS DOUBLE)/CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS g
+             FROM c2),
+         irq AS MATERIALIZED (SELECT v.vec_id, list_transform(generate_series(1,64), i -> v.qv[i] - g.g[i]) AS qv
+             FROM v JOIN af ON af.vec_id = v.vec_id JOIN igr g ON g.cell = af.j),
+         ${pqCtes("irq")},
+         icodes AS MATERIALIZED (SELECT f0.vec_id, af.j AS cell,
+               f0.code AS cc0, f1.code AS cc1, f2.code AS cc2, f3.code AS cc3
+             FROM p0f f0 JOIN p1f f1 USING (vec_id) JOIN p2f f2 USING (vec_id)
+             JOIN p3f f3 USING (vec_id) JOIN af USING (vec_id)),
+         ipc AS MATERIALIZED (SELECT vec_id AS q_id, j AS cell FROM (
+               SELECT v.vec_id, c.j, row_number() OVER (PARTITION BY v.vec_id ORDER BY ${IvfDist("c")}, c.j) AS rn
+               FROM v, c2 c WHERE v.vec_id % 50 = 0) t WHERE rn <= 2),
+         iprq AS MATERIALIZED (SELECT pc.q_id, pc.cell, list_transform(generate_series(1,64), i -> v.qv[i] - g.g[i]) AS qv
+             FROM ipc pc JOIN v ON v.vec_id = pc.q_id JOIN igr g ON g.cell = pc.cell),
+         ${(0 until Pq.M).map(ipt).mkString(",\n         ")},
+         iest AS MATERIALIZED (SELECT t0.q_id, cd.vec_id AS neighbor_id,
+               (t0.dq + t1.dq + t2.dq + t3.dq) AS est
+             FROM icodes cd
+             JOIN ipt0 t0 ON t0.cell = cd.cell AND t0.code = cd.cc0
+             JOIN ipt1 t1 ON t1.q_id = t0.q_id AND t1.cell = cd.cell AND t1.code = cd.cc1
+             JOIN ipt2 t2 ON t2.q_id = t0.q_id AND t2.cell = cd.cell AND t2.code = cd.cc2
+             JOIN ipt3 t3 ON t3.q_id = t0.q_id AND t3.cell = cd.cell AND t3.code = cd.cc3
+             WHERE cd.vec_id <> t0.q_id)"""
   }
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
@@ -1591,5 +1656,15 @@ object SparkEntry {
            CAST(sum(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
          FROM pred p JOIN embeddings e ON e.vec_id = p.q_id
          GROUP BY e.label ORDER BY e.label""",
+    // IVFADC: coarse IVF routing + PQ residual codes, nprobe=2 serve
+    // over a cell equi-join (IvfPqCtes replays coarse training,
+    // residuals, shared-codebook training, probing, and the
+    // per-(probe, cell) ADC tables bit-for-bit)
+    "q79_ivfpq_topk" ->
+      s"""WITH $IvfPqCtes
+         SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, est FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
+           FROM iest) t
+         WHERE rn <= 5 ORDER BY q_id, rank""",
   )
 }

@@ -347,7 +347,7 @@ object Embeddings {
     * engine reproduces the grid bit-for-bit from the exact (s, n)
     * pair. The shared rounding rule of the two-level router (centroid
     * mean grid, group-mean updates, super-centroids). */
-  private def meanGrid(s: Seq[Long], n: Long): IndexedSeq[Long] =
+  private[ops] def meanGrid(s: Seq[Long], n: Long): IndexedSeq[Long] =
     s.map(v => math.floor(v.toDouble / n.toDouble + 0.5).toLong).toIndexedSeq
 
   /** Deterministic exact-replayable grouping of `cents` (sorted by j)
@@ -585,7 +585,7 @@ object Embeddings {
     * carrying (qv, nrm): sort struct(dist, id) — lexicographic, so
     * ties break to the smallest cell id — and keep the first nprobe
     * ids. Shared by both serving paths. */
-  private def probeCellsCol(spark: SparkSession, cents: Seq[Centroid],
+  private[ops] def probeCellsCol(spark: SparkSession, cents: Seq[Centroid],
                             nprobe: Int): Column = {
     val table = cellTable(cents)
     val name = s"probe_cells_${java.lang.System.identityHashCode(table).toHexString}_$nprobe"

@@ -166,10 +166,11 @@ object Pq {
   /** The PQ CODES relation (vec_id, c0..c3): the 64×-compressed
     * corpus representation. A scan-riding projection — M·K literal
     * sub-centroid distances per row, all codegen, zero shuffle. */
-  private[graft] def encode(vecs: DataFrame, books: Seq[Seq[Centroid]]): DataFrame =
+  private[graft] def encode(vecs: DataFrame, books: Seq[Seq[Centroid]],
+                            keep: Seq[String] = Nil): DataFrame =
     (0 until M).foldLeft(vecs) { (df, m) =>
       withSlice(df, m)(d => d.withColumn(s"c$m", nearestSubCode(books(m))))
-    }.select(col("vec_id") +: (0 until M).map(m => col(s"c$m")): _*)
+    }.select(col("vec_id") +: ((0 until M).map(m => col(s"c$m")) ++ keep.map(col)): _*)
 
   /** The ADC serve: `codes` (vec_id, c0..c3 — the compressed corpus)
     * × broadcast probe batch (`probes` carries q_id + exact qv),
@@ -264,6 +265,85 @@ object Pq {
     * loaded artifact; persisted by the caller if reused). */
   def buildCodes(spark: SparkSession, dir: String, books: Seq[Seq[Centroid]]): DataFrame =
     encode(Embeddings.quantized(spark, dir), books)
+
+  /** q79 — IVFADC: the production composition of the ANN family
+    * (IVF routing + PQ residual codes — the FAISS `IVFx,PQy` shape).
+    * Plain PQ (q77) must scan every code per probe; IVFADC first
+    * routes the corpus into the trained IVF cells, PQ-encodes each
+    * vector's RESIDUAL from its cell's integer mean grid, and serves
+    * by probing only each query's `nprobe` nearest cells — the
+    * candidate join becomes a cell EQUI-join (the q31 serving shape),
+    * touching nprobe/nCells of the codes instead of all of them,
+    * while the codes stay 64×-compressed.
+    *
+    * Exact-replayable construction (the q79 oracle replays it all):
+    *  - coarse quantizer: [[Embeddings.trainQuantizer]]'s pinned
+    *    trajectory (Forgy seed, 2 exact-integer Lloyd's rounds);
+    *  - residual: qv − meanGrid(cell) — the [[Embeddings.meanGrid]]
+    *    pinned single-division rounding, so residuals are exact
+    *    integers;
+    *  - ONE shared PQ codebook set trained on the residual relation
+    *    (FAISS's default: codebooks shared across cells, trained on
+    *    residuals) via the same [[trainCodebooks]] trajectory;
+    *  - serve: probe cells ranked by the fused
+    *    [[graft.ops.Embeddings.probeCellsCol]] (dist ASC, id ASC);
+    *    per (probe, probed cell) one ADC table over the probe's
+    *    residual AGAINST THAT CELL; estimate = exact-integer sum of M
+    *    lookups; ties (est ASC, neighbor_id ASC); self excluded.
+    *
+    * Plan shape at 100 TB: the probe side (nprobe rows per query,
+    * each carrying M lookup arrays) broadcasts into a cell equi-join
+    * against the codes scan — no BNLJ, no corpus shuffle; per-row
+    * serve work is M lookups + adds. Build cost is the q31 training
+    * passes + one residual projection + the q77 one-job-per-round
+    * codebook training. */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+                k: Int = 5, queryMod: Int = 50, nprobe: Int = 2,
+                nCells: Int = Embeddings.OracleCells,
+                iters: Int = Embeddings.OracleIters): DataFrame = {
+    val vecs = Caches.persist(Embeddings.quantized(spark, dir))
+    val cents = Embeddings.trainQuantizer(spark, dir, nCells, iters).sortBy(_.j)
+    val gridDf = {
+      import spark.implicits._
+      cents.map(c => (c.j, Embeddings.meanGrid(c.s, c.n))).toDF("cell", "grid")
+    }
+    // corpus side: home cell (the ONE index definition) -> integer
+    // residual from the cell's mean grid -> shared-codebook PQ codes
+    val assigned = Embeddings.serveIndex(spark, dir, cents)
+      .select(col("neighbor_id").as("vec_id"), col("c_v").as("qv"), col("cell"))
+    val residuals = Caches.persist(assigned
+      .join(broadcast(gridDf), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("qv"), col("grid"), (a, b) => a - b).as("qv")))
+    val books = trainCodebooks(residuals, iters)
+    val codes = encode(residuals, books, keep = Seq("cell"))
+    // probe side: nprobe nearest cells per query, then the residual
+    // AGAINST EACH PROBED CELL and its M ADC lookup arrays
+    val probes = vecs.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("qv"), col("nrm"),
+        explode(Embeddings.probeCellsCol(spark, cents, nprobe)).as("cell"))
+    val ptabs = (0 until M).foldLeft(
+      probes.join(broadcast(gridDf), "cell")
+        .select(col("q_id"), col("cell"),
+          zip_with(col("qv"), col("grid"), (a, b) => a - b).as("qv"))) { (df, m) =>
+        withSlice(df, m)(d => d.withColumn(s"t$m", quantizedSubDist(books(m))))
+      }
+      .select(col("q_id") +: col("cell") +: (0 until M).map(m => col(s"t$m")): _*)
+    val est = (0 until M).map(m =>
+      element_at(col(s"t$m"), col(s"c$m") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("est"), col("neighbor_id"))
+    codes.join(broadcast(ptabs), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select((col("q_id") +: col("vec_id").as("neighbor_id") +:
+        (0 until M).map(m => col(s"c$m"))) ++
+        (0 until M).map(m => col(s"t$m")): _*)
+      .withColumn("est", est)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("est"))
+      .orderBy(col("q_id"), col("rank"))
+  }
 
   /** q78 — kNN label classification over the PQ index: each probe
     * votes its k PQ-nearest neighbors' labels (majority; ties to the

@@ -127,6 +127,45 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.08, s"PQ recall@5 collapsed to $recall")
   }
 
+  test("ivfPqTopK: candidates come only from the probe's nprobe cells; k rows per probe; deterministic") {
+    val k = 5; val queryMod = 50; val nprobe = 2
+    val cents = Embeddings.trainQuantizer(spark, dir).sortBy(_.j)
+    // plain-Scala replica of the coarse geometry: home cell per vector
+    // and the nprobe nearest cells per probe (scaledDist + first-min /
+    // (dist, id)-lexicographic semantics)
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toIndexedSeq))
+      .toMap
+    def cellDist(v: IndexedSeq[Long], c: Embeddings.Centroid): Double = {
+      val nrm = v.map(x => x * x).sum
+      var dot = 0L
+      var d = 0
+      while (d < v.length) { dot += v(d) * c.s(d); d += 1 }
+      (c.n * c.n * nrm - 2L * c.n * dot + c.s.map(x => x * x).sum).toDouble /
+        (c.n.toDouble * c.n.toDouble)
+    }
+    def homeCell(v: IndexedSeq[Long]): Long =
+      cents.minBy(c => (cellDist(v, c), c.j)).j
+    def probeCells(v: IndexedSeq[Long]): Set[Long] =
+      cents.map(c => (cellDist(v, c), c.j)).sorted.take(nprobe).map(_._2).toSet
+    val rows = Pq.ivfPqTopK(spark, dir, k, queryMod, nprobe).collect()
+    val probes = raw.keySet.filter(_ % queryMod == 0)
+    assert(rows.map(_.getLong(0)).toSet == probes)
+    probes.foreach(p => assert(rows.count(_.getLong(0) == p) == k))
+    rows.foreach { r =>
+      val (q, nb) = (r.getLong(0), r.getLong(2))
+      assert(nb != q)
+      assert(probeCells(raw(q)).contains(homeCell(raw(nb))),
+        s"neighbor $nb of probe $q lives outside the probed cells")
+    }
+    graft.ops.Caches.releaseAll(spark)
+    val again = Pq.ivfPqTopK(spark, dir, k, queryMod, nprobe).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "non-deterministic serve")
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("knnClassify: per-label counts roll up the per-probe majority votes") {
     val k = 5; val queryMod = 50
     val labels = spark.read.parquet(s"$dir/embeddings.parquet")
