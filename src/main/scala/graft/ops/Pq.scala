@@ -302,28 +302,72 @@ object Pq {
                 nCells: Int = Embeddings.OracleCells,
                 iters: Int = Embeddings.OracleIters): DataFrame = {
     val vecs = Caches.persist(Embeddings.quantized(spark, dir))
-    val cents = Embeddings.trainQuantizer(spark, dir, nCells, iters).sortBy(_.j)
-    val gridDf = {
-      import spark.implicits._
-      cents.map(c => (c.j, Embeddings.meanGrid(c.s, c.n))).toDF("cell", "grid")
-    }
-    // corpus side: home cell (the ONE index definition) -> integer
-    // residual from the cell's mean grid -> shared-codebook PQ codes
-    val assigned = Embeddings.serveIndex(spark, dir, cents)
-      .select(col("neighbor_id").as("vec_id"), col("c_v").as("qv"), col("cell"))
-    val residuals = Caches.persist(assigned
-      .join(broadcast(gridDf), "cell")
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("qv"), col("grid"), (a, b) => a - b).as("qv")))
-    val books = trainCodebooks(residuals, iters)
-    val codes = encode(residuals, books, keep = Seq("cell"))
-    // probe side: nprobe nearest cells per query, then the residual
-    // AGAINST EACH PROBED CELL and its M ADC lookup arrays
+    val (cents, books) = trainIvfPq(spark, dir, nCells, iters)
+    val codes = ivfPqCodes(spark, dir, cents, books)
     val probes = vecs.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("qv"), col("nrm"),
-        explode(Embeddings.probeCellsCol(spark, cents, nprobe)).as("cell"))
+      .select(col("vec_id").as("q_id"), col("qv"))
+    ivfPqServe(codes, cents, books, probes, k, nprobe, excludeSelf = true)
+  }
+
+  /** The q79 BUILD stage alone: the coarse quantizer's pinned
+    * trajectory plus the shared residual codebooks — the pair a
+    * deployment persists ([[Embeddings.saveQuantizer]] +
+    * [[saveCodebooks]]) so serving jobs never re-pay the training
+    * scans ([[graft.stream.StreamingIvfPqServe]]). */
+  def trainIvfPq(spark: SparkSession, dir: String,
+                 nCells: Int = Embeddings.OracleCells,
+                 iters: Int = Embeddings.OracleIters): (Seq[Centroid], Seq[Seq[Centroid]]) = {
+    val cents = Embeddings.trainQuantizer(spark, dir, nCells, iters).sortBy(_.j)
+    val books = trainCodebooks(Caches.persist(residualsOf(spark, dir, cents)), iters)
+    (cents, books)
+  }
+
+  /** Each cell's integer mean grid as a broadcastable relation. */
+  private def gridDfOf(spark: SparkSession, cents: Seq[Centroid]): DataFrame = {
+    import spark.implicits._
+    cents.map(c => (c.j, Embeddings.meanGrid(c.s, c.n))).toDF("cell", "grid")
+  }
+
+  /** (vec_id, cell, qv = exact integer residual from the home cell's
+    * mean grid) — the relation the shared codebooks train and encode
+    * over. Home cell via the ONE index definition
+    * ([[Embeddings.serveIndex]]). */
+  private def residualsOf(spark: SparkSession, dir: String,
+                          cents: Seq[Centroid]): DataFrame =
+    Embeddings.serveIndex(spark, dir, cents)
+      .select(col("neighbor_id").as("vec_id"), col("c_v").as("qv"), col("cell"))
+      .join(broadcast(gridDfOf(spark, cents)), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("qv"), col("grid"), (a, b) => a - b).as("qv"))
+
+  /** The IVFADC index relation (vec_id, cell, c0..c3): home cell +
+    * residual PQ codes — the 64×-compressed, routable corpus
+    * representation a serving deployment persists (partitioned by
+    * cell at scale, so probed cells prune at listing time). */
+  def ivfPqCodes(spark: SparkSession, dir: String,
+                 cents: Seq[Centroid], books: Seq[Seq[Centroid]]): DataFrame =
+    encode(Caches.persist(residualsOf(spark, dir, cents)), books, keep = Seq("cell"))
+
+  /** The q79 SERVE stage: probe each query's `nprobe` nearest cells
+    * (fused [[graft.functions.ProbeCells]] ranking), build one ADC
+    * table per (probe, probed cell) over the probe's residual
+    * AGAINST THAT CELL, and resolve the estimate sum through the
+    * cell EQUI-join against `codes`. `queries` carries (q_id, qv) on
+    * the corpus integer grid (external embeddings go through
+    * [[quantizeQueries]] first). ONE definition shared by the batch
+    * q79 and the streaming seam, so their agreement is an identity. */
+  def ivfPqServe(codes: DataFrame, cents: Seq[Centroid], books: Seq[Seq[Centroid]],
+                 queries: DataFrame, k: Int = 5, nprobe: Int = 2,
+                 excludeSelf: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.VecDot.register(spark)
+    val sorted = cents.sortBy(_.j)
+    val probes = queries
+      .withColumn("nrm", expr("vec_dot(qv, qv)"))
+      .select(col("q_id"), col("qv"), col("nrm"),
+        explode(Embeddings.probeCellsCol(spark, sorted, nprobe)).as("cell"))
     val ptabs = (0 until M).foldLeft(
-      probes.join(broadcast(gridDf), "cell")
+      probes.join(broadcast(gridDfOf(spark, sorted)), "cell")
         .select(col("q_id"), col("cell"),
           zip_with(col("qv"), col("grid"), (a, b) => a - b).as("qv"))) { (df, m) =>
         withSlice(df, m)(d => d.withColumn(s"t$m", quantizedSubDist(books(m))))
@@ -332,8 +376,8 @@ object Pq {
     val est = (0 until M).map(m =>
       element_at(col(s"t$m"), col(s"c$m") + 1)).reduce(_ + _)
     val w = Window.partitionBy(col("q_id")).orderBy(col("est"), col("neighbor_id"))
-    codes.join(broadcast(ptabs), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
+    val joined = codes.join(broadcast(ptabs), Seq("cell"))
+    (if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id")) else joined)
       .select((col("q_id") +: col("vec_id").as("neighbor_id") +:
         (0 until M).map(m => col(s"c$m"))) ++
         (0 until M).map(m => col(s"t$m")): _*)

@@ -87,4 +87,54 @@ class StreamingPqServeSpec extends SparkSpec {
       "external-id serving must not drop an id-colliding vector")
     graft.ops.Caches.releaseAll(spark)
   }
+
+  test("IVFADC stream ≡ batch ivfPqTopK, across two micro-batches") {
+    assume(new java.io.File(SfDir).isDirectory, "testdata not present")
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // train once → persist BOTH artifacts → load: the deployment
+    // trajectory of the routed index
+    val (cents, books) = Pq.trainIvfPq(spark, SfDir)
+    val quantPath = Files.createTempDirectory("ivfpq-coarse").toString
+    val bookPath = Files.createTempDirectory("ivfpq-books").toString
+    Embeddings.saveQuantizer(spark, cents, quantPath)
+    Pq.saveCodebooks(spark, books, bookPath)
+
+    def key(r: Row): (Long, Long) = (r.getAs[Long]("q_id"), r.getAs[Long]("rank"))
+    def value(r: Row): (Long, Long) =
+      (r.getAs[Long]("neighbor_id"), r.getAs[Long]("est"))
+    val batch = Pq.ivfPqTopK(spark, SfDir, k = 5, queryMod = 50, nprobe = 2)
+      .collect().map(r => key(r) -> value(r)).toMap
+    assert(batch.nonEmpty)
+    graft.ops.Caches.releaseAll(spark)
+
+    val queryVecs = graft.ops.Tables.embeddings(spark, SfDir)
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val (firstHalf, secondHalf) = queryVecs.splitAt(queryVecs.length / 2)
+
+    val input = MemoryStream[(Long, Seq[Float])]
+    val got = collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    val ckpt = Files.createTempDirectory("ivfpqserve-ckpt").toString
+    val q = graft.stream.StreamingIvfPqServe.run(spark,
+      input.toDF().toDF("q_id", "embedding"),
+      SfDir, quantPath, bookPath, ckpt, k = 5, nprobe = 2, excludeSelf = true) { scored =>
+      scored.collect().foreach(r => got += key(r) -> value(r))
+    }
+    try {
+      input.addData(firstHalf.toSeq)
+      q.processAllAvailable()
+      assert(got.keySet.map(_._1) == firstHalf.map(_._1).toSet,
+        "first micro-batch must serve exactly its own queries")
+      input.addData(secondHalf.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(got.toMap == batch,
+      "streamed IVFADC serving diverged from the batch q79 path")
+    graft.ops.Caches.releaseAll(spark)
+  }
 }
