@@ -387,17 +387,6 @@ object SparkEntry {
          af AS MATERIALIZED (SELECT vec_id, j FROM tfa)"""
   }
 
-  /** DuckDB replay of the [[graft.ops.Pq]] trajectory (q77/q78): per
-    * subspace m (prefix `pm`), slice the shared quantized grid `q`,
-    * Forgy-seed [[graft.ops.Pq.K]] sub-centroids, run the pinned 2
-    * Lloyd's rounds with keep-previous-on-empty (PQ codes are
-    * POSITIONS in a fixed-K list, so a dead code must keep its
-    * centroid rather than shift its neighbors — unlike the IVF
-    * replay, where dead cells just drop), derive the 0-based code in
-    * seed-id order, encode the corpus (`pmf`), and build the
-    * per-probe ADC table (`pmt`, floor(dist·10⁶) BIGINT — one IEEE
-    * division and multiply, so the 4-term sum is exact-integer in
-    * both engines). `pqtopk` is the shared serve tail. */
   /** The 16-dim scaled sub-distance of alias `$v`'s `sv` slice to
     * sub-centroid alias `$c` — the ONE distance formula of the PQ
     * family's replay (training, encoding, ADC tables, q79's
@@ -408,11 +397,17 @@ object SparkEntry {
            / CAST($c.n*$c.n AS DOUBLE)"""
 
   /** PQ trajectory replay over the (vec_id, qv) relation named `src`:
-    * per subspace m (prefix `pm`) Forgy seed, 2 keep-previous Lloyd's
-    * rounds, code index `pmcd`, corpus codes `pmf`, per-probe ADC
-    * tables `pmt`, plus the shared `sdims`/`probes` and the plain-ADC
-    * serve tail `pqest`/`pqtopk`. q77/q78 instantiate it over the raw
-    * quantized grid; q79 instantiates it over the IVF RESIDUAL
+    * per subspace m (prefix `pm`) Forgy seed, 2 Lloyd's rounds with
+    * keep-previous-on-empty (PQ codes are POSITIONS in a fixed-K
+    * list, so a dead code must keep its centroid rather than shift
+    * its neighbors — unlike the IVF replay, where dead cells just
+    * drop), code index `pmcd` in seed-id order, corpus codes `pmf`,
+    * per-probe ADC tables `pmt` (floor(dist·10⁶) BIGINT — one IEEE
+    * division and multiply, so the estimate sum is exact-integer in
+    * both engines), plus the shared `sdims`/`probes` and the
+    * plain-ADC serve tail `pqest`/`pqtopk`. q77/q78 instantiate it
+    * over the raw quantized grid; q79 instantiates it over the IVF
+    * RESIDUAL
     * relation (and serves through its own per-cell tables — the
     * plain tail prunes away unreferenced). */
   private def pqCtes(src: String): String = {

@@ -125,6 +125,23 @@ final class CellTable(val dim: Int,
     "groupStart must cover the cell range with one offset per super group")
   require(cellJ.nonEmpty, "empty centroid table")
 
+  /** Content-derived registration key: md5 over every array, so two
+    * tables built from the same centroid matrix (e.g. one per
+    * micro-batch in a serving loop) register under ONE session
+    * function name instead of leaking an entry per call — the
+    * registry grows with DISTINCT quantizers, not with invocations. */
+  lazy val contentKey: String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+    val bb = java.nio.ByteBuffer.allocate(8)
+    def addL(a: Array[Long]): Unit = a.foreach { v =>
+      bb.clear(); bb.putLong(v); h.update(bb.array())
+    }
+    bb.putLong(dim.toLong); h.update(bb.array()); bb.clear()
+    addL(cellJ); addL(cellN); addL(cellS); addL(cellSumS2)
+    addL(superS); addL(superSumS2); addL(groupStart.map(_.toLong))
+    h.digest().take(8).map("%02x".format(_)).mkString
+  }
+
   private def dot(qv: ArrayData, flat: Array[Long], base: Int): Long = {
     var s = 0L
     var d = 0

@@ -119,8 +119,9 @@ object Embeddings {
     * component (exact in both engines: float→double widen, one double
     * multiply, floor), plus the exact squared norm. Keeps `label` as
     * a sanity surface (the IVF quantizer is trained, not label-read).
-    * `private[ops]`: [[Pq]] starts from the same quantized view so the
-    * PQ codes and the IVF cells share one integer-grid contract. */
+    * `private[graft]`: [[Pq]] (and the graft-package specs) start
+    * from the same quantized view so the PQ codes and the IVF cells
+    * share one integer-grid contract. */
   private[graft] def quantized(spark: SparkSession, dir: String): DataFrame = {
     // every embedding query path starts here, so the session function
     // behind the codegen dot products is registered before any plan
@@ -296,24 +297,35 @@ object Embeddings {
       else groups.scanLeft(0)(_ + _.size).toArray)
   }
 
-  /** Wrap a [[graft.functions.CellTable]] as a Column over the frame's
+  /** Wrap a centroid-table expression as a Column over the frame's
     * (qv, nrm). Spark 4 exposes no public Column-from-Expression
     * constructor, so this registers a session function whose BUILDER
     * closes over the reference table (the [[graft.functions.VecDot]]
-    * registration mechanism, carrying a payload) under a per-table
-    * unique name, then references it by SQL name. Registration is
-    * driver-side at plan-build time — [[org.apache.spark.sql
-    * .SparkSession.active]] is the session building the plan. */
-  private def nearestCellsCol(spark: SparkSession,
-                              table: graft.functions.CellTable): Column = {
-    val name = s"nearest_cells_${java.lang.System.identityHashCode(table).toHexString}"
+    * registration mechanism, carrying a payload), then references it
+    * by SQL name. The name derives from the table's CONTENT hash
+    * ([[graft.functions.CellTable.contentKey]]), so repeated plan
+    * builds over the same centroid matrix — one per micro-batch in a
+    * serving loop — reuse ONE registry entry instead of leaking a
+    * table per call (review r9); registry growth is bounded by the
+    * number of DISTINCT quantizers the session serves. */
+  private def cellFnCol(spark: SparkSession, prefix: String,
+                        table: graft.functions.CellTable)
+                       (mk: (org.apache.spark.sql.catalyst.expressions.Expression,
+                             org.apache.spark.sql.catalyst.expressions.Expression) =>
+                            org.apache.spark.sql.catalyst.expressions.Expression): Column = {
+    val name = s"${prefix}_${table.contentKey}"
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name,
-      { case Seq(a, b) => graft.functions.NearestCells(a, b, table)
+      { case Seq(a, b) => mk(a, b)
         case _ => throw new IllegalArgumentException(s"$name(qv, nrm) takes 2 arguments") },
       "built-in")
     expr(s"$name(qv, nrm)")
   }
+
+  private def nearestCellsCol(spark: SparkSession,
+                              table: graft.functions.CellTable): Column =
+    cellFnCol(spark, "nearest_cells", table)(
+      graft.functions.NearestCells(_, _, table))
 
   /** Nearest-centroid id: argmin of the scaled distances; ties break
     * to the smallest centroid id (centroids arrive sorted by id and
@@ -586,15 +598,10 @@ object Embeddings {
     * ties break to the smallest cell id — and keep the first nprobe
     * ids. Shared by both serving paths. */
   private[ops] def probeCellsCol(spark: SparkSession, cents: Seq[Centroid],
-                            nprobe: Int): Column = {
+                                 nprobe: Int): Column = {
     val table = cellTable(cents)
-    val name = s"probe_cells_${java.lang.System.identityHashCode(table).toHexString}_$nprobe"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
-      { case Seq(a, b) => graft.functions.ProbeCells(a, b, table, nprobe)
-        case _ => throw new IllegalArgumentException(s"$name(qv, nrm) takes 2 arguments") },
-      "built-in")
-    expr(s"$name(qv, nrm)")
+    cellFnCol(spark, s"probe_cells_$nprobe", table)(
+      graft.functions.ProbeCells(_, _, table, nprobe))
   }
 
   /** The serving-side INDEX for [[serveQueryBatch]]: every corpus

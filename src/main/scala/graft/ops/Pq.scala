@@ -53,12 +53,16 @@ object Pq {
     * codes; the trade is identical, the tables 16× taller). */
   val K = 16
 
-  /** Per-sub-cell member bound for the exact-integer distance: the
-    * 16-dim numerator ≤ SubDim·(2n·10³)² = 6.4e7·n² must stay inside
-    * Long, so n ≤ √(2⁶³/6.4e7) ≈ 3.8e5 — 4× the 64-dim bound
-    * [[Embeddings.MaxCellMembers]]. Past it, shard the corpus per
-    * quantizer (the ScaleUp federation shape). */
-  val MaxSubCellMembers: Long = 380000L
+  /** Per-sub-cell member bound for the exact-integer distance. The
+    * binding case is the q79 RESIDUAL path: residual components span
+    * ±2·10³ (raw grid ±10³ minus a mean grid ±10³), so the 16-dim
+    * numerator ≤ SubDim·(n·2·10³ + n·2·10³)² = 2.56e8·n² must stay
+    * inside Long → n ≤ √(2⁶³/2.56e8) ≈ 1.9e5 (the raw-grid-only
+    * bound would be 2× laxer; one guard serves both callers — a
+    * review pass caught the laxer bound silently wrapping exactly on
+    * the residual path it was meant to protect). Past it, shard the
+    * corpus per quantizer (the ScaleUp federation shape). */
+  val MaxSubCellMembers: Long = 190000L
 
   /** floor(dist × 10⁶) — the one scale every engine applies to a
     * subdistance before the exact-integer ADC sum. */
@@ -172,6 +176,30 @@ object Pq {
       withSlice(df, m)(d => d.withColumn(s"c$m", nearestSubCode(books(m))))
     }.select(col("vec_id") +: ((0 until M).map(m => col(s"c$m")) ++ keep.map(col)): _*)
 
+  /** The ONE ranking tail of both ADC serves: `joined` carries
+    * (q_id, vec_id, c0..c3, t0..t3) candidate rows from whatever
+    * candidate generation ran upstream (q77's full-codes cross join,
+    * q79's probed-cell equi-join); this applies the optional
+    * self-filter, the exact-integer estimate sum of M lookups, and
+    * the per-probe (est ASC, neighbor_id ASC) top-k. One definition —
+    * the tie-break is a bit-exact contract with the q77/q79 oracles
+    * and must never diverge between variants. */
+  private def adcTail(joined: DataFrame, k: Int, excludeSelf: Boolean): DataFrame = {
+    val est = (0 until M).map(m =>
+      element_at(col(s"t$m"), col(s"c$m") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("est"), col("neighbor_id"))
+    (if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id")) else joined)
+      .select((col("q_id") +: col("vec_id").as("neighbor_id") +:
+        (0 until M).map(m => col(s"c$m"))) ++
+        (0 until M).map(m => col(s"t$m")): _*)
+      .withColumn("est", est)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("est"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** The ADC serve: `codes` (vec_id, c0..c3 — the compressed corpus)
     * × broadcast probe batch (`probes` carries q_id + exact qv),
     * est = exact-integer sum of [[M]] table lookups, per-probe top-k
@@ -191,20 +219,7 @@ object Pq {
         withSlice(df, m)(d => d.withColumn(s"t$m", quantizedSubDist(books(m))))
       }
       .select(col("q_id") +: (0 until M).map(m => col(s"t$m")): _*)
-    val est = (0 until M).map(m =>
-      element_at(col(s"t$m"), col(s"c$m") + 1)).reduce(_ + _)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("est"), col("neighbor_id"))
-    val joined = codes.crossJoin(broadcast(pt))
-    (if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id")) else joined)
-      .select((col("q_id") +: col("vec_id").as("neighbor_id") +:
-        (0 until M).map(m => col(s"c$m"))) ++
-        (0 until M).map(m => col(s"t$m")): _*)
-      .withColumn("est", est)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("est"))
-      .orderBy(col("q_id"), col("rank"))
+    adcTail(codes.crossJoin(broadcast(pt)), k, excludeSelf)
   }
 
   /** q77 — PQ ADC top-k: for every probe (vec_id % queryMod = 0), the
@@ -302,8 +317,13 @@ object Pq {
                 nCells: Int = Embeddings.OracleCells,
                 iters: Int = Embeddings.OracleIters): DataFrame = {
     val vecs = Caches.persist(Embeddings.quantized(spark, dir))
-    val (cents, books) = trainIvfPq(spark, dir, nCells, iters)
-    val codes = ivfPqCodes(spark, dir, cents, books)
+    val cents = Embeddings.trainQuantizer(spark, dir, nCells, iters).sortBy(_.j)
+    // ONE cached residual relation feeds both codebook training and
+    // encoding (review r9: trainIvfPq + ivfPqCodes each persisted
+    // their own copy, re-running the full-corpus assignment pass)
+    val residuals = Caches.persist(residualsOf(spark, dir, cents))
+    val books = trainCodebooks(residuals, iters)
+    val codes = encode(residuals, books, keep = Seq("cell"))
     val probes = vecs.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("qv"))
     ivfPqServe(codes, cents, books, probes, k, nprobe, excludeSelf = true)
@@ -373,20 +393,7 @@ object Pq {
         withSlice(df, m)(d => d.withColumn(s"t$m", quantizedSubDist(books(m))))
       }
       .select(col("q_id") +: col("cell") +: (0 until M).map(m => col(s"t$m")): _*)
-    val est = (0 until M).map(m =>
-      element_at(col(s"t$m"), col(s"c$m") + 1)).reduce(_ + _)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("est"), col("neighbor_id"))
-    val joined = codes.join(broadcast(ptabs), Seq("cell"))
-    (if (excludeSelf) joined.filter(col("vec_id") =!= col("q_id")) else joined)
-      .select((col("q_id") +: col("vec_id").as("neighbor_id") +:
-        (0 until M).map(m => col(s"c$m"))) ++
-        (0 until M).map(m => col(s"t$m")): _*)
-      .withColumn("est", est)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("est"))
-      .orderBy(col("q_id"), col("rank"))
+    adcTail(codes.join(broadcast(ptabs), Seq("cell")), k, excludeSelf)
   }
 
   /** q78 — kNN label classification over the PQ index: each probe
