@@ -446,7 +446,7 @@ object SparkEntry {
                FROM ${p}v v JOIN probes USING (vec_id), ${p}c2 c JOIN ${p}cd x USING (j))"""
     }
     s"""sdims AS (SELECT unnest(generate_series(1,16)) AS d),
-         probes AS (SELECT vec_id FROM $src WHERE vec_id % 50 = 0),
+         probes AS (SELECT vec_id FROM $src WHERE vec_id % 50 = 0 AND vec_id < ${Pq.ProbeCap}),
          ${(0 until Pq.M).map(sub).mkString(",\n         ")},
          pqest AS (
            SELECT t0.q_id, f0.vec_id AS neighbor_id,
@@ -505,7 +505,7 @@ object SparkEntry {
              JOIN p3f f3 USING (vec_id) JOIN af USING (vec_id)),
          ipc AS MATERIALIZED (SELECT vec_id AS q_id, j AS cell FROM (
                SELECT v.vec_id, c.j, row_number() OVER (PARTITION BY v.vec_id ORDER BY ${IvfDist("c")}, c.j) AS rn
-               FROM v, c2 c WHERE v.vec_id % 50 = 0) t WHERE rn <= 2),
+               FROM v, c2 c WHERE v.vec_id % 50 = 0 AND v.vec_id < ${Pq.ProbeCap}) t WHERE rn <= 2),
          iprq AS MATERIALIZED (SELECT pc.q_id, pc.cell, list_transform(generate_series(1,64), i -> v.qv[i] - g.g[i]) AS qv
              FROM ipc pc JOIN v ON v.vec_id = pc.q_id JOIN igr g ON g.cell = pc.cell),
          ${(0 until Pq.M).map(ipt).mkString(",\n         ")},

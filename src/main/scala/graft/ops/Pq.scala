@@ -68,6 +68,16 @@ object Pq {
     * subdistance before the exact-integer ADC sum. */
   val DistScale = 1000000L
 
+  /** Probe-set cap for the gated ADC queries (the q71 pattern): with
+    * probes = `vec_id % 50 = 0` alone, the conformance query's
+    * broadcast side grows with the corpus and the q77 serve join
+    * grows ~100× per decade BY CONSTRUCTION (measured 20× sf1→sf10).
+    * `vec_id < ProbeCap` bounds it at ≤1,024 probes at any SF —
+    * vacuous at the oracle SF, so conformance is unchanged — making
+    * the measured growth reflect the per-probe serve cost a fixed
+    * query stream actually pays. */
+  val ProbeCap = 51200L
+
   private def subSlice(v: Column, m: Int): Column =
     slice(v, m * SubDim + 1, SubDim)
 
@@ -235,7 +245,8 @@ object Pq {
     val vecs = Caches.persist(Embeddings.quantized(spark, dir))
     val books = trainCodebooks(vecs, iters)
     val codes = encode(vecs, books)
-    val probes = vecs.filter(col("vec_id") % queryMod === 0)
+    val probes = vecs
+      .filter(col("vec_id") % queryMod === 0 && col("vec_id") < ProbeCap)
       .select(col("vec_id").as("q_id"), col("qv"))
     adcServe(codes, books, probes, k, excludeSelf = true)
   }
@@ -324,7 +335,8 @@ object Pq {
     val residuals = Caches.persist(residualsOf(spark, dir, cents))
     val books = trainCodebooks(residuals, iters)
     val codes = encode(residuals, books, keep = Seq("cell"))
-    val probes = vecs.filter(col("vec_id") % queryMod === 0)
+    val probes = vecs
+      .filter(col("vec_id") % queryMod === 0 && col("vec_id") < ProbeCap)
       .select(col("vec_id").as("q_id"), col("qv"))
     ivfPqServe(codes, cents, books, probes, k, nprobe, excludeSelf = true)
   }
