@@ -166,6 +166,25 @@ class PqSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
   }
 
+  test("ivfPqTopK recall@5 vs brute: routing+quantization losses compound but stay genuine") {
+    val exact = Embeddings.bruteTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, g) => q -> g.map(_._2).toSet }
+    val ivfpq = graft.ops.Pq.ivfPqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, g) => q -> g.map(_._2).toSet }
+    assert(exact.keySet == ivfpq.keySet)
+    val recall = exact.keys.toSeq
+      .map(q => (ivfpq(q) & exact(q)).size.toDouble / exact(q).size).sum / exact.size
+    // two stacked losses vs q77's plain ADC (measured 0.18): the
+    // nprobe=2-of-10-cell routing discards candidates AND the
+    // residual codebooks quantize — the floor pins "still ranks
+    // genuinely" (random top-5 of ~500 lands ≈0.01) with margin for
+    // testdata regeneration
+    assert(recall >= 0.05, s"IVFADC recall@5 collapsed to $recall")
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("knnClassify: per-label counts roll up the per-probe majority votes") {
     val k = 5; val queryMod = 50
     val labels = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -43,6 +43,46 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("IVFADC codes persisted partitionBy(cell): probed-cell reads prune at listing time") {
+    // the q79 100 TB claim made concrete: the routed codes relation
+    // persists partitioned by cell, so a serve touching nprobe cells
+    // never LISTS (let alone reads) the other cells' directories —
+    // and the serve over the pruned relation is bit-identical to the
+    // serve over the full one
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val (cents, books) = graft.ops.Pq.trainIvfPq(spark, dir)
+    val codes = graft.ops.Pq.ivfPqCodes(spark, dir, cents, books)
+    val root = java.nio.file.Files.createTempDirectory("ivfpqcodes").toString + "/codes"
+    Storage.writePartitioned(codes, root, "cell")
+
+    val probed = cents.map(_.j).take(2)
+    val full = Storage.readPartitioned(spark, root)
+    val pruned = full.filter(col("cell").isin(probed: _*))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters:") && scan.contains("cell"), scan)
+
+    val wantRows = codes.filter(col("cell").isin(probed: _*))
+      .collect().map(_.toString).sorted.toSeq
+    assert(pruned.collect().map(_.toString).sorted.toSeq == wantRows)
+
+    // behavioral proof: corrupt an UNPROBED cell's data file — the
+    // pruned read still succeeds, the full scan fails
+    val other = cents.map(_.j).filterNot(probed.contains).head
+    val dirF = new java.io.File(s"${root.stripPrefix("file:")}/cell=$other")
+    dirF.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    java.nio.file.Files.write(
+      new java.io.File(dirF, "part-corrupt.snappy.parquet").toPath,
+      "not a parquet file".getBytes)
+    assert(Storage.readPartitioned(spark, root)
+      .filter(col("cell").isin(probed: _*))
+      .collect().map(_.toString).sorted.toSeq == wantRows)
+    intercept[Exception] {
+      Storage.readPartitioned(spark, root).agg(sum(col("c0"))).collect()
+    }
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("bucketed tables: equi-join on the bucket key plans ZERO exchanges") {
     val s = spark
     import s.implicits._
