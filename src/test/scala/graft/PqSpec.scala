@@ -78,6 +78,19 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  /** recall@k of `got` against the reference ranking `want` — both
+    * as (q_id, rank, neighbor_id, ...) rows; one definition for every
+    * ANN-variant recall floor in this suite. */
+  private def recallAgainst(want: Array[org.apache.spark.sql.Row],
+                            got: Array[org.apache.spark.sql.Row]): Double = {
+    def sets(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .map { case (q, g) => q -> g.map(_._2).toSet }
+    val (w, g) = (sets(want), sets(got))
+    assert(w.keySet == g.keySet, "probe sets differ")
+    w.keys.toSeq.map(q => (g(q) & w(q)).size.toDouble / w(q).size).sum / w.size
+  }
+
   test("pqTopK: k rows per probe, self excluded, est = the model's ADC sum") {
     val k = 5; val queryMod = 50
     val rows = Pq.pqTopK(spark, dir, k, queryMod).collect()
@@ -112,12 +125,8 @@ class PqSpec extends SparkSpec {
   }
 
   test("pqTopK recall@5 vs the exact brute-force ranking is a sane floor") {
-    val exact = Embeddings.bruteTopK(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
-    val pq = Pq.pqTopK(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
-    assert(exact.keySet == pq.keySet)
-    val recall = exact.keys.toSeq.map(q => (pq(q) & exact(q)).size.toDouble / exact(q).size).sum / exact.size
+    val recall = recallAgainst(Embeddings.bruteTopK(spark, dir).collect(),
+      Pq.pqTopK(spark, dir).collect())
     // 4×16-dim codebooks on 64-dim embeddings: lossy by design, and
     // the synthetic corpus is near-isotropic (pairwise cosines ≈ 0),
     // the hardest case for any ANN sketch — measured 0.18 here vs
@@ -167,15 +176,8 @@ class PqSpec extends SparkSpec {
   }
 
   test("ivfPqTopK recall@5 vs brute: routing+quantization losses compound but stay genuine") {
-    val exact = Embeddings.bruteTopK(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
-      .map { case (q, g) => q -> g.map(_._2).toSet }
-    val ivfpq = graft.ops.Pq.ivfPqTopK(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
-      .map { case (q, g) => q -> g.map(_._2).toSet }
-    assert(exact.keySet == ivfpq.keySet)
-    val recall = exact.keys.toSeq
-      .map(q => (ivfpq(q) & exact(q)).size.toDouble / exact(q).size).sum / exact.size
+    val recall = recallAgainst(Embeddings.bruteTopK(spark, dir).collect(),
+      graft.ops.Pq.ivfPqTopK(spark, dir).collect())
     // two stacked losses vs q77's plain ADC (measured 0.18): the
     // nprobe=2-of-10-cell routing discards candidates AND the
     // residual codebooks quantize — the floor pins "still ranks

@@ -31,11 +31,7 @@ class StorageSpec extends SparkSpec {
     // replace srcC's data file with garbage — the pruned read still
     // succeeds (it never opens the file), while an unpruned full scan
     // fails on the bad footer
-    val srcC = new java.io.File(s"${root.stripPrefix("file:")}/source=srcC")
-    srcC.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
-    java.nio.file.Files.write(
-      new java.io.File(srcC, "part-corrupt.snappy.parquet").toPath,
-      "not a parquet file".getBytes)
+    corruptPartition(root, "source=srcC")
     assert(Storage.prunedRead(spark, root, "source", "srcB")
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
     intercept[Exception] {
@@ -43,12 +39,25 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  /** Shared corruption step of the pruning proofs: make `dirName`
+    * under `root` unreadable (garbage parquet), so any scan that
+    * OPENS it fails while a pruned scan that never lists it
+    * succeeds. */
+  private def corruptPartition(root: String, dirName: String): Unit = {
+    val d = new java.io.File(s"${root.stripPrefix("file:")}/$dirName")
+    d.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+    java.nio.file.Files.write(
+      new java.io.File(d, "part-corrupt.snappy.parquet").toPath,
+      "not a parquet file".getBytes)
+    ()
+  }
+
   test("IVFADC codes persisted partitionBy(cell): probed-cell reads prune at listing time") {
     // the q79 100 TB claim made concrete: the routed codes relation
     // persists partitioned by cell, so a serve touching nprobe cells
     // never LISTS (let alone reads) the other cells' directories —
-    // and the serve over the pruned relation is bit-identical to the
-    // serve over the full one
+    // and the q79 serve over the storage round-trip is bit-identical
+    // to the serve over the in-memory relation
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(dir).isDirectory, "testdata not present")
     val (cents, books) = graft.ops.Pq.trainIvfPq(spark, dir)
@@ -59,21 +68,37 @@ class StorageSpec extends SparkSpec {
     val probed = cents.map(_.j).take(2)
     val full = Storage.readPartitioned(spark, root)
     val pruned = full.filter(col("cell").isin(probed: _*))
+    // the cell predicate must land INSIDE the PartitionFilters
+    // brackets (a bare "PartitionFilters:" prints on every
+    // partitioned scan, even empty — review r9 caught the vacuous
+    // form of this assert)
     val scan = pruned.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters:") && scan.contains("cell"), scan)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scan).isDefined, scan)
 
     val wantRows = codes.filter(col("cell").isin(probed: _*))
       .collect().map(_.toString).sorted.toSeq
     assert(pruned.collect().map(_.toString).sorted.toSeq == wantRows)
 
+    // the SERVE over the storage round-trip is bit-identical to the
+    // serve over the in-memory relation (catches e.g. the partition
+    // column's long -> int discovery-on-read type change biting the
+    // cell equi-join)
+    val qvecs = graft.ops.Embeddings.quantized(spark, dir)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    val servedMem = graft.ops.Pq.ivfPqServe(codes, cents, books, qvecs,
+        k = 5, nprobe = 2, excludeSelf = true)
+      .collect().map(_.toString).sorted.toSeq
+    val servedDisk = graft.ops.Pq.ivfPqServe(full, cents, books, qvecs,
+        k = 5, nprobe = 2, excludeSelf = true)
+      .collect().map(_.toString).sorted.toSeq
+    assert(servedMem == servedDisk,
+      "q79 serve diverged across the partitioned-storage round-trip")
+
     // behavioral proof: corrupt an UNPROBED cell's data file — the
     // pruned read still succeeds, the full scan fails
     val other = cents.map(_.j).filterNot(probed.contains).head
-    val dirF = new java.io.File(s"${root.stripPrefix("file:")}/cell=$other")
-    dirF.listFiles().filter(_.getName.endsWith(".parquet")).foreach(_.delete())
-    java.nio.file.Files.write(
-      new java.io.File(dirF, "part-corrupt.snappy.parquet").toPath,
-      "not a parquet file".getBytes)
+    corruptPartition(root, s"cell=$other")
     assert(Storage.readPartitioned(spark, root)
       .filter(col("cell").isin(probed: _*))
       .collect().map(_.toString).sorted.toSeq == wantRows)
