@@ -60,6 +60,20 @@ class DriverContractSpec extends SparkSpec {
     }
   }
 
+  test("the ADC probe cap is pinned and mirrored into every capped oracle") {
+    // ProbeCap/stride = the 1,024-probe bound at any SF — the
+    // scale-safety contract the q77-q79 conformance queries state;
+    // and the SAME constant must appear in the oracle CTEs, so an
+    // edit to one side fails here instead of silently un-capping
+    // the other engine
+    assert(graft.ops.Pq.ProbeCap / 50 == 1024,
+      "ProbeCap no longer bounds the %-50 probe stride at 1,024")
+    Seq("q77_pq_topk", "q78_knn_classify", "q79_ivfpq_topk").foreach { q =>
+      assert(SparkEntry.oracleSql(q).contains(s"< ${graft.ops.Pq.ProbeCap}"),
+        s"$q oracle does not carry the ProbeCap bound")
+    }
+  }
+
   test("every oracle ends with a deterministic ORDER BY") {
     // the driver hashes rows in order after a column-name sort; an
     // oracle without a total ORDER BY can flake with DuckDB's
