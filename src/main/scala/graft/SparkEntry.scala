@@ -111,6 +111,7 @@ object SparkEntry {
     "q77_pq_topk"           -> ((s, d) => Pq.pqTopK(s, d)),
     "q78_knn_classify"      -> ((s, d) => Pq.knnClassify(s, d)),
     "q79_ivfpq_topk"        -> ((s, d) => Pq.ivfPqTopK(s, d)),
+    "q80_pq_scaled"         -> ((s, d) => Pq.pqTopKScaled(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -410,11 +411,11 @@ object SparkEntry {
     * RESIDUAL
     * relation (and serves through its own per-cell tables — the
     * plain tail prunes away unreferenced). */
-  private def pqCtes(src: String): String = {
+  private def pqCtes(src: String, kSql: String = Pq.K.toString): String = {
     require(Embeddings.OracleIters == 2,
       "pqCtes structurally unrolls exactly 2 Lloyd's rounds — re-derive the replay SQL")
-    require(Pq.M == 4 && Pq.SubDim == 16 && Pq.K == 16,
-      "pqCtes hard-codes the 4×16 subspace grid and K=16 — re-derive the replay SQL")
+    require(Pq.M == 4 && Pq.SubDim == 16,
+      "pqCtes hard-codes the 4×16 subspace grid — re-derive the replay SQL")
     def sub(m: Int): String = {
       val o = m * Pq.SubDim
       val p = s"p$m"
@@ -433,7 +434,7 @@ object SparkEntry {
                FROM ${p}c${r - 1} prev LEFT JOIN ${p}u$r u USING (j))"""
       s"""${p}v AS MATERIALIZED (SELECT vec_id, list_transform(generate_series(1,16), i -> qv[i+$o]) AS sv FROM $src),
            ${p}c0 AS MATERIALIZED (SELECT vec_id AS j, sv AS s, CAST(1 AS BIGINT) AS n
-               FROM ${p}v ORDER BY vec_id LIMIT ${Pq.K}),
+               FROM ${p}v ORDER BY vec_id LIMIT ($kSql)),
            ${round(1)},
            ${round(2)},
            ${p}cd AS MATERIALIZED (SELECT j, row_number() OVER (ORDER BY j) - 1 AS code FROM ${p}c2),
@@ -473,6 +474,24 @@ object SparkEntry {
            SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
            FROM embeddings),
          ${pqCtes("q")}"""
+
+  /** q80's K-parametric replay: the SAME exact-integer [[graft.ops
+    * .Pq.kFor]] rule — K = max{2^p : p ∈ [5,8], TrainPerCode·2^p ≤ n}
+    * else the pinned 16 — as one scalar subquery (shift-compares only,
+    * no log2 doubles). */
+  private val KForSql: String =
+    s"""SELECT coalesce((SELECT max(1 << p) FROM generate_series(5, 8) t(p)
+          WHERE (CAST(${Pq.TrainPerCode} AS BIGINT) << p) <= (SELECT count(*) FROM embeddings)),
+          ${Pq.K})"""
+
+  /** q80's instantiation: the q77 trajectory with the codebook size
+    * derived from the corpus — the q70/q34 oracle-parametric pattern
+    * applied to the ADC family (VERDICT r9 #1). */
+  private val PqCtesScaled: String =
+    s"""q AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         ${pqCtes("q", KForSql)}"""
 
   /** q79's replay — IVFADC: the [[IvfCtes]] coarse trajectory, each
     * cell's [[graft.ops.Embeddings.meanGrid]] integer mean, exact
@@ -1661,5 +1680,12 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
            FROM iest) t
          WHERE rn <= 5 ORDER BY q_id, rank""",
+    // q77's training/encoding/ADC replay with the CODEBOOK SIZE
+    // derived from the corpus (kFor) — the production sizing rule of
+    // the PQ family, oracle-gated like q70's cellsFor / q34's
+    // planesFor (non-vacuous: 500 vectors derive K = 32 ≠ 16)
+    "q80_pq_scaled" ->
+      s"""WITH $PqCtesScaled
+         SELECT q_id, rank, neighbor_id, est FROM pqtopk ORDER BY q_id, rank""",
   )
 }

@@ -61,14 +61,24 @@ case class NearestCells(qv: Expression, nrm: Expression, table: CellTable)
 /** [[NearestCells]]' sibling for the SERVING path: the `nprobe`
   * nearest cell ids, ordered (dist ASC, id ASC) — the fused form of
   * the probe-cells expression (array_sort over nCells struct
-  * subtrees), with the same O(1)-plan-size rationale. Exact mode
-  * only: probing ranks ALL cells, which is what the q31 serve oracle
-  * pins. */
-case class ProbeCells(qv: Expression, nrm: Expression, table: CellTable, nprobe: Int)
+  * subtrees), with the same O(1)-plan-size rationale.
+  *
+  * `nSuperProbe = 0` (exact mode, flat table): probing ranks ALL
+  * cells — what the q31 serve oracle pins. `nSuperProbe ≥ 1` over a
+  * TWO-LEVEL table routes first: rank the super-centroids, keep the
+  * `nSuperProbe` nearest groups, and rank only THEIR members — the
+  * serve-side counterpart of [[NearestCells]]' two-level assignment
+  * (per-probe cost ~nSuper + nSuperProbe·groupSize instead of
+  * nCells). Approximate at group boundaries, exactly like two-level
+  * assignment; `nSuperProbe ≥ nGroups` degenerates to the exact
+  * ranking bit-for-bit (NearestCellsProperties pins it). */
+case class ProbeCells(qv: Expression, nrm: Expression, table: CellTable, nprobe: Int,
+                      nSuperProbe: Int = 0)
   extends BinaryExpression {
 
   require(nprobe >= 1, "nprobe must be positive")
-  require(table.groupStart.isEmpty, "ProbeCells ranks all cells (exact mode only)")
+  require(if (table.groupStart.isEmpty) nSuperProbe == 0 else nSuperProbe >= 1,
+    "flat tables rank exactly (nSuperProbe = 0); two-level tables need nSuperProbe >= 1")
 
   override def left: Expression = qv
   override def right: Expression = nrm
@@ -82,15 +92,61 @@ case class ProbeCells(qv: Expression, nrm: Expression, table: CellTable, nprobe:
   override def prettyName: String = "probe_cells"
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    table.probe(a.asInstanceOf[ArrayData], b.asInstanceOf[Long], nprobe)
+    if (nSuperProbe == 0) table.probe(a.asInstanceOf[ArrayData], b.asInstanceOf[Long], nprobe)
+    else table.probeGrouped(a.asInstanceOf[ArrayData], b.asInstanceOf[Long], nprobe, nSuperProbe)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cellTable", table, classOf[CellTable].getName)
-    defineCodeGen(ctx, ev, (a, b) => s"$ref.probe($a, $b, $nprobe)")
+    if (nSuperProbe == 0)
+      defineCodeGen(ctx, ev, (a, b) => s"$ref.probe($a, $b, $nprobe)")
+    else
+      defineCodeGen(ctx, ev, (a, b) => s"$ref.probeGrouped($a, $b, $nprobe, $nSuperProbe)")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): ProbeCells =
+    copy(qv = newLeft, nrm = newRight)
+}
+
+/** The full per-code quantized-subdistance row of the PQ family's ADC
+  * tables — [[NearestCells]]' third sibling: for a (16-dim slice,
+  * norm) row, the K-element array of floor(dist·scale) BIGINTs, one
+  * per sub-centroid in code order. Replaces the K-literal-subtree
+  * array the PQ family launched with (ops/Pq.scala r9) for the same
+  * reason [[NearestCells]] replaced the IVF literals: at the
+  * production K = 256 the literal form is M·K = 1,024 plan subtrees —
+  * the exact analysis/codegen pathology measured at ~25-36 s for 625
+  * IVF cells — while this is O(1) plan size at any K. Arithmetic is
+  * bit-identical to the literal form (exact-integer numerator, one
+  * IEEE division, one double multiply, floor — PqSpec pins equality
+  * and the q77/q79/q80 oracles replay it). */
+case class AdcSubDists(qv: Expression, nrm: Expression, table: CellTable, scale: Long)
+  extends BinaryExpression {
+
+  require(table.groupStart.isEmpty, "ADC tables are flat (one entry per code)")
+  require(scale > 0, "scale must be positive")
+
+  override def left: Expression = qv
+  override def right: Expression = nrm
+
+  override def checkInputDataTypes(): TypeCheckResult = (qv.dataType, nrm.dataType) match {
+    case (ArrayType(LongType, _), LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"adc_subdists needs (array<bigint>, bigint), got ${l.catalogString} and ${r.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "adc_subdists"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    table.adcRow(a.asInstanceOf[ArrayData], b.asInstanceOf[Long], scale)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellTable", table, classOf[CellTable].getName)
+    defineCodeGen(ctx, ev, (a, b) => s"$ref.adcRow($a, $b, ${scale}L)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): AdcSubDists =
     copy(qv = newLeft, nrm = newRight)
 }
 
@@ -124,14 +180,24 @@ final class CellTable(val dim: Int,
       groupStart.head == 0 && groupStart.last == cellJ.length),
     "groupStart must cover the cell range with one offset per super group")
   require(cellJ.nonEmpty, "empty centroid table")
+  // exact-mode tie-breaks (probe's "earlier index IS the smaller id",
+  // assign's first-minimum-wins) are only (dist, id)-lexicographic if
+  // the flat layout arrives id-sorted — enforce it at the seam so a
+  // future unsorted caller fails loudly instead of returning wrong
+  // tie-breaks (ADVICE r9). Two-level layouts are group-concatenated
+  // by construction and tie-break inside the chosen group only.
+  require(groupStart.nonEmpty ||
+    cellJ.indices.drop(1).forall(i => cellJ(i - 1) < cellJ(i)),
+    "flat CellTable layouts must arrive strictly id-sorted (tie-break order)")
 
-  /** Content-derived registration key: md5 over every array, so two
-    * tables built from the same centroid matrix (e.g. one per
-    * micro-batch in a serving loop) register under ONE session
-    * function name instead of leaking an entry per call — the
+  /** Content-derived registration key: SHA-256 (not MD5 — MD5 throws
+    * on FIPS-restricted JVMs, ADVICE r9) truncated to 64 bits over
+    * every array, so two tables built from the same centroid matrix
+    * (e.g. one per micro-batch in a serving loop) register under ONE
+    * session function name instead of leaking an entry per call — the
     * registry grows with DISTINCT quantizers, not with invocations. */
   lazy val contentKey: String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
+    val h = java.security.MessageDigest.getInstance("SHA-256")
     val bb = java.nio.ByteBuffer.allocate(8)
     def addL(a: Array[Long]): Unit = a.foreach { v =>
       bb.clear(); bb.putLong(v); h.update(bb.array())
@@ -202,6 +268,94 @@ final class CellTable(val dim: Int,
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       topI.take(filled).map(cellJ(_)))
+  }
+
+  /** The PQ ADC table row: per code i (table order = code order),
+    * floor(memberDist·scale) as a Long — the same exact-integer
+    * numerator / one-IEEE-division kernel as [[nearestMember]], then
+    * ONE double multiply and floor, matching the literal column form
+    * (`floor(dist × scale)` cast long) bit-for-bit. */
+  def adcRow(qv: ArrayData, nrm: Long, scale: Long): ArrayData = {
+    require(groupStart.isEmpty, "ADC tables are flat (one entry per code)")
+    val out = new Array[Long](cellJ.length)
+    var i = 0
+    while (i < cellJ.length) {
+      val n = cellN(i)
+      val num = n * n * nrm - 2L * n * dot(qv, cellS, i * dim) + cellSumS2(i)
+      out(i) = math.floor((num.toDouble / (n.toDouble * n.toDouble)) * scale.toDouble).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Two-level [[probe]]: rank the super-centroids (exact Long
+    * distances, ties to the smaller group index), keep the
+    * `nSuperProbe` nearest groups, then rank only THEIR members by
+    * (member dist ASC, cell id ASC) and return the first `nprobe`
+    * ids. Member ties compare ids EXPLICITLY (the concatenated layout
+    * is not globally id-sorted), so `nSuperProbe ≥ nGroups` — every
+    * member ranked — reproduces the exact [[probe]] bit-for-bit. */
+  def probeGrouped(qv: ArrayData, nrm: Long, nprobe: Int, nSuperProbe: Int): ArrayData = {
+    require(groupStart.nonEmpty, "probeGrouped needs a two-level table")
+    val nG = superSumS2.length
+    val gk = math.min(nSuperProbe, nG)
+    // stage 1: top-gk groups by (super dist ASC, group idx ASC) —
+    // strictly-worse shifting keeps equal-distance incumbents (their
+    // index is smaller), matching first-minimum semantics
+    val gD = new Array[Long](gk)
+    val gI = new Array[Int](gk)
+    var gFilled = 0
+    var g = 0
+    while (g < nG) {
+      val d = nrm - 2L * dot(qv, superS, g * dim) + superSumS2(g)
+      if (gFilled < gk) {
+        var p = gFilled
+        while (p > 0 && gD(p - 1) > d) { gD(p) = gD(p - 1); gI(p) = gI(p - 1); p -= 1 }
+        gD(p) = d; gI(p) = g
+        gFilled += 1
+      } else if (d < gD(gk - 1)) {
+        var p = gk - 1
+        while (p > 0 && gD(p - 1) > d) { gD(p) = gD(p - 1); gI(p) = gI(p - 1); p -= 1 }
+        gD(p) = d; gI(p) = g
+      }
+      g += 1
+    }
+    // stage 2: rank the chosen groups' members by (dist, id) —
+    // lexicographic with EXPLICIT id comparison
+    val kk0 = {
+      var total = 0
+      var gi = 0
+      while (gi < gFilled) { total += groupStart(gI(gi) + 1) - groupStart(gI(gi)); gi += 1 }
+      math.min(nprobe, total)
+    }
+    val topD = new Array[Double](kk0)
+    val topJ = new Array[Long](kk0)
+    var filled = 0
+    var gi = 0
+    while (gi < gFilled) {
+      var i = groupStart(gI(gi))
+      val until = groupStart(gI(gi) + 1)
+      while (i < until) {
+        val n = cellN(i)
+        val num = n * n * nrm - 2L * n * dot(qv, cellS, i * dim) + cellSumS2(i)
+        val d = num.toDouble / (n.toDouble * n.toDouble)
+        val id = cellJ(i)
+        def worse(p: Int): Boolean = topD(p) > d || (topD(p) == d && topJ(p) > id)
+        if (filled < kk0) {
+          var p = filled
+          while (p > 0 && worse(p - 1)) { topD(p) = topD(p - 1); topJ(p) = topJ(p - 1); p -= 1 }
+          topD(p) = d; topJ(p) = id
+          filled += 1
+        } else if (worse(kk0 - 1)) {
+          var p = kk0 - 1
+          while (p > 0 && worse(p - 1)) { topD(p) = topD(p - 1); topJ(p) = topJ(p - 1); p -= 1 }
+          topD(p) = d; topJ(p) = id
+        }
+        i += 1
+      }
+      gi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(topJ.take(filled))
   }
 
   def assign(qv: ArrayData, nrm: Long): Long =

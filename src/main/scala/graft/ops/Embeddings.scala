@@ -298,29 +298,15 @@ object Embeddings {
   }
 
   /** Wrap a centroid-table expression as a Column over the frame's
-    * (qv, nrm). Spark 4 exposes no public Column-from-Expression
-    * constructor, so this registers a session function whose BUILDER
-    * closes over the reference table (the [[graft.functions.VecDot]]
-    * registration mechanism, carrying a payload), then references it
-    * by SQL name. The name derives from the table's CONTENT hash
-    * ([[graft.functions.CellTable.contentKey]]), so repeated plan
-    * builds over the same centroid matrix — one per micro-batch in a
-    * serving loop — reuse ONE registry entry instead of leaking a
-    * table per call (review r9); registry growth is bounded by the
-    * number of DISTINCT quantizers the session serves. */
+    * (qv, nrm) — [[graft.functions.CellFns]] (the registration bridge,
+    * factored out in round 10 so the PQ family can bind its own
+    * slice/norm column names) with this family's column names. */
   private def cellFnCol(spark: SparkSession, prefix: String,
                         table: graft.functions.CellTable)
                        (mk: (org.apache.spark.sql.catalyst.expressions.Expression,
                              org.apache.spark.sql.catalyst.expressions.Expression) =>
-                            org.apache.spark.sql.catalyst.expressions.Expression): Column = {
-    val name = s"${prefix}_${table.contentKey}"
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name,
-      { case Seq(a, b) => mk(a, b)
-        case _ => throw new IllegalArgumentException(s"$name(qv, nrm) takes 2 arguments") },
-      "built-in")
-    expr(s"$name(qv, nrm)")
-  }
+                            org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    graft.functions.CellFns.fnCol(spark, prefix, table, "qv", "nrm")(mk)
 
   private def nearestCellsCol(spark: SparkSession,
                               table: graft.functions.CellTable): Column =
@@ -445,18 +431,29 @@ object Embeddings {
     require(nSuper >= 1, "nSuper must be positive")
     val cents = rawCents.sortBy(_.j)
     if (nSuper == 1 || nSuper >= cents.size) nearestCell(spark, cents)
-    else {
-      val groups = superGroups(cents, nSuper)
-      val supers = groups.map { case (g, ms) =>
-        Centroid(g, meanGrid((0 until Dim).map(d => ms.map(_.s(d)).sum),
-          ms.map(_.n).sum), 1L)
-      }
+    else
       // one fused expression: super routing (exact-Long n=1 distances,
       // first-min ties = smallest live group) then only the chosen
       // group's members — same trajectory the q76 oracle replays,
       // O(1) plan size (see nearestCell)
-      nearestCellsCol(spark, cellTable(groups.flatMap(_._2), supers, groups.map(_._2)))
+      nearestCellsCol(spark, twoLevelTable(cents, nSuper))
+  }
+
+  /** The grouped [[graft.functions.CellTable]] behind BOTH two-level
+    * forms — assignment ([[nearestCellTwoLevel]]) and serving
+    * ([[probeCellsColTwoLevel]]): [[superGroups]]' driver-side
+    * clustering, each super-centroid the member-count-weighted
+    * [[meanGrid]] mean carried as a 1-member centroid (same
+    * exact-integer kernel, no overflow exposure). One construction so
+    * the two paths cannot drift. Needs 2 ≤ nSuper < cents.size
+    * (degenerate forms route through the exact expressions). */
+  private def twoLevelTable(cents: Seq[Centroid], nSuper: Int): graft.functions.CellTable = {
+    val groups = superGroups(cents, nSuper)
+    val supers = groups.map { case (g, ms) =>
+      Centroid(g, meanGrid((0 until Dim).map(d => ms.map(_.s(d)).sum),
+        ms.map(_.n).sum), 1L)
     }
+    cellTable(groups.flatMap(_._2), supers, groups.map(_._2))
   }
 
   /** (vec_id, cell) assignment surface over the embeddings table —
@@ -566,6 +563,22 @@ object Embeddings {
                    k: Int = 5, queryMod: Int = 50, nprobe: Int = 1): DataFrame =
     ivfTopKServeOn(Caches.persist(quantized(spark, dir)), cents, k, queryMod, nprobe)
 
+  /** [[ivfTopKServe]] with the PROBING routed two-level
+    * ([[probeCellsColTwoLevel]]): identical candidate index and
+    * scoring tail, only the probe-cell ranking is approximate. The
+    * serve-side member of the q70-vs-q76 exact-vs-routed pair;
+    * recall consequence measured by [[graft.tools.RecallReport]]'s
+    * serve mode. */
+  def ivfTopKServeRouted(spark: SparkSession, dir: String, cents: Seq[Centroid],
+                         k: Int = 5, queryMod: Int = 50, nprobe: Int = 1,
+                         nSuper: Int = 0, nSuperProbe: Int = 1): DataFrame = {
+    val vecs = Caches.persist(quantized(spark, dir))
+    val sorted = cents.sortBy(_.j)
+    val ns = if (nSuper > 0) nSuper else superFor(sorted.size)
+    ivfTopKServeWith(vecs, sorted, k, queryMod,
+      probeCellsColTwoLevel(vecs.sparkSession, sorted, nprobe, ns, nSuperProbe))
+  }
+
   private def ivfTopKServeOn(vecs: DataFrame, rawCents: Seq[Centroid],
                              k: Int, queryMod: Int, nprobe: Int): DataFrame = {
     // the consumer owns its invariants: ties in nearestCell break to
@@ -573,14 +586,20 @@ object Embeddings {
     // and an empty quantizer would return silently empty results
     require(rawCents.nonEmpty, "quantizer has no centroids")
     val cents = rawCents.sortBy(_.j)
-    // serving: every vector's home cell (candidate side — the ONE
-    // index definition, shared with the streaming path) joined with
-    // each query's nprobe nearest cells
+    ivfTopKServeWith(vecs, cents, k, queryMod,
+      probeCellsCol(vecs.sparkSession, cents, nprobe))
+  }
+
+  /** Shared body of the exact and routed serves: every vector's home
+    * cell (the ONE index definition) equi-joined with each query's
+    * probed cells under WHATEVER probe ranking `probeCol` encodes. */
+  private def ivfTopKServeWith(vecs: DataFrame, cents: Seq[Centroid],
+                               k: Int, queryMod: Int, probeCol: Column): DataFrame = {
     val cands = indexOf(vecs, cents)
     val qs = vecs.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("qv").as("q_v"),
         col("nrm").as("q_n"),
-        explode(probeCellsCol(vecs.sparkSession, cents, nprobe)).as("cell"))
+        explode(probeCol).as("cell"))
     // queries ARE corpus vectors here → exclude the self-match
     scoreTopK(cands.join(broadcast(qs), Seq("cell")), k, excludeSelf = true)
   }
@@ -602,6 +621,33 @@ object Embeddings {
     val table = cellTable(cents)
     cellFnCol(spark, s"probe_cells_$nprobe", table)(
       graft.functions.ProbeCells(_, _, table, nprobe))
+  }
+
+  /** Two-level [[probeCellsCol]] — the SERVING counterpart of
+    * [[nearestCellTwoLevel]] (VERDICT r9 #3): exact probing costs
+    * nCells distance evals PER PROBE, so past O(10³) cells a serving
+    * query stream pays per batch what assignment used to pay per
+    * corpus row. This routes each probe to its `nSuperProbe` nearest
+    * super-groups and ranks only their members (~nSuper +
+    * nSuperProbe·√nCells evals). Approximate at group boundaries like
+    * the assignment form — the serve-side recall consequence is
+    * measured by [[graft.tools.RecallReport]]'s serve mode (rows in
+    * bench/SCALING_r10.md); degenerate forms (nSuper ≤ 1 or ≥ nCells,
+    * or nSuperProbe ≥ live groups) reproduce the exact probe
+    * bit-for-bit (EmbeddingsSpec + NearestCellsProperties pin it). */
+  private[ops] def probeCellsColTwoLevel(spark: SparkSession, rawCents: Seq[Centroid],
+                                         nprobe: Int, nSuper: Int,
+                                         nSuperProbe: Int): Column = {
+    require(rawCents.nonEmpty, "quantizer has no centroids")
+    require(nSuperProbe >= 1, "nSuperProbe must be positive")
+    val cents = rawCents.sortBy(_.j)
+    if (nSuper <= 1 || nSuper >= cents.size) probeCellsCol(spark, cents, nprobe)
+    else {
+      val table = twoLevelTable(cents, nSuper)
+      graft.functions.CellFns.fnCol(
+        spark, s"probe_cells_g${nprobe}_$nSuperProbe", table, "qv", "nrm")(
+        graft.functions.ProbeCells(_, _, table, nprobe, nSuperProbe))
+    }
   }
 
   /** The serving-side INDEX for [[serveQueryBatch]]: every corpus

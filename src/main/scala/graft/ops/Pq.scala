@@ -33,9 +33,12 @@ import graft.ops.Embeddings.Centroid
   *    aggregation and bit-identical in DuckDB;
   *  - top-k ties break on (est ASC, neighbor_id ASC).
   *
-  * Plan shape at 100 TB: encoding is a scan-riding projection
-  * (M·K = 64 literal sub-centroid distances per row, all codegen, no
-  * shuffle). The serve is the q45 broadcast-cross-join shape — the
+  * Plan shape at 100 TB: encoding is a scan-riding projection — one
+  * fused reference-data argmin per subspace
+  * ([[graft.functions.NearestCells]] over a per-subspace code table:
+  * O(1) plan size at any K, all codegen, no shuffle; the r9
+  * K-literal-subtree form is retained only as PqSpec's bit-identity
+  * reference). The serve is the q45 broadcast-cross-join shape — the
   * fixed probe batch (carrying its 4 lookup arrays) broadcasts onto
   * the CODES scan, which is 64× smaller than the raw-vector scan the
   * brute path reads; the per-row work is 4 `element_at` lookups + 3
@@ -50,8 +53,37 @@ object Pq {
 
   /** Sub-centroids per subspace — 4 code bits each, 2 code bytes per
     * vector at the oracle size (production PQ uses K = 256 for byte
-    * codes; the trade is identical, the tables 16× taller). */
+    * codes; the trade is identical, the tables 16× taller). The
+    * oracle-pinned DEFAULT; production callers size with [[kFor]]
+    * (q80 gates the rule). */
   val K = 16
+
+  /** Byte-code ceiling: one code byte per subspace — FAISS's `PQy`
+    * production shape (Jégou 2011 §IV uses k* = 256 throughout). */
+  val KMax = 256
+
+  /** Training-vectors-per-sub-centroid floor for [[kFor]]. Kept
+    * deliberately small (production guidance is ~39·K training points;
+    * FAISS docs) so the rule is NON-VACUOUS at the oracle SF — 500
+    * vectors derive K = 32 ≠ the pinned 16, the q70-cellsFor pattern —
+    * while at any production corpus the [[KMax]] cap binds long before
+    * this floor matters (n ≥ 2048 ⇒ K = 256). */
+  val TrainPerCode = 8
+
+  /** Codebook-size-vs-N rule — [[Embeddings.cellsFor]]'s counterpart
+    * for the PQ family: K doubles with the corpus (power of 2: PQ
+    * codes are bit-packed) until the [[KMax]] byte-code ceiling,
+    * holding ≥ [[TrainPerCode]] training vectors per sub-centroid.
+    * Exact-integer form (shift-compare, no log2 doubles — the
+    * planesFor rationale): K = max{2^p : p ∈ [5, 8], TrainPerCode·2^p
+    * ≤ n}, else the pinned [[K]]. The q80 oracle replays the same
+    * integer rule in SQL. */
+  def kFor(n: Long): Int = {
+    require(n > 0, "need a positive corpus size")
+    var p = 4
+    while (p < 8 && (TrainPerCode.toLong << (p + 1)) <= n) p += 1
+    1 << p
+  }
 
   /** Per-sub-cell member bound for the exact-integer distance. The
     * binding case is the q79 RESIDUAL path: residual components span
@@ -81,12 +113,58 @@ object Pq {
   private def subSlice(v: Column, m: Int): Column =
     slice(v, m * SubDim + 1, SubDim)
 
+  /** The per-subspace [[graft.functions.CellTable]] reference object:
+    * sub-centroids in code order (seed-j-sorted, the order `cents`
+    * arrives in) with cellJ = the 0-based CODE — so the fused argmin's
+    * first-minimum tie-break IS "ties to the smallest code", and the
+    * strictly-increasing flat-layout invariant holds by construction.
+    * [[MaxSubCellMembers]] wrap guard applied per sub-cell exactly as
+    * the literal forms did. */
+  private def subTable(cents: Seq[Centroid]): graft.functions.CellTable = {
+    cents.foreach { c =>
+      require(c.n <= MaxSubCellMembers,
+        s"sub-cell ${c.j} has ${c.n} members — past the 16-dim exact-integer bound")
+      require(c.s.length == SubDim, s"sub-centroid ${c.j} is not $SubDim-dim")
+    }
+    new graft.functions.CellTable(SubDim,
+      cents.indices.map(_.toLong).toArray, cents.map(_.n).toArray,
+      cents.flatMap(_.s).toArray,
+      cents.map(c => c.s.map(v => v * v).sum).toArray,
+      Array.emptyLongArray, Array.emptyLongArray, Array.emptyIntArray)
+  }
+
   /** Nearest sub-centroid CODE (0-based position in `cents`, which
-    * arrive sorted by j) for the row's subspace-`m` slice; ties to the
-    * smallest code. The distances are built over a NAMED slice column
-    * (`__pq_m$m`) so the 16-dim slice is computed once per row per
-    * subspace, not once per centroid. */
-  private def nearestSubCode(cents: Seq[Centroid]): Column = {
+    * arrive sorted by j) for the row's subspace slice; ties to the
+    * smallest code. Since round 10 a [[graft.functions.NearestCells]]
+    * reference-data expression over the per-subspace table rather
+    * than K literal distance subtrees: at the production K = 256 the
+    * literal form is M·K = 1,024 plan subtrees — the exact pathology
+    * NearestCells killed for IVF in round 9 (~25-36 s of
+    * analysis/codegen at 625 cells) — while this is O(1) plan size at
+    * any K. Bit-identical arithmetic (PqSpec pins equality against
+    * [[nearestSubCodeLiteral]]; the q77/q79/q80 oracles replay the
+    * same trajectories). */
+  private def nearestSubCode(spark: SparkSession, cents: Seq[Centroid]): Column = {
+    val t = subTable(cents)
+    graft.functions.CellFns.fnCol(spark, "nearest_subcode", t, "__pq_sl", "__pq_nrm")(
+      graft.functions.NearestCells(_, _, t)).cast("int")
+  }
+
+  /** The per-(query, subspace) ADC table: the K-element array of
+    * floor(dist×10⁶) Longs — exact in both engines (integer
+    * numerator, one IEEE division, one double multiply, floor).
+    * Fused ([[graft.functions.AdcSubDists]]) for the same O(1)
+    * plan-size reason as [[nearestSubCode]]. */
+  private def quantizedSubDist(spark: SparkSession, cents: Seq[Centroid]): Column = {
+    val t = subTable(cents)
+    graft.functions.CellFns.fnCol(spark, "adc_subdists", t, "__pq_sl", "__pq_nrm")(
+      graft.functions.AdcSubDists(_, _, t, DistScale))
+  }
+
+  /** The r9 K-literal-subtree form of [[nearestSubCode]] — retained
+    * (test-only) as the independent formulation PqSpec pins the fused
+    * expression against bit-for-bit. */
+  private[graft] def nearestSubCodeLiteral(cents: Seq[Centroid]): Column = {
     val distArr = array(cents.map { c =>
       require(c.n <= MaxSubCellMembers,
         s"sub-cell ${c.j} has ${c.n} members — past the 16-dim exact-integer bound")
@@ -100,10 +178,9 @@ object Pq {
     array_position(distArr, array_min(distArr)).cast("int") - 1
   }
 
-  /** The per-(query, subspace, code) ADC table entry: floor(dist×10⁶)
-    * as a Long — exact in both engines (integer numerator, one IEEE
-    * division, one double multiply, floor). */
-  private def quantizedSubDist(cents: Seq[Centroid]): Column =
+  /** The r9 K-literal-subtree form of [[quantizedSubDist]] —
+    * retained (test-only) for the same PqSpec bit-identity pin. */
+  private[graft] def quantizedSubDistLiteral(cents: Seq[Centroid]): Column =
     array(cents.map { c =>
       require(c.n <= MaxSubCellMembers,
         s"sub-cell ${c.j} has ${c.n} members — past the 16-dim exact-integer bound")
@@ -137,8 +214,10 @@ object Pq {
     * where dead cells drop). Exact-integer (s, n) never-divide
     * representation throughout, same as [[Embeddings]]. */
   private[graft] def trainCodebooks(vecs: DataFrame,
-                                    iters: Int = Embeddings.OracleIters): Seq[Seq[Centroid]] = {
-    val seedRows = vecs.orderBy(col("vec_id")).limit(K)
+                                    iters: Int = Embeddings.OracleIters,
+                                    nCodes: Int = K): Seq[Seq[Centroid]] = {
+    val spark = vecs.sparkSession
+    val seedRows = vecs.orderBy(col("vec_id")).limit(nCodes)
       .select(col("vec_id"), col("qv")).collect()
     val seeds: Seq[Seq[Centroid]] = (0 until M).map(m =>
       seedRows.map(r => Centroid(r.getLong(0),
@@ -146,7 +225,7 @@ object Pq {
         .toSeq.sortBy(_.j))
     (1 to iters).foldLeft(seeds) { (books, _) =>
       val withCodes = (0 until M).foldLeft(vecs) { (df, m) =>
-        withSlice(df, m)(d => d.withColumn(s"c$m", nearestSubCode(books(m))))
+        withSlice(df, m)(d => d.withColumn(s"c$m", nearestSubCode(spark, books(m))))
       }
       val agg = withCodes
         .select((0 until M).map(m => col(s"c$m")) :+
@@ -178,12 +257,13 @@ object Pq {
   }
 
   /** The PQ CODES relation (vec_id, c0..c3): the 64×-compressed
-    * corpus representation. A scan-riding projection — M·K literal
-    * sub-centroid distances per row, all codegen, zero shuffle. */
+    * corpus representation. A scan-riding projection — M fused
+    * argmin loops per row, O(1) plan size, all codegen, zero
+    * shuffle. */
   private[graft] def encode(vecs: DataFrame, books: Seq[Seq[Centroid]],
                             keep: Seq[String] = Nil): DataFrame =
     (0 until M).foldLeft(vecs) { (df, m) =>
-      withSlice(df, m)(d => d.withColumn(s"c$m", nearestSubCode(books(m))))
+      withSlice(df, m)(d => d.withColumn(s"c$m", nearestSubCode(vecs.sparkSession, books(m))))
     }.select(col("vec_id") +: ((0 until M).map(m => col(s"c$m")) ++ keep.map(col)): _*)
 
   /** The ONE ranking tail of both ADC serves: `joined` carries
@@ -226,7 +306,7 @@ object Pq {
     // probe side: exact query vectors -> M lookup arrays of K
     // quantized subdistances each (the ADC table, one row per probe)
     val pt = (0 until M).foldLeft(probes) { (df, m) =>
-        withSlice(df, m)(d => d.withColumn(s"t$m", quantizedSubDist(books(m))))
+        withSlice(df, m)(d => d.withColumn(s"t$m", quantizedSubDist(probes.sparkSession, books(m))))
       }
       .select(col("q_id") +: (0 until M).map(m => col(s"t$m")): _*)
     adcTail(codes.crossJoin(broadcast(pt)), k, excludeSelf)
@@ -241,14 +321,30 @@ object Pq {
     * PqSpec against q45's brute-force baseline. */
   def pqTopK(spark: SparkSession, dir: String,
              k: Int = 5, queryMod: Int = 50,
-             iters: Int = Embeddings.OracleIters): DataFrame = {
+             iters: Int = Embeddings.OracleIters,
+             nCodes: Int = K): DataFrame = {
     val vecs = Caches.persist(Embeddings.quantized(spark, dir))
-    val books = trainCodebooks(vecs, iters)
+    val books = trainCodebooks(vecs, iters, nCodes)
     val codes = encode(vecs, books)
     val probes = vecs
       .filter(col("vec_id") % queryMod === 0 && col("vec_id") < ProbeCap)
       .select(col("vec_id").as("q_id"), col("qv"))
     adcServe(codes, books, probes, k, excludeSelf = true)
+  }
+
+  /** q80 — [[pqTopK]] with the CODEBOOK SIZE derived from the corpus
+    * ([[kFor]]) — the production sizing rule of the PQ family,
+    * oracle-gated the way q70 gates `cellsFor` and q34 gates
+    * `planesFor` (non-vacuous at the oracle SF: 500 vectors derive
+    * K = 32 ≠ the pinned 16). Practical only because the codebook
+    * expressions are fused reference-data forms — at the K = 256 this
+    * rule reaches by sf1, the r9 literal form would be 1,024 plan
+    * subtrees. */
+  def pqTopKScaled(spark: SparkSession, dir: String,
+                   k: Int = 5, queryMod: Int = 50,
+                   iters: Int = Embeddings.OracleIters): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    pqTopK(spark, dir, k, queryMod, iters, kFor(n))
   }
 
   /** Persist the trained codebooks as a parquet artifact — rows
@@ -398,14 +494,25 @@ object Pq {
       .withColumn("nrm", expr("vec_dot(qv, qv)"))
       .select(col("q_id"), col("qv"), col("nrm"),
         explode(Embeddings.probeCellsCol(spark, sorted, nprobe)).as("cell"))
+    // the batch's probed-cell set, collected driver-side (bounded by
+    // nCells — `cents` is already driver-resident, so this is a
+    // quantizer-sized aggregate, one extra pass over the QUERY
+    // relation) and injected as a STATIC filter on the codes scan:
+    // on the partitioned-by-cell production layout the probed cells
+    // now prune at LISTING time through the serve path itself
+    // (StorageSpec proves it end-to-end), not only when DPP happens
+    // to fire — VERDICT r9 #2. Semantically a no-op: the cell
+    // equi-join below keeps exactly these cells' rows anyway.
+    val probedCells = probes.select(col("cell")).distinct().collect().map(_.getLong(0))
     val ptabs = (0 until M).foldLeft(
       probes.join(broadcast(gridDfOf(spark, sorted)), "cell")
         .select(col("q_id"), col("cell"),
           zip_with(col("qv"), col("grid"), (a, b) => a - b).as("qv"))) { (df, m) =>
-        withSlice(df, m)(d => d.withColumn(s"t$m", quantizedSubDist(books(m))))
+        withSlice(df, m)(d => d.withColumn(s"t$m", quantizedSubDist(spark, books(m))))
       }
       .select(col("q_id") +: col("cell") +: (0 until M).map(m => col(s"t$m")): _*)
-    adcTail(codes.join(broadcast(ptabs), Seq("cell")), k, excludeSelf)
+    adcTail(codes.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(ptabs), Seq("cell")), k, excludeSelf)
   }
 
   /** q78 — kNN label classification over the PQ index: each probe

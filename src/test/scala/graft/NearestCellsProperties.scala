@@ -145,4 +145,98 @@ class NearestCellsProperties extends SparkSpec {
     val want = vecs.map(v => modelAssign(v, cents, supers, groups))
     assert(got == want)
   }
+
+  test("adcRow matches the literal floor(dist·scale) per code, in code order") {
+    // the PQ family's fused ADC table vs an independent model of the
+    // literal column form: one IEEE division, one double multiply,
+    // Math.floor — per code, ordered as the cells arrive
+    val dim = 16
+    def rv(): IndexedSeq[Long] = IndexedSeq.fill(dim)((rnd.nextInt(4001) - 2000).toLong)
+    val cents = (0 until 32).map(i => C(i.toLong, rv(), 1L + rnd.nextInt(100)))
+    val t = new CellTable(dim,
+      cents.map(_.j).toArray, cents.map(_.n).toArray,
+      cents.flatMap(_.s).toArray, cents.map(c => c.s.map(v => v * v).sum).toArray,
+      Array.emptyLongArray, Array.emptyLongArray, Array.emptyIntArray)
+    val scale = graft.ops.Pq.DistScale
+    Seq.fill(100)(rv()).foreach { v =>
+      val nrm = v.map(x => x * x).sum
+      val got = t.adcRow(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray),
+        nrm, scale).toLongArray.toSeq
+      val want = cents.map { c =>
+        var dot = 0L
+        var d = 0
+        while (d < dim) { dot += v(d) * c.s(d); d += 1 }
+        val num = c.n * c.n * nrm - 2L * c.n * dot + c.s.map(x => x * x).sum
+        math.floor((num.toDouble / (c.n.toDouble * c.n.toDouble)) * scale.toDouble).toLong
+      }
+      assert(got == want)
+    }
+  }
+
+  test("probeGrouped: nSuperProbe >= nGroups reproduces the exact probe bit-for-bit") {
+    // the degenerate-form identity the serving router's correctness
+    // hangs on: with every group probed, (dist, id)-lexicographic
+    // ranking over the group-CONCATENATED layout (ids NOT globally
+    // sorted) must equal the exact probe over the id-sorted layout —
+    // engineered exact ties included
+    val shared = randVec(300)
+    val groups = (0 until 4).map { g =>
+      (0 until 7).map { i =>
+        // scatter ids so group-concatenation order ≠ id order, and
+        // plant the shared vector in several groups for cross-group ties
+        val id = (i * 4 + g).toLong * 3L
+        C(id, if (i == 2) shared else randVec(300), 1L + rnd.nextInt(30))
+      }
+    }
+    val supers = groups.zipWithIndex.map { case (ms, g) => C(g.toLong, ms.head.s, 1L) }
+    val grouped = tableOf(groups.flatten, supers, groups)
+    val flat = tableOf(groups.flatten.sortBy(_.j), Nil, Nil)
+    val vecs = Seq.fill(150)(randVec(300))
+    for (nprobe <- Seq(1, 3, 28)) {
+      vecs.foreach { v =>
+        val qv = new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray)
+        val nrm = v.map(x => x * x).sum
+        val exact = flat.probe(qv, nrm, nprobe).toLongArray.toSeq
+        val routedAll = grouped.probeGrouped(qv, nrm, nprobe, groups.size).toLongArray.toSeq
+        assert(routedAll == exact, s"degenerate grouped probe diverged at nprobe=$nprobe")
+      }
+    }
+  }
+
+  test("probeGrouped matches the route-then-rank model at partial nSuperProbe") {
+    val groups = (0 until 6).map { g =>
+      val base = randVec(600)
+      (0 until 5).map(i => C((g * 50 + i * 7).toLong, base.map(_ + rnd.nextInt(11) - 5), 1L + rnd.nextInt(40)))
+    }
+    val supers = groups.zipWithIndex.map { case (ms, g) => C(g.toLong, ms.head.s, 1L) }
+    val grouped = tableOf(groups.flatten, supers, groups)
+    val vecs = Seq.fill(150)(randVec(600))
+    for (nSuperProbe <- Seq(1, 2, 4); nprobe <- Seq(1, 2, 8)) {
+      vecs.foreach { v =>
+        val qv = new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray)
+        val nrm = v.map(x => x * x).sum
+        // model: rank supers by (exact Long dist, group idx), take the
+        // head groups, rank their members by (dist, id)
+        val gRank = supers.zipWithIndex.map { case (g, i) =>
+          var dot = 0L
+          var d = 0
+          while (d < Dim) { dot += v(d) * g.s(d); d += 1 }
+          (nrm - 2L * dot + g.s.map(x => x * x).sum, i)
+        }.sorted.take(nSuperProbe).map(_._2)
+        val want = gRank.flatMap(groups(_))
+          .map(c => (modelDist(v, nrm, c), c.j)).sorted.take(nprobe).map(_._2)
+        val got = grouped.probeGrouped(qv, nrm, nprobe, nSuperProbe).toLongArray.toSeq
+        assert(got == want, s"routed probe diverged at nSuperProbe=$nSuperProbe nprobe=$nprobe")
+      }
+    }
+  }
+
+  test("flat layouts must arrive strictly id-sorted (the tie-break seam guard)") {
+    val cents = Seq(C(9L, randVec(10), 1L), C(3L, randVec(10), 1L))
+    intercept[IllegalArgumentException] { tableOf(cents, Nil, Nil) }
+    // and equal ids are rejected too (strictly increasing)
+    val dup = Seq(C(3L, randVec(10), 1L), C(3L, randVec(10), 1L))
+    intercept[IllegalArgumentException] { tableOf(dup, Nil, Nil) }
+  }
 }

@@ -187,6 +187,75 @@ class PqSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
   }
 
+  test("fused sub-code/ADC expressions reproduce the r9 literal forms bit-for-bit") {
+    // the round-10 plan-size fix (CellTable per subspace instead of
+    // M·K literal subtrees) must not move a single bit: same codes,
+    // same quantized subdistance arrays, K=16 AND the kFor-derived 32
+    import org.apache.spark.sql.functions._
+    val vecs = Embeddings.quantized(spark, dir)
+    for (nCodes <- Seq(Pq.K, 32)) {
+      val books = Pq.trainCodebooks(vecs, nCodes = nCodes)
+      (0 until Pq.M).foreach { m =>
+        val o = m * Pq.SubDim
+        val df = vecs
+          .withColumn("__pq_sl", expr(s"slice(qv, ${o + 1}, ${Pq.SubDim})"))
+          .withColumn("__pq_nrm", expr("vec_dot(__pq_sl, __pq_sl)"))
+          .withColumn("lit_code", Pq.nearestSubCodeLiteral(books(m)))
+          .withColumn("lit_adc", Pq.quantizedSubDistLiteral(books(m)))
+        val rows = Pq.encode(vecs, books)
+          .select(col("vec_id"), col(s"c$m").as("fus_code"))
+          .join(df.select(col("vec_id"), col("lit_code"), col("lit_adc")), "vec_id")
+          .collect()
+        assert(rows.nonEmpty)
+        rows.foreach { r =>
+          assert(r.getAs[Int]("fus_code") == r.getAs[Int]("lit_code"),
+            s"code diverged for vec ${r.getLong(0)} subspace $m at K=$nCodes")
+        }
+        // ADC arrays: fused expression vs literal, row by row
+        val adc = df
+          .withColumn("fus_adc", {
+            // same registration path the production quantizedSubDist uses
+            val t = new graft.functions.CellTable(Pq.SubDim,
+              books(m).indices.map(_.toLong).toArray, books(m).map(_.n).toArray,
+              books(m).flatMap(_.s).toArray,
+              books(m).map(c => c.s.map(v => v * v).sum).toArray,
+              Array.emptyLongArray, Array.emptyLongArray, Array.emptyIntArray)
+            graft.functions.CellFns.fnCol(spark, "adc_test", t, "__pq_sl", "__pq_nrm")(
+              graft.functions.AdcSubDists(_, _, t, Pq.DistScale))
+          })
+          .select(col("vec_id"), col("lit_adc"), col("fus_adc"))
+          .collect()
+        adc.foreach { r =>
+          assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+            s"ADC row diverged for vec ${r.getLong(0)} subspace $m at K=$nCodes")
+        }
+      }
+    }
+    graft.ops.Caches.releaseAll(spark)
+  }
+
+  test("kFor: exact-integer power-of-2 rule, non-vacuous at oracle SF, KMax-capped") {
+    assert(Pq.kFor(1) == Pq.K)          // tiny corpora keep the pinned shape
+    assert(Pq.kFor(255) == Pq.K)        // 8·2^5 = 256 > 255
+    assert(Pq.kFor(256) == 32)          // exact boundary
+    assert(Pq.kFor(500) == 32)          // the oracle SF: NON-vacuous (≠ 16)
+    assert(Pq.kFor(2000) == 128)        // bench sf0.1
+    assert(Pq.kFor(2047) == 128)
+    assert(Pq.kFor(2048) == Pq.KMax)    // production cap from here on
+    assert(Pq.kFor(20000) == Pq.KMax)   // sf1
+    assert(Pq.kFor(Long.MaxValue) == Pq.KMax)
+  }
+
+  test("pqTopKScaled equals pqTopK at the derived K (the q80 surface)") {
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val want = Pq.pqTopK(spark, dir, nCodes = Pq.kFor(n)).collect().map(_.toSeq).toSeq
+    graft.ops.Caches.releaseAll(spark)
+    val got = Pq.pqTopKScaled(spark, dir).collect().map(_.toSeq).toSeq
+    assert(Pq.kFor(n) != Pq.K, "oracle-SF corpus no longer derives a non-vacuous K")
+    assert(got == want)
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("knnClassify: per-label counts roll up the per-probe majority votes") {
     val k = 5; val queryMod = 50
     val labels = spark.read.parquet(s"$dir/embeddings.parquet")
