@@ -484,16 +484,27 @@ object Pq {
     * the corpus integer grid (external embeddings go through
     * [[quantizeQueries]] first). ONE definition shared by the batch
     * q79 and the streaming seam, so their agreement is an identity. */
+  /** ONE definition of the per-probe probed-cell relation
+    * (q_id, qv, nrm, cell — one row per probed cell): the serve's
+    * probe side AND the source of its static probed-cell filter, and
+    * what StorageSpec derives the to-be-pruned set from — shared so
+    * the test's notion of "probed" cannot drift from the serve's. */
+  private[graft] def probeCellsRelation(queries: DataFrame, cents: Seq[Centroid],
+                                        nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.VecDot.register(spark)
+    queries
+      .withColumn("nrm", expr("vec_dot(qv, qv)"))
+      .select(col("q_id"), col("qv"), col("nrm"),
+        explode(Embeddings.probeCellsCol(spark, cents.sortBy(_.j), nprobe)).as("cell"))
+  }
+
   def ivfPqServe(codes: DataFrame, cents: Seq[Centroid], books: Seq[Seq[Centroid]],
                  queries: DataFrame, k: Int = 5, nprobe: Int = 2,
                  excludeSelf: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
-    graft.functions.VecDot.register(spark)
     val sorted = cents.sortBy(_.j)
-    val probes = queries
-      .withColumn("nrm", expr("vec_dot(qv, qv)"))
-      .select(col("q_id"), col("qv"), col("nrm"),
-        explode(Embeddings.probeCellsCol(spark, sorted, nprobe)).as("cell"))
+    val probes = probeCellsRelation(queries, sorted, nprobe)
     // the batch's probed-cell set, collected driver-side (bounded by
     // nCells — `cents` is already driver-resident, so this is a
     // quantizer-sized aggregate, one extra pass over the QUERY

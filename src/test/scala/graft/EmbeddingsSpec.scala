@@ -299,6 +299,36 @@ class EmbeddingsSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
   }
 
+  test("ivfTopKServeRouted: degenerate routing equals the exact serve; real routing stays sane") {
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val cents = Embeddings.trainQuantizer(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+    val exact = rows(Embeddings.ivfTopKServe(spark, dir, cents, nprobe = 2))
+    graft.ops.Caches.releaseAll(spark)
+    // degenerate routing forms reproduce the exact serve bit-for-bit:
+    // nSuper ≥ nCells routes through the exact probe; a grouped table
+    // probed at nSuperProbe ≥ live groups ranks every member (the
+    // NearestCellsProperties identity, here end-to-end)
+    assert(rows(Embeddings.ivfTopKServeRouted(spark, dir, cents, nprobe = 2,
+      nSuper = 1000, nSuperProbe = 1)) == exact)
+    graft.ops.Caches.releaseAll(spark)
+    assert(rows(Embeddings.ivfTopKServeRouted(spark, dir, cents, nprobe = 2,
+      nSuper = 3, nSuperProbe = 10)) == exact)
+    graft.ops.Caches.releaseAll(spark)
+    // real routing (3 groups, probe 1): same probe set, k rows each,
+    // deterministic replay; recall consequence is measured by
+    // RecallReport's serve mode, not asserted here
+    val routed = rows(Embeddings.ivfTopKServeRouted(spark, dir, cents, nprobe = 2,
+      nSuper = 3, nSuperProbe = 1))
+    assert(routed.map(_.head).toSet == exact.map(_.head).toSet)
+    assert(routed.groupBy(_.head).values.forall(_.size == 5))
+    graft.ops.Caches.releaseAll(spark)
+    assert(rows(Embeddings.ivfTopKServeRouted(spark, dir, cents, nprobe = 2,
+      nSuper = 3, nSuperProbe = 1)) == routed)
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("buckets are non-degenerate and candidates never include self") {
     val out = Embeddings.annTopK(spark, dir).collect()
     assert(out.nonEmpty)

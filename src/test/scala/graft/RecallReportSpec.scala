@@ -33,4 +33,23 @@ class RecallReportSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
     assert(kv("drop_exact") == q70Drops)
   }
+
+  test("serveReport: join-based top-k agreement, perfect at a saturating nSuperProbe") {
+    def kv(line: String): Map[String, Double] =
+      """"([a-z_]+)":([0-9.]+)""".r.findAllMatchIn(line)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    // routed probing at a saturating nSuperProbe IS the exact serve
+    // (the degenerate identity) — recall and rank agreement both 1
+    val sat = kv(RecallReport.serveReport(spark, "/root/testdata/sf0.001",
+      nprobe = 2, nSuperProbe = 1000))
+    assert(sat("topk_recall") == 1.0 && sat("exact_rank_agreement") == 1.0, sat.toString)
+    // real routing: bounded ratios, pairs = probes × k, and recall
+    // bounds rank agreement from above
+    val real = kv(RecallReport.serveReport(spark, "/root/testdata/sf0.001",
+      nprobe = 2, nSuperProbe = 1))
+    assert(real("pairs") == sat("pairs"))
+    assert(real("topk_recall") > 0 && real("topk_recall") <= 1)
+    assert(real("exact_rank_agreement") <= real("topk_recall"))
+    assert(real("n_super") == math.ceil(math.sqrt(real("n_cells"))).toInt)
+  }
 }
