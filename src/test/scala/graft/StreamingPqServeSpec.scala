@@ -83,8 +83,18 @@ class StreamingPqServeSpec extends SparkSpec {
     val codes = Pq.buildCodes(spark, SfDir, books)
     val external = Pq.quantizeQueries(Seq((cid, cemb)).toDF("q_id", "embedding"))
     val kept = Pq.adcServe(codes, books, external, k = 5).collect()
-    assert(kept.length == 5 && kept.exists(r => r.getAs[Long]("neighbor_id") == cid),
-      "external-id serving must not drop an id-colliding vector")
+    assert(kept.length == 5)
+    // tie-proof form (ADVICE r9): serving at corpus-covering k, the
+    // colliding vector IS returned (nothing filters it), and its
+    // own-codes estimate is the global MINIMUM — a vector's ADC
+    // estimate against its own code combination cannot be beaten.
+    // The earlier top-5-membership assert could flake if 5+ vectors
+    // shared the minimal estimate with smaller neighbor_ids.
+    val all = Pq.adcServe(codes, books, external, k = 100000).collect()
+    val own = all.find(r => r.getAs[Long]("neighbor_id") == cid)
+    assert(own.nonEmpty, "external-id serving must not drop an id-colliding vector")
+    assert(own.get.getAs[Long]("est") == all.map(_.getAs[Long]("est")).min,
+      "the colliding vector's own-codes estimate must be minimal")
     graft.ops.Caches.releaseAll(spark)
   }
 
