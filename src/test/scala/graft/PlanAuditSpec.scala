@@ -19,11 +19,12 @@ class PlanAuditSpec extends SparkSpec {
   // the same global-scalar shape as q48). q77/q78 are the PQ ADC
   // serve — the q45 shape with the probe batch (carrying its lookup
   // arrays) as the broadcast build side; ADC is definitionally a
-  // scan of all codes per probe. Everything else must keep an
-  // equi-key.
+  // scan of all codes per probe — and q80 is the same serve at the
+  // kFor-derived K. Everything else must keep an equi-key.
   private val BnljAllowed =
     Set("q16_owners_glob_join", "q45_brute_topk", "q48_source_mix",
-      "q74_temperature_mix", "q77_pq_topk", "q78_knn_classify")
+      "q74_temperature_mix", "q77_pq_topk", "q78_knn_classify",
+      "q80_pq_scaled")
 
   test("no CartesianProduct in any query plan; BNLJ only where all-pairs IS the operator") {
     assume(new java.io.File(dir).isDirectory, "testdata not present")
