@@ -677,10 +677,25 @@ object Embeddings {
     * only when the batch's q_ids ARE corpus vec_ids (the
     * [[ivfTopKServe]] situation) — with the corpus's own `vec_id %
     * queryMod = 0` vectors and excludeSelf = true this is
-    * bit-identical to [[ivfTopKServe]] (spec-pinned). */
+    * bit-identical to [[ivfTopKServe]] (spec-pinned).
+    *
+    * `nSuperProbe ≥ 1` routes the PROBING two-level
+    * ([[probeCellsColTwoLevel]], `nSuper` groups — 0 derives
+    * [[superFor]](nCells)): the scale path for a query stream against
+    * an O(10³+)-cell quantizer, where exact probing pays nCells
+    * distance evals per probe. Approximate (recall table in
+    * bench/SCALING_r10.md); a saturating `nSuperProbe` reproduces the
+    * exact serve bit-for-bit (spec-pinned).
+    *
+    * The batch's probed-cell set is injected as a STATIC filter on the
+    * index scan (the [[graft.ops.Pq.ivfPqServe]] pattern — bounded by
+    * nCells, one extra pass over the query batch): on a
+    * partitioned-by-cell index layout the probed cells prune at
+    * LISTING time through the serve path itself. */
   def serveQueryBatch(index: DataFrame, rawCents: Seq[Centroid], queries: DataFrame,
                       k: Int = 5, nprobe: Int = 1,
-                      excludeSelf: Boolean = false): DataFrame = {
+                      excludeSelf: Boolean = false,
+                      nSuper: Int = 0, nSuperProbe: Int = 0): DataFrame = {
     require(rawCents.nonEmpty, "quantizer has no centroids")
     val cents = rawCents.sortBy(_.j)
     graft.functions.VecDot.register(queries.sparkSession)
@@ -688,10 +703,17 @@ object Embeddings {
       .select(col("q_id"),
         transform(col("embedding"), x => floor(x.cast("double") * 1000)).as("qv"))
       .withColumn("nrm", expr("vec_dot(qv, qv)"))
+    val probeCol =
+      if (nSuperProbe >= 1)
+        probeCellsColTwoLevel(queries.sparkSession, cents, nprobe,
+          if (nSuper > 0) nSuper else superFor(cents.size), nSuperProbe)
+      else probeCellsCol(queries.sparkSession, cents, nprobe)
     val qs = q.select(col("q_id"), col("qv").as("q_v"),
       col("nrm").as("q_n"),
-      explode(probeCellsCol(queries.sparkSession, cents, nprobe)).as("cell"))
-    scoreTopK(index.join(broadcast(qs), Seq("cell")), k, excludeSelf)
+      explode(probeCol).as("cell"))
+    val probedCells = qs.select(col("cell")).distinct().collect().map(_.getLong(0))
+    scoreTopK(index.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(qs), Seq("cell")), k, excludeSelf)
   }
 
   /** Shared scoring tail of every top-k retrieval (q27 LSH, q31 IVF,

@@ -44,18 +44,30 @@ object StreamingAnnServe {
     *
     * `excludeSelf`: pass true only when the stream's q_ids ARE corpus
     * vec_ids (see [[graft.ops.Embeddings.serveQueryBatch]]) — the
-    * default keeps id-colliding external queries correct. */
+    * default keeps id-colliding external queries correct.
+    *
+    * `nSuperProbe ≥ 1` routes each micro-batch's probing two-level
+    * (round 10): per-probe cost drops from nCells to ~nSuper +
+    * nSuperProbe·(nCells/nSuper) distance evals — the lever that
+    * matters when a standing query stream faces an O(10³+)-cell
+    * quantizer, where exact probing pays per BATCH what two-level
+    * assignment saved per corpus row. Recall consequence measured in
+    * bench/SCALING_r10.md; a saturating setting is bit-identical to
+    * the exact serve (spec-pinned), so the switch carries no
+    * correctness risk at the degenerate end. */
   def run(spark: SparkSession, queries: DataFrame,
           corpusDir: String, quantizerPath: String,
           checkpointDir: String,
-          k: Int = 5, nprobe: Int = 1, excludeSelf: Boolean = false)
+          k: Int = 5, nprobe: Int = 1, excludeSelf: Boolean = false,
+          nSuper: Int = 0, nSuperProbe: Int = 0)
          (onBatch: DataFrame => Unit): StreamingQuery = {
     val cents = Embeddings.loadQuantizer(spark, quantizerPath)
     val index = graft.ops.Caches.persist(Embeddings.serveIndex(spark, corpusDir, cents))
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        onBatch(Embeddings.serveQueryBatch(index, cents, batch, k, nprobe, excludeSelf))
+        onBatch(Embeddings.serveQueryBatch(index, cents, batch, k, nprobe, excludeSelf,
+          nSuper, nSuperProbe))
       }
       .start()
   }

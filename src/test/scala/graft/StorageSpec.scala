@@ -153,6 +153,58 @@ class StorageSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
   }
 
+  test("ANN serveQueryBatch prunes a partitioned index at listing time through the serve path") {
+    // the q31-family twin of the IVFADC serve-path proof: the
+    // cell-assigned serving index persists partitioned by cell, and
+    // serveQueryBatch's static probed-cell filter (round 10) must land
+    // in PartitionFilters and never list unprobed cells. The probed
+    // set is derived here INDEPENDENTLY (plain-Scala scaledDist + the
+    // (dist, id) ranking), so the test cannot inherit a serve-side bug.
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val cents = graft.ops.Embeddings.trainQuantizer(spark, dir).sortBy(_.j)
+    val index = graft.ops.Embeddings.serveIndex(spark, dir, cents)
+    val root = java.nio.file.Files.createTempDirectory("annindex").toString + "/index"
+    Storage.writePartitioned(index, root, "cell")
+    val full = Storage.readPartitioned(spark, root)
+
+    val one = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("embedding"))
+    val served = graft.ops.Embeddings.serveQueryBatch(full, cents, one, k = 5, nprobe = 2)
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan)
+    val want = served.collect().map(_.toString).toSeq
+    assert(want.size == 5)
+
+    // independent probed-set derivation: exact scaled distance to each
+    // centroid, (dist, id)-lexicographic, take nprobe
+    val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0L).select("embedding").collect()(0)
+      .getSeq[Float](0).map(x => math.floor(x.toDouble * 1000).toLong).toIndexedSeq
+    val nrm = qv.map(x => x * x).sum
+    def cellDist(c: graft.ops.Embeddings.Centroid): Double = {
+      var dot = 0L
+      var d = 0
+      while (d < qv.length) { dot += qv(d) * c.s(d); d += 1 }
+      (c.n * c.n * nrm - 2L * c.n * dot + c.s.map(x => x * x).sum).toDouble /
+        (c.n.toDouble * c.n.toDouble)
+    }
+    val probed = cents.map(c => (cellDist(c), c.j)).sorted.take(2).map(_._2).toSet
+    val unprobed = cents.map(_.j).filterNot(probed.contains).head
+    corruptPartition(root, s"cell=$unprobed")
+    val again = graft.ops.Embeddings.serveQueryBatch(
+      Storage.readPartitioned(spark, root), cents, one, k = 5, nprobe = 2)
+    assert(again.collect().map(_.toString).toSeq == want,
+      "serve result changed across the corruption — it must never read unprobed cells")
+    intercept[Exception] {
+      Storage.readPartitioned(spark, root).agg(sum(col("c_n"))).collect()
+    }
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("bucketed tables: equi-join on the bucket key plans ZERO exchanges") {
     val s = spark
     import s.implicits._

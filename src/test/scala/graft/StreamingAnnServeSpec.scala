@@ -80,4 +80,54 @@ class StreamingAnnServeSpec extends SparkSpec {
       kept(0).getAs[Double]("cosine") == 1.0,
       "external-id serving must not drop an id-colliding true neighbor")
   }
+
+  test("routed probing through the seam: saturating ≡ exact; routed stream ≡ routed batch") {
+    assume(new java.io.File(SfDir).isDirectory, "testdata not present")
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val artifact = Files.createTempDirectory("quant-routed").toString
+    Embeddings.saveQuantizer(spark, Embeddings.trainQuantizer(spark, SfDir), artifact)
+    val cents = Embeddings.loadQuantizer(spark, artifact)
+    val index = graft.ops.Caches.persist(Embeddings.serveIndex(spark, SfDir, cents))
+    val queryVecs = graft.ops.Tables.embeddings(spark, SfDir)
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val external = queryVecs.toSeq.toDF("q_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+
+    // degenerate identity END-TO-END through the external-query path:
+    // a saturating nSuperProbe reproduces the exact serve bit-for-bit
+    val exact = rows(Embeddings.serveQueryBatch(index, cents, external, k = 5, nprobe = 2))
+    assert(rows(Embeddings.serveQueryBatch(index, cents, external, k = 5, nprobe = 2,
+      nSuper = 3, nSuperProbe = 100)) == exact)
+
+    // routed stream ≡ routed batch across micro-batch boundaries —
+    // the same identity the exact seam pins, at the routed setting
+    val routedBatch = rows(Embeddings.serveQueryBatch(index, cents, external,
+      k = 5, nprobe = 2, nSuper = 3, nSuperProbe = 1))
+    assert(routedBatch.map(_.head).toSet == exact.map(_.head).toSet,
+      "routed serve must cover every probe")
+    val (firstHalf, secondHalf) = queryVecs.splitAt(queryVecs.length / 2)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val got = collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val ckpt = Files.createTempDirectory("annserve-routed-ckpt").toString
+    val q = StreamingAnnServe.run(spark,
+      input.toDF().toDF("q_id", "embedding"),
+      SfDir, artifact, ckpt, k = 5, nprobe = 2,
+      nSuper = 3, nSuperProbe = 1) { scored =>
+      got ++= scored.collect().map(_.toSeq)
+    }
+    try {
+      input.addData(firstHalf.toSeq)
+      q.processAllAvailable()
+      input.addData(secondHalf.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.sortBy(_.head.asInstanceOf[Long]).toSeq ==
+      routedBatch.sortBy(_.head.asInstanceOf[Long]),
+      "routed streamed serving diverged from the routed batch path")
+    graft.ops.Caches.releaseAll(spark)
+  }
 }
