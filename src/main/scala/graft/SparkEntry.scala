@@ -112,6 +112,7 @@ object SparkEntry {
     "q78_knn_classify"      -> ((s, d) => Pq.knnClassify(s, d)),
     "q79_ivfpq_topk"        -> ((s, d) => Pq.ivfPqTopK(s, d)),
     "q80_pq_scaled"         -> ((s, d) => Pq.pqTopKScaled(s, d)),
+    "q81_sq8_topk"          -> ((s, d) => Sq.sq8TopK(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -1687,5 +1688,33 @@ object SparkEntry {
     "q80_pq_scaled" ->
       s"""WITH $PqCtesScaled
          SELECT q_id, rank, neighbor_id, est FROM pqtopk ORDER BY q_id, rank""",
+    // SQ8: per-dim [min,max] bounds on the quantized grid, byte codes
+    // c = (x−mn)·255 // rng, pinned reconstruction r = mn + (c·rng)
+    // // 255 (the CASE fuses encode∘decode; mx = mn dims reconstruct
+    // to mn exactly as code-0 does), exact-integer Σ(q−r)² estimate,
+    // ties (est, neighbor_id), self excluded, ProbeCap-capped probes.
+    // `//`/`div` agree because every operand is non-negative.
+    "q81_sq8_topk" ->
+      s"""WITH q AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         dims AS (SELECT unnest(generate_series(1,64)) AS d),
+         bounds AS (
+           SELECT d, min(qv[d]) AS mn, max(qv[d]) AS mx FROM q, dims GROUP BY d),
+         rv AS MATERIALIZED (
+           SELECT vec_id, list(CASE WHEN b.mx = b.mn THEN b.mn
+               ELSE b.mn + ((((q.qv[b.d] - b.mn) * 255) // (b.mx - b.mn)) * (b.mx - b.mn)) // 255 END
+             ORDER BY b.d) AS r
+           FROM q, bounds b GROUP BY vec_id),
+         sprobes AS (SELECT vec_id, qv FROM q WHERE vec_id % 50 = 0 AND vec_id < ${Pq.ProbeCap}),
+         sest AS (
+           SELECT p.vec_id AS q_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1,64),
+               i -> (p.qv[i]-c.r[i])*(p.qv[i]-c.r[i]))) AS BIGINT) AS est
+           FROM sprobes p, rv c WHERE c.vec_id <> p.vec_id)
+         SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, est FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
+           FROM sest) t
+         WHERE rn <= 5 ORDER BY q_id, rank""",
   )
 }

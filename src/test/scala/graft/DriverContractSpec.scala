@@ -68,7 +68,8 @@ class DriverContractSpec extends SparkSpec {
     // the other engine
     assert(graft.ops.Pq.ProbeCap / 50 == 1024,
       "ProbeCap no longer bounds the %-50 probe stride at 1,024")
-    Seq("q77_pq_topk", "q78_knn_classify", "q79_ivfpq_topk", "q80_pq_scaled").foreach { q =>
+    Seq("q77_pq_topk", "q78_knn_classify", "q79_ivfpq_topk", "q80_pq_scaled",
+        "q81_sq8_topk").foreach { q =>
       assert(SparkEntry.oracleSql(q).contains(s"< ${graft.ops.Pq.ProbeCap}"),
         s"$q oracle does not carry the ProbeCap bound")
     }

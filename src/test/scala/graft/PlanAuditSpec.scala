@@ -21,10 +21,12 @@ class PlanAuditSpec extends SparkSpec {
   // arrays) as the broadcast build side; ADC is definitionally a
   // scan of all codes per probe — and q80 is the same serve at the
   // kFor-derived K. Everything else must keep an equi-key.
+  // q81 is the SQ8 serve — the same definitional codes-scan-per-probe
+  // shape (broadcast build side = the probe batch).
   private val BnljAllowed =
     Set("q16_owners_glob_join", "q45_brute_topk", "q48_source_mix",
       "q74_temperature_mix", "q77_pq_topk", "q78_knn_classify",
-      "q80_pq_scaled")
+      "q80_pq_scaled", "q81_sq8_topk")
 
   test("no CartesianProduct in any query plan; BNLJ only where all-pairs IS the operator") {
     assume(new java.io.File(dir).isDirectory, "testdata not present")

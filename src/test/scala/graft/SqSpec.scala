@@ -1,0 +1,100 @@
+package graft
+
+import graft.ops.{Embeddings, Pq, Sq}
+import org.apache.spark.sql.functions.col
+
+/** q81 conformance: the SQ8 trajectory against a plain-Scala model
+  * (bounds, codes, reconstruction, estimate — computed independently
+  * over the collected sf0.001 table, the PqSpec pattern), plus the
+  * operator contracts: code range, self-exclusion, k rows per probe,
+  * and the recall-vs-compression position on the memory axis (SQ8
+  * must beat PQ's recall — it spends 16× the bytes). */
+class SqSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Plain-Scala replay: (bounds, codes, reconstructed). */
+  private lazy val model: (IndexedSeq[Long], IndexedSeq[Long],
+    Map[Long, IndexedSeq[Long]], Map[Long, IndexedSeq[Long]]) = {
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toIndexedSeq))
+      .sortBy(_._1)
+    val dim = Embeddings.Dim
+    val mins = (0 until dim).map(d => rows.map(_._2(d)).min)
+    val maxs = (0 until dim).map(d => rows.map(_._2(d)).max)
+    val codes = rows.map { case (id, v) =>
+      id -> (0 until dim).map { d =>
+        val rng = maxs(d) - mins(d)
+        if (rng == 0L) 0L else ((v(d) - mins(d)) * 255L) / rng
+      }
+    }.toMap
+    val recon = codes.map { case (id, cs) =>
+      id -> (0 until dim).map { d =>
+        mins(d) + (cs(d) * (maxs(d) - mins(d))) / 255L
+      }
+    }
+    (mins, maxs, codes, recon)
+  }
+
+  test("gridBounds + encode match the plain-Scala replay; codes stay in 0..255") {
+    val vecs = Embeddings.quantized(spark, dir)
+    val (mins, maxs) = Sq.gridBounds(vecs)
+    assert(mins == model._1 && maxs == model._2)
+    val got = Sq.encode(vecs, mins, maxs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    assert(got.size == model._3.size)
+    got.foreach { case (id, cs) =>
+      assert(cs.forall(c => c >= 0L && c <= 255L))
+      assert(cs == model._3(id), s"codes diverged for vec $id")
+    }
+    graft.ops.Caches.releaseAll(spark)
+  }
+
+  test("sq8TopK: k rows per probe, self excluded, est = the model's reconstruction distance") {
+    val k = 5; val queryMod = 50
+    val rows = Sq.sq8TopK(spark, dir, k, queryMod).collect()
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toIndexedSeq))
+      .toMap
+    val probes = raw.keySet.filter(_ % queryMod == 0)
+    assert(rows.map(_.getLong(0)).toSet == probes)
+    probes.foreach(p => assert(rows.count(_.getLong(0) == p) == k))
+    val recon = model._4
+    rows.foreach { r =>
+      val (q, nb, est) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(nb != q)
+      val want = raw(q).indices.map { d =>
+        val t = raw(q)(d) - recon(nb)(d); t * t
+      }.sum
+      assert(est == want, s"est diverged for probe $q neighbor $nb")
+    }
+    graft.ops.Caches.releaseAll(spark)
+  }
+
+  test("memory-axis recall ordering: SQ8 recall@5 well above PQ's (it spends 16x the bytes)") {
+    val brute = Embeddings.bruteTopK(spark, dir).collect()
+    graft.ops.Caches.releaseAll(spark)
+    def sets(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .map { case (q, g) => q -> g.map(_._2).toSet }
+    def recall(got: Array[org.apache.spark.sql.Row]): Double = {
+      val (w, g) = (sets(brute), sets(got))
+      assert(w.keySet == g.keySet)
+      w.keys.toSeq.map(q => (g(q) & w(q)).size.toDouble / w(q).size).sum / w.size
+    }
+    val sq = recall(Sq.sq8TopK(spark, dir).collect())
+    graft.ops.Caches.releaseAll(spark)
+    val pq = recall(Pq.pqTopK(spark, dir).collect())
+    graft.ops.Caches.releaseAll(spark)
+    // 256 levels PER DIM loses almost nothing even on the
+    // near-isotropic corpus (measured ≈ 1.0 here vs PQ's ≈ 0.18);
+    // the floors are deliberately loose for testdata regeneration,
+    // but the ORDERING is the axis's defining property
+    assert(sq >= 0.8, s"SQ8 recall@5 collapsed to $sq")
+    assert(sq > pq, s"SQ8 recall ($sq) must beat PQ recall ($pq) — it spends 16x the bytes")
+  }
+}
