@@ -125,17 +125,30 @@ object Storage {
         val base = spark.read.parquet(resolved)
         base.join(updates.select(col(key)), Seq(key), "left_anti").unionByName(keep)
       }
-    // stage fully, then publish by rename: the work dir's dot prefix
-    // keeps it out of resolveSnapshot AND the version regex below
+    stageAndPublish(spark, root)(work =>
+      merged.write.mode(SaveMode.Overwrite).parquet(work))
+  }
+
+  /** The publish half of the snapshot protocol, shared by
+    * [[upsertSnapshot]] and [[compactSnapshot]]: run `write` into a
+    * dot-prefixed staging directory (invisible to the version regex
+    * and to [[graft.stream.StreamingNearDedup.resolveSnapshot]]),
+    * then publish it with an atomic directory RENAME to the next free
+    * `v<n>` — two racing publishers can never interleave files in one
+    * version (the loser's rename fails and retries to v<n+1>). Any
+    * failure before a successful rename — a failed write (disk full,
+    * schema mismatch) or publish exhaustion — removes the staging
+    * dir: it is invisible to readers but would otherwise accumulate
+    * across failed refreshes. Returns the published version dir. */
+  private def stageAndPublish(spark: SparkSession, root: String)
+                             (write: String => Unit): String = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val work = new org.apache.hadoop.fs.Path(root,
       s".staging-${java.util.UUID.randomUUID().toString.take(8)}")
-    // any failure between here and a successful rename — a failed
-    // write (disk full, schema mismatch in unionByName) or publish
-    // exhaustion — must remove the work dir: it is invisible to
-    // readers but would otherwise accumulate across failed refreshes
     var renamed = false
     try {
-      merged.write.mode(SaveMode.Overwrite).parquet(work.toString)
+      write(work.toString)
       def nextFree(): Long = {
         val existing =
           if (fs.exists(rootPath))
@@ -159,6 +172,48 @@ object Storage {
       if (!renamed) scala.util.Try(fs.delete(work, true))
       ()
     }
+  }
+
+  /** COMPACTION — the small-files operator every long-lived 100 TB
+    * corpus needs: nightly upserts and streaming ingests accumulate
+    * part files far smaller than a scan-efficient split (each file
+    * costs a listing round-trip, a footer read, and a task), and on
+    * plain parquet nothing rewrites them. This rewrites the newest
+    * COMMITTED snapshot under `root` into
+    * ceil(totalBytes / targetFileBytes) files and publishes the
+    * result as the next version through the SAME atomic protocol as
+    * [[upsertSnapshot]] — concurrent readers and the refreshing
+    * streaming index never see a partial snapshot, a concurrent
+    * upsert loses at most the rename race and retries to the next
+    * version.
+    *
+    * Safe to run on a schedule: when the current file count is
+    * already at or under the target, this is a NO-OP returning the
+    * current committed version dir (no rewrite, no new version — an
+    * idle nightly compaction must not grow the version chain).
+    *
+    * Plan shape at 100 TB: one read + round-robin repartition + write
+    * — the copy-on-write trade, same as the upsert itself; run it
+    * when the file count (not the data) is the problem. Returns the
+    * (possibly unchanged) committed version dir. */
+  def compactSnapshot(spark: SparkSession, root: String,
+                      targetFileBytes: Long = 128L << 20): String = {
+    val resolved = graft.stream.StreamingNearDedup.resolveSnapshot(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(resolved != root ||
+      fs.exists(new org.apache.hadoop.fs.Path(s"$root/_SUCCESS")),
+      s"no committed snapshot under $root to compact")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(resolved))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith("."))
+    val bytes = dataFiles.map(_.getLen).sum
+    val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    if (dataFiles.length <= want) resolved
+    else stageAndPublish(spark, root)(work =>
+      spark.read.parquet(resolved).repartition(want)
+        .write.mode(SaveMode.Overwrite).parquet(work))
   }
 
   /** Read the newest COMMITTED snapshot under `root` (the reader half

@@ -304,6 +304,70 @@ class StorageSpec extends SparkSpec {
     assert(v5.endsWith("/v5"))
   }
 
+  test("compactSnapshot: small files merge, data identical, idle compaction is a no-op, chain continues") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftcompact").toString + "/corpus"
+    def dataFiles(dir: String): Seq[java.io.File] =
+      new java.io.File(dir.stripPrefix("file:")).listFiles().toSeq
+        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    def rel(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+
+    // v1: a fragmented snapshot (20 part files for 200 rows — the
+    // post-ingest shape compaction exists for)
+    val rows = (1L to 200L).map(i => (i, s"text $i"))
+    Storage.upsertSnapshot(spark, root, rows.toDF("doc_id", "text").repartition(20), "doc_id")
+    val v1 = graft.stream.StreamingNearDedup.resolveSnapshot(spark, root)
+    assert(dataFiles(v1).size == 20)
+
+    // compact with a large target → ONE file, same data, next version
+    val v2 = Storage.compactSnapshot(spark, root, targetFileBytes = 1L << 30)
+    assert(v2.endsWith("/v2"))
+    assert(dataFiles(v2).size == 1)
+    assert(rel(Storage.readSnapshot(spark, root)) == rows.toMap)
+    // the superseded fragmented snapshot is untouched (concurrent
+    // readers of v1 finish cleanly)
+    assert(dataFiles(v1).size == 20)
+
+    // idle compaction is a NO-OP: same version back, no chain growth
+    assert(Storage.compactSnapshot(spark, root, targetFileBytes = 1L << 30) == v2)
+    assert(!new java.io.File(root.stripPrefix("file:") + "/v3").exists())
+
+    // splitting is NOT compaction: a 1-file snapshot under a small
+    // target stays a no-op (count already ≤ ceil(bytes/target) is
+    // impossible here — count 1 is always ≤ want ≥ 1)
+    val bytes = dataFiles(v2).map(_.length()).sum
+    assert(Storage.compactSnapshot(spark, root, targetFileBytes = (bytes + 2) / 3) == v2)
+
+    // re-fragment via the upsert chain (a 20-partition batch of new
+    // keys — the nightly-drop shape), then a SIZE-derived multi-file
+    // target: ceil(bytes/target) files
+    val more = (201L to 400L).map(i => (i, s"text $i"))
+    val v3 = Storage.upsertSnapshot(spark, root,
+      more.toDF("doc_id", "text").repartition(20), "doc_id")
+    assert(v3.endsWith("/v3") && dataFiles(v3).size > 3)
+    val allRows = rows.toMap ++ more.toMap
+    val v3bytes = dataFiles(v3).map(_.length()).sum
+    val v4 = Storage.compactSnapshot(spark, root, targetFileBytes = (v3bytes + 2) / 3)
+    assert(v4.endsWith("/v4"))
+    assert(dataFiles(v4).size == 3)
+    assert(rel(Storage.readSnapshot(spark, root)) == allRows)
+
+    // the upsert chain continues past a compaction version
+    val v5 = Storage.upsertSnapshot(spark, root,
+      Seq((401L, "newer")).toDF("doc_id", "text"), "doc_id")
+    assert(v5.endsWith("/v5"))
+    assert(rel(Storage.readSnapshot(spark, root)) == allRows + (401L -> "newer"))
+
+    // no committed snapshot → loud failure, not a silent empty publish
+    intercept[IllegalArgumentException] {
+      Storage.compactSnapshot(spark, java.nio.file.Files
+        .createTempDirectory("graftempty").toString + "/none")
+    }
+  }
+
   test("upsertSnapshot under a live refreshing stream: no micro-batch sees a partial or mixed snapshot") {
     // Storage.upsertSnapshot and StreamingNearDedup share one
     // snapshot protocol (versioned subdirs + _SUCCESS, staging dirs
