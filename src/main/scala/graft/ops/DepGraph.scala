@@ -139,10 +139,17 @@ object DepGraph {
   private[graft] def transitiveDependenciesWithRounds(raw: DataFrame,
                                                       maxIters: Int = 50): (DataFrame, Int) = {
     // direct edges: G uses F (F -> G); the closure must give F every
-    // file of every TRANSITIVE user G
+    // file of every TRANSITIVE user G. distinct() at the SEED: the
+    // convergence probe compares ROW COUNTS, and the loop body
+    // deduplicates — a caller-supplied raw with duplicate
+    // used_in_functions entries would otherwise start the count
+    // duplicate-inflated and can fake a fixpoint on the first round
+    // (review r10).
     val edges = raw
       .select(col("function"), explode(col("used_in_functions")).as("g"))
+      .distinct()
     var reach = edges.localCheckpoint(eager = false)
+    var prevCk: Option[DataFrame] = Some(reach)
     var lastCount = reach.count()
     var converged = false
     var i = 0
@@ -157,6 +164,13 @@ object DepGraph {
         .distinct()
         .localCheckpoint(eager = false) // truncate RDD lineage
       val n = ck.count() // one action: materializes the checkpoint + convergence probe
+      // the superseded round's checkpoint blocks are dead the moment
+      // the next round is materialized — free them now instead of
+      // waiting on ContextCleaner GC (the Caches.freeLocalCheckpoint
+      // convention of the sibling fixpoints; ~log₂ D closure-sized
+      // block sets would otherwise pin executor storage)
+      prevCk.foreach(Caches.freeLocalCheckpoint)
+      prevCk = Some(ck)
       converged = n == lastCount
       lastCount = n
       // re-wrap over the CHECKPOINTED rows: localCheckpoint truncates

@@ -708,10 +708,18 @@ object Embeddings {
         probeCellsColTwoLevel(queries.sparkSession, cents, nprobe,
           if (nSuper > 0) nSuper else superFor(cents.size), nSuperProbe)
       else probeCellsCol(queries.sparkSession, cents, nprobe)
-    val qs = q.select(col("q_id"), col("qv").as("q_v"),
+    val qsPlan = q.select(col("q_id"), col("qv").as("q_v"),
       col("nrm").as("q_n"),
       explode(probeCol).as("cell"))
-    val probedCells = qs.select(col("cell")).distinct().collect().map(_.getLong(0))
+    // ONE evaluation of the batch's probe ranking (review r10): the
+    // probe relation is broadcast-sized by contract, so collect it
+    // once and serve from a local relation — deriving the probed-cell
+    // filter from a separate action would re-run the O(nCells)-per-row
+    // ranking a second time for the join, per micro-batch
+    val qsRows = qsPlan.collect()
+    val qs = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qsRows: _*), qsPlan.schema)
+    val probedCells = qsRows.map(_.getAs[Long]("cell")).distinct.toSeq
     scoreTopK(index.filter(col("cell").isin(probedCells: _*))
       .join(broadcast(qs), Seq("cell")), k, excludeSelf)
   }

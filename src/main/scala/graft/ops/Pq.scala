@@ -504,17 +504,23 @@ object Pq {
                  excludeSelf: Boolean = false): DataFrame = {
     val spark = queries.sparkSession
     val sorted = cents.sortBy(_.j)
-    val probes = probeCellsRelation(queries, sorted, nprobe)
-    // the batch's probed-cell set, collected driver-side (bounded by
-    // nCells — `cents` is already driver-resident, so this is a
-    // quantizer-sized aggregate, one extra pass over the QUERY
-    // relation) and injected as a STATIC filter on the codes scan:
-    // on the partitioned-by-cell production layout the probed cells
-    // now prune at LISTING time through the serve path itself
+    // ONE evaluation of the probe ranking (review r10): the probe
+    // relation is broadcast-sized by contract (nQueries × nprobe
+    // rows), so collect it once and build both the probed-cell set
+    // and the ADC-table side from the local rows — a separate
+    // distinct().collect() action would re-run the per-probe cell
+    // ranking (and the query-relation scan) a second time per batch.
+    // The probed-cell set rides the codes scan as a STATIC filter: on
+    // the partitioned-by-cell production layout the probed cells
+    // prune at LISTING time through the serve path itself
     // (StorageSpec proves it end-to-end), not only when DPP happens
     // to fire — VERDICT r9 #2. Semantically a no-op: the cell
     // equi-join below keeps exactly these cells' rows anyway.
-    val probedCells = probes.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val probesPlan = probeCellsRelation(queries, sorted, nprobe)
+    val probeRows = probesPlan.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val probedCells = probeRows.map(_.getAs[Long]("cell")).distinct.toSeq
     val ptabs = (0 until M).foldLeft(
       probes.join(broadcast(gridDfOf(spark, sorted)), "cell")
         .select(col("q_id"), col("cell"),

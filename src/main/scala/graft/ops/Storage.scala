@@ -127,6 +127,8 @@ object Storage {
       }
     stageAndPublish(spark, root)(work =>
       merged.write.mode(SaveMode.Overwrite).parquet(work))
+      .getOrElse(throw new IllegalStateException(
+        s"unreachable: upsert publish has no supersession guard under $root"))
   }
 
   /** The publish half of the snapshot protocol, shared by
@@ -139,9 +141,26 @@ object Storage {
     * failure before a successful rename — a failed write (disk full,
     * schema mismatch) or publish exhaustion — removes the staging
     * dir: it is invisible to readers but would otherwise accumulate
-    * across failed refreshes. Returns the published version dir. */
-  private def stageAndPublish(spark: SparkSession, root: String)
-                             (write: String => Unit): String = {
+    * across failed refreshes.
+    *
+    * `abortIfSupersededFrom`: for publishers whose staged content is a
+    * pure REWRITE of one source version (compaction), racing past a
+    * concurrent upsert must NOT happen — republishing the rewritten
+    * old data as a newer version would silently shadow the upsert's
+    * rows for every reader. When set, the newest committed snapshot is
+    * re-checked immediately before EVERY rename attempt and the
+    * publish ABORTS (staging removed, None returned) the moment it is
+    * no longer the given source: a competitor landing between the
+    * check and our rename makes the rename fail on the existing
+    * target, and the next loop iteration's re-check catches it — so a
+    * rewrite can only ever publish directly on top of its own source.
+    * Merging publishers (upsert) leave it None; their write-skew
+    * semantics are documented at [[upsertSnapshot]].
+    *
+    * Returns Some(published version dir), or None on abort. */
+  private def stageAndPublish(spark: SparkSession, root: String,
+                              abortIfSupersededFrom: Option[String] = None)
+                             (write: String => Unit): Option[String] = {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val work = new org.apache.hadoop.fs.Path(root,
@@ -159,15 +178,21 @@ object Storage {
       }
       var attempts = 0
       var published: Option[String] = None
-      while (published.isEmpty && attempts < 100) {
-        val next = new org.apache.hadoop.fs.Path(root, s"v${nextFree()}")
-        // HDFS/posix rename is atomic and fails if the target exists —
-        // exactly the mutual exclusion two racing publishers need
-        if (fs.rename(work, next)) { renamed = true; published = Some(next.toString) }
+      var aborted = false
+      while (published.isEmpty && !aborted && attempts < 100) {
+        aborted = abortIfSupersededFrom.exists(src =>
+          graft.stream.StreamingNearDedup.resolveSnapshot(spark, root) != src)
+        if (!aborted) {
+          val next = new org.apache.hadoop.fs.Path(root, s"v${nextFree()}")
+          // HDFS/posix rename is atomic and fails if the target exists —
+          // exactly the mutual exclusion two racing publishers need
+          if (fs.rename(work, next)) { renamed = true; published = Some(next.toString) }
+        }
         attempts += 1
       }
-      published.getOrElse(throw new IllegalStateException(
-        s"could not publish a snapshot version under $root after $attempts attempts"))
+      if (aborted) None
+      else Some(published.getOrElse(throw new IllegalStateException(
+        s"could not publish a snapshot version under $root after $attempts attempts")))
     } finally {
       if (!renamed) scala.util.Try(fs.delete(work, true))
       ()
@@ -190,12 +215,19 @@ object Storage {
     * Safe to run on a schedule: when the current file count is
     * already at or under the target, this is a NO-OP returning the
     * current committed version dir (no rewrite, no new version — an
-    * idle nightly compaction must not grow the version chain).
+    * idle nightly compaction must not grow the version chain). And
+    * safe AGAINST a concurrent upsert: the staged rewrite carries
+    * only the SOURCE version's data, so if any other publisher lands
+    * first, this publish ABORTS (supersession re-checked before every
+    * rename attempt — see [[stageAndPublish]]) and returns the newer
+    * committed version; publishing the rewritten old data on top of
+    * the upsert would silently shadow its rows for every reader. The
+    * aborted compaction simply retries on its next schedule.
     *
     * Plan shape at 100 TB: one read + round-robin repartition + write
     * — the copy-on-write trade, same as the upsert itself; run it
     * when the file count (not the data) is the problem. Returns the
-    * (possibly unchanged) committed version dir. */
+    * (possibly unchanged) newest committed version dir. */
   def compactSnapshot(spark: SparkSession, root: String,
                       targetFileBytes: Long = 128L << 20): String = {
     val resolved = graft.stream.StreamingNearDedup.resolveSnapshot(spark, root)
@@ -204,16 +236,32 @@ object Storage {
     require(resolved != root ||
       fs.exists(new org.apache.hadoop.fs.Path(s"$root/_SUCCESS")),
       s"no committed snapshot under $root to compact")
+    compactFrom(spark, root, resolved, targetFileBytes)
+  }
+
+  /** [[compactSnapshot]] from an EXPLICIT source version — the seam
+    * StorageSpec uses to exercise the supersession abort
+    * deterministically (a competitor committed past `resolved` →
+    * publish must abort and return the newer version, never shadow
+    * it). Production callers go through [[compactSnapshot]], which
+    * resolves the newest committed source itself. */
+  private[graft] def compactFrom(spark: SparkSession, root: String,
+                                 resolved: String, targetFileBytes: Long): String = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(resolved))
       .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
         !f.getPath.getName.startsWith("."))
     val bytes = dataFiles.map(_.getLen).sum
     val want = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     if (dataFiles.length <= want) resolved
-    else stageAndPublish(spark, root)(work =>
+    else stageAndPublish(spark, root, abortIfSupersededFrom = Some(resolved))(work =>
       spark.read.parquet(resolved).repartition(want)
         .write.mode(SaveMode.Overwrite).parquet(work))
+      // aborted: someone published past our source while we rewrote —
+      // their data wins; report the NEW newest version
+      .getOrElse(graft.stream.StreamingNearDedup.resolveSnapshot(spark, root))
   }
 
   /** Read the newest COMMITTED snapshot under `root` (the reader half

@@ -86,6 +86,9 @@ object RecallReport {
     require(r.getLong(1) == 0L,
       "exact and two-level drop-lists cover different vec_id sets")
     val n = r.getLong(0)
+    // 0/0 would print NaN — invalid JSON (review r10); an empty corpus
+    // is a broken input, not a degenerate report
+    require(n > 0, s"no vectors under $dir — nothing to report on")
     val (dropE, dropT, inter, agree) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
     val union = dropE + dropT - inter
     val jaccard = if (union == 0) 1.0 else inter.toDouble / union
@@ -124,6 +127,9 @@ object RecallReport {
       .collect()(0)
     graft.ops.Caches.releaseAll(spark)
     val (pairs, hit, rankAgree) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // 0/0 would print NaN — invalid JSON (review r10): an empty exact
+    // top-k means the probe set itself is empty, a broken input
+    require(pairs > 0, s"exact serve returned no pairs under $dir — no probes survive the cap")
     import graft.BenchFormat.num
     s"""{"n":$n,"n_cells":$nCells,"n_super":$nSuper,"nprobe":$nprobe,""" +
       s""""n_super_probe":$nSuperProbe,"pairs":$pairs,""" +

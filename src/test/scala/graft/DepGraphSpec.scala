@@ -172,6 +172,28 @@ class DepGraphSpec extends SparkSpec {
     }
   }
 
+  test("transitive closure survives duplicate edges in caller-supplied raw input") {
+    // review r10 finding: the convergence probe compares ROW COUNTS,
+    // so duplicate (function, user) edges in a caller-built raw DF
+    // could start the count inflated and fake a first-round fixpoint
+    // (3 dup edges + 2 chain edges = 5 rows; the true round-1 closure
+    // also has 5 DISTINCT rows). The seed distinct() makes the counts
+    // compare like-for-like — the closure must still reach a→d.
+    val s = spark
+    import s.implicits._
+    val raw = Seq(
+      ("a", "fa.sql", Seq("own_a.sql"), Seq("b", "b", "b")), // duplicated edge a→b
+      ("b", "fb.sql", Seq("own_b.sql"), Seq("c")),
+      ("c", "fc.sql", Seq("own_c.sql"), Seq("d")),
+      ("d", "fd.sql", Seq("own_d.sql"), Seq.empty[String])
+    ).toDF("function", "path", "used_in_files", "used_in_functions")
+    val got = DepGraph.transitiveDependencies(raw).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(got("a") == Seq("own_a.sql", "own_b.sql", "own_c.sql", "own_d.sql"),
+      s"closure truncated: ${got("a")}")
+    assert(got("d") == Seq("own_d.sql"))
+  }
+
   test("corpus outside the four search dirs is not scanned") {
     val c = corpus(
       "deployer/patch/DWH/kimball/r_1.2_f_real.sql" -> "def",

@@ -368,6 +368,39 @@ class StorageSpec extends SparkSpec {
     }
   }
 
+  test("compaction racing an upsert ABORTS instead of shadowing the upsert's version") {
+    // review r10 finding: a compaction that loses the rename race and
+    // blindly retries would republish its (pre-upsert) rewrite as a
+    // NEWER version, silently dropping the upsert's rows for every
+    // reader. Exercised deterministically through the compactFrom
+    // seam: the source version is superseded before publish → the
+    // compaction must abort, return the newer version, and add NO
+    // version to the chain.
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftrace").toString + "/corpus"
+    Storage.upsertSnapshot(spark, root,
+      (1L to 100L).map(i => (i, s"text $i")).toDF("doc_id", "text").repartition(10), "doc_id")
+    val v1 = graft.stream.StreamingNearDedup.resolveSnapshot(spark, root)
+    assert(v1.endsWith("/v1"))
+    // the competitor lands first (as if mid-rewrite)
+    val v2 = Storage.upsertSnapshot(spark, root,
+      Seq((101L, "from the upsert")).toDF("doc_id", "text"), "doc_id")
+    assert(v2.endsWith("/v2"))
+    // compaction still sourced from v1 must ABORT and surface v2
+    val got = Storage.compactFrom(spark, root, v1, targetFileBytes = 1L << 30)
+    assert(got == v2, s"compaction returned $got — it must yield to the newer version")
+    assert(!new java.io.File(root.stripPrefix("file:") + "/v3").exists(),
+      "aborted compaction must not grow the version chain")
+    // the upsert's row is intact for readers
+    val rows = Storage.readSnapshot(spark, root).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(rows(101L) == "from the upsert" && rows.size == 101)
+    // and no staging residue
+    assert(Option(new java.io.File(root.stripPrefix("file:")).list()).toSeq.flatten
+      .forall(!_.startsWith(".staging")))
+  }
+
   test("upsertSnapshot under a live refreshing stream: no micro-batch sees a partial or mixed snapshot") {
     // Storage.upsertSnapshot and StreamingNearDedup share one
     // snapshot protocol (versioned subdirs + _SUCCESS, staging dirs
