@@ -95,9 +95,10 @@ object Storage {
     *
     * Concurrency: the result is staged in a dot-prefixed work
     * directory (invisible to both the version regex and the snapshot
-    * resolver) and published with an atomic directory RENAME to the
-    * next free `v<n>` — two racing writers can never interleave files
-    * in one version (the loser's rename fails and retries to v<n+1>).
+    * resolver) and published with a token-verified atomic directory
+    * RENAME to the next free `v<n>` — two racing writers can never
+    * interleave files in one version (the loser detects the collision
+    * and retries to v<n+1>; see [[stageAndPublish]]).
     * Note the write-skew semantics that buys: each writer merged
     * against the snapshot that was newest when IT started, so of two
     * concurrent upserts the later version wins per overlapping key
@@ -135,9 +136,15 @@ object Storage {
     * [[upsertSnapshot]] and [[compactSnapshot]]: run `write` into a
     * dot-prefixed staging directory (invisible to the version regex
     * and to [[graft.stream.StreamingNearDedup.resolveSnapshot]]),
-    * then publish it with an atomic directory RENAME to the next free
-    * `v<n>` — two racing publishers can never interleave files in one
-    * version (the loser's rename fails and retries to v<n+1>). Any
+    * then publish it with an atomic directory RENAME to a `v<n>`
+    * slot, VERIFIED by a `_publisher` token: posix/HDFS rename does
+    * not reliably fail on an existing target (it replaces an empty
+    * directory and moves the source INTO a non-empty one — probed in
+    * StorageSpec), so success means "our token is at `v<n>`", never
+    * just "rename returned true". Two racing publishers therefore
+    * never interleave files in one version: the loser detects the
+    * collision, recovers its staging dir, and (for merging
+    * publishers) retries at v<n+1>. Any
     * failure before a successful rename — a failed write (disk full,
     * schema mismatch) or publish exhaustion — removes the staging
     * dir: it is invisible to readers but would otherwise accumulate
@@ -147,15 +154,18 @@ object Storage {
     * pure REWRITE of one source version (compaction), racing past a
     * concurrent upsert must NOT happen — republishing the rewritten
     * old data as a newer version would silently shadow the upsert's
-    * rows for every reader. When set, the newest committed snapshot is
-    * re-checked immediately before EVERY rename attempt and the
-    * publish ABORTS (staging removed, None returned) the moment it is
-    * no longer the given source: a competitor landing between the
-    * check and our rename makes the rename fail on the existing
-    * target, and the next loop iteration's re-check catches it — so a
-    * rewrite can only ever publish directly on top of its own source.
-    * Merging publishers (upsert) leave it None; their write-skew
-    * semantics are documented at [[upsertSnapshot]].
+    * rows for every reader. When set, the rename target is PINNED to
+    * exactly `v(source+1)` (never the next free slot): any competing
+    * publish — committed or a marker-less leftover — then collides on
+    * that one target, the rename fails, and the publish ABORTS
+    * (staging removed, None returned). A pre-rename supersession
+    * check aborts the common case without paying the rename; the
+    * pinned target closes the check→rename window itself, so "a
+    * rewrite can only publish directly on top of its own source"
+    * holds by construction, not by timing (ADVICE r10). Merging
+    * publishers (upsert) leave it None and retry through the next
+    * free slot; their write-skew semantics are documented at
+    * [[upsertSnapshot]].
     *
     * Returns Some(published version dir), or None on abort. */
   private def stageAndPublish(spark: SparkSession, root: String,
@@ -168,6 +178,31 @@ object Storage {
     var renamed = false
     try {
       write(work.toString)
+      // Publisher token, verified after every rename: Hadoop local and
+      // HDFS rename do NOT fail on an existing directory target (probed
+      // in StorageSpec) — an empty target is REPLACED and a non-empty
+      // target swallows the source as a CHILD, both returning true. So
+      // "the rename failed" cannot carry the mutual exclusion alone;
+      // tryPublish below checks the target dir really IS ours.
+      val token = new org.apache.hadoop.fs.Path(work, "_publisher")
+      fs.create(token).close()
+      /** Claim `next` for `work`: occupied target → false (no rename
+        * attempted); rename reporting success with a competitor landed
+        * in the check→rename window → pull `work` back out of the
+        * competitor's directory and report false. True only when the
+        * published directory is verifiably ours. */
+      def tryPublish(next: org.apache.hadoop.fs.Path): Boolean = {
+        if (fs.exists(next)) false
+        else if (!fs.rename(work, next)) false
+        else if (fs.exists(new org.apache.hadoop.fs.Path(next, "_publisher"))) true
+        else {
+          // a non-empty competitor appeared in the window and the
+          // rename moved `work` INSIDE it — recover the staging dir
+          // so the caller can retry or clean up
+          fs.rename(new org.apache.hadoop.fs.Path(next, work.getName), work)
+          false
+        }
+      }
       def nextFree(): Long = {
         val existing =
           if (fs.exists(rootPath))
@@ -176,23 +211,38 @@ object Storage {
           else Array.empty[Long]
         existing.foldLeft(0L)(math.max) + 1
       }
-      var attempts = 0
-      var published: Option[String] = None
-      var aborted = false
-      while (published.isEmpty && !aborted && attempts < 100) {
-        aborted = abortIfSupersededFrom.exists(src =>
-          graft.stream.StreamingNearDedup.resolveSnapshot(spark, root) != src)
-        if (!aborted) {
-          val next = new org.apache.hadoop.fs.Path(root, s"v${nextFree()}")
-          // HDFS/posix rename is atomic and fails if the target exists —
-          // exactly the mutual exclusion two racing publishers need
-          if (fs.rename(work, next)) { renamed = true; published = Some(next.toString) }
-        }
-        attempts += 1
+      abortIfSupersededFrom match {
+        case Some(src) =>
+          // Rewrite publisher: ONE attempt at the PINNED v(source+1).
+          // The slot number comes from the source path itself (a flat
+          // committed root — no version dirs yet — pins v1); a failed
+          // rename means SOMETHING now occupies the only slot this
+          // rewrite may legally take, so abort — the caller's next
+          // scheduled run re-resolves and retries from the new source.
+          val srcVersion = new org.apache.hadoop.fs.Path(src).getName match {
+            case n if n.matches("v[0-9]+") => n.drop(1).toLong
+            case _ => 0L
+          }
+          val next = new org.apache.hadoop.fs.Path(root, s"v${srcVersion + 1}")
+          val superseded =
+            graft.stream.StreamingNearDedup.resolveSnapshot(spark, root) != src
+          if (!superseded && tryPublish(next)) {
+            renamed = true
+            Some(next.toString)
+          } else None
+        case None =>
+          // Merging publisher: retry through the next free slot until
+          // a rename wins (the loser of a race just moves to v<n+1>).
+          var attempts = 0
+          var published: Option[String] = None
+          while (published.isEmpty && attempts < 100) {
+            val next = new org.apache.hadoop.fs.Path(root, s"v${nextFree()}")
+            if (tryPublish(next)) { renamed = true; published = Some(next.toString) }
+            attempts += 1
+          }
+          Some(published.getOrElse(throw new IllegalStateException(
+            s"could not publish a snapshot version under $root after $attempts attempts")))
       }
-      if (aborted) None
-      else Some(published.getOrElse(throw new IllegalStateException(
-        s"could not publish a snapshot version under $root after $attempts attempts")))
     } finally {
       if (!renamed) scala.util.Try(fs.delete(work, true))
       ()
@@ -218,11 +268,12 @@ object Storage {
     * idle nightly compaction must not grow the version chain). And
     * safe AGAINST a concurrent upsert: the staged rewrite carries
     * only the SOURCE version's data, so if any other publisher lands
-    * first, this publish ABORTS (supersession re-checked before every
-    * rename attempt — see [[stageAndPublish]]) and returns the newer
-    * committed version; publishing the rewritten old data on top of
-    * the upsert would silently shadow its rows for every reader. The
-    * aborted compaction simply retries on its next schedule.
+    * first, this publish ABORTS (the rename target is pinned to
+    * v(source+1), so a competitor collides instead of being skipped —
+    * see [[stageAndPublish]]) and returns the newest committed
+    * version; publishing the rewritten old data on top of the upsert
+    * would silently shadow its rows for every reader. The aborted
+    * compaction simply retries on its next schedule.
     *
     * Plan shape at 100 TB: one read + round-robin repartition + write
     * — the copy-on-write trade, same as the upsert itself; run it

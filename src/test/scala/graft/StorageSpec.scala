@@ -401,6 +401,83 @@ class StorageSpec extends SparkSpec {
       .forall(!_.startsWith(".staging")))
   }
 
+  test("compaction publish target is PINNED to source+1: an occupied slot aborts, never skips ahead") {
+    // ADVICE r10 (high): the old guard re-checked supersession before
+    // renaming to the NEXT FREE slot — a competitor landing in the
+    // check→rename window made nextFree() skip past it and the stale
+    // rewrite shadowed the upsert. The fix pins the rewrite's target
+    // to exactly v(source+1): ANY occupant of that slot (committed
+    // competitor or marker-less leftover) collides on the rename and
+    // the compaction aborts. Deterministic proof: occupy v2 with a
+    // marker-less directory — under the old nextFree() behavior the
+    // compaction would publish v3; pinned, it must abort and leave
+    // the chain untouched.
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftpin").toString + "/corpus"
+    Storage.upsertSnapshot(spark, root,
+      (1L to 100L).map(i => (i, s"text $i")).toDF("doc_id", "text").repartition(10), "doc_id")
+    val v1 = graft.stream.StreamingNearDedup.resolveSnapshot(spark, root)
+    assert(v1.endsWith("/v1"))
+    // occupy the pinned slot with a crashed writer's marker-less dir:
+    // resolveSnapshot still says v1, so the old pre-rename check alone
+    // would NOT abort — only the pinned-target occupancy check catches
+    // this. (And rename alone would NOT have saved us: Hadoop local /
+    // posix rename REPLACES an empty target dir, returning true.)
+    assert(new java.io.File(root.stripPrefix("file:") + "/v2").mkdirs())
+    val got = Storage.compactFrom(spark, root, v1, targetFileBytes = 1L << 30)
+    assert(got == v1, s"compaction returned $got — occupied pinned slot must abort to the source")
+    assert(!new java.io.File(root.stripPrefix("file:") + "/v3").exists(),
+      "compaction skipped past the occupied slot — the rewrite published off its source")
+    assert(new java.io.File(root.stripPrefix("file:") + "/v2").list().isEmpty,
+      "the occupied slot must be untouched by the aborted publish")
+    // no staging residue from the aborted publish
+    assert(Option(new java.io.File(root.stripPrefix("file:")).list()).toSeq.flatten
+      .forall(!_.startsWith(".staging")))
+    // data undisturbed
+    assert(Storage.readSnapshot(spark, root).count() == 100L)
+
+    // NON-EMPTY occupant (the other rename hazard: posix/HDFS rename
+    // moves the source INTO a non-empty target as a child, returning
+    // true): still an abort, and the occupant keeps exactly its own
+    // content — no swallowed staging child
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root.stripPrefix("file:") + "/v2/part-junk.parquet"),
+      Array[Byte](1, 2, 3))
+    val got2 = Storage.compactFrom(spark, root, v1, targetFileBytes = 1L << 30)
+    assert(got2 == v1, s"compaction returned $got2 — occupied pinned slot must abort to the source")
+    assert(new java.io.File(root.stripPrefix("file:") + "/v2").list().toSeq == Seq("part-junk.parquet"),
+      "the aborted publish leaked content into the occupied slot")
+    assert(Option(new java.io.File(root.stripPrefix("file:")).list()).toSeq.flatten
+      .forall(!_.startsWith(".staging")))
+  }
+
+  test("rename-semantics probe: Hadoop local rename does NOT fail on existing dir targets") {
+    // The documentation proof behind the token-verified publish: on
+    // the local filesystem (and HDFS), rename(srcDir, existingDir)
+    // returns TRUE — replacing an EMPTY target, and moving src INTO a
+    // non-empty target as a child. If either behavior ever changes to
+    // plain failure, the token dance becomes redundant (not wrong);
+    // if it changes to something else again, this fails loudly.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = java.nio.file.Files.createTempDirectory("renameprobe").toString
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    def mkdirWith(p: String, files: String*): Unit = {
+      val d = new java.io.File(root, p); d.mkdirs()
+      files.foreach(f => java.nio.file.Files.write(new java.io.File(d, f).toPath, "x".getBytes))
+    }
+    mkdirWith("src1", "a.txt"); mkdirWith("dst1")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root, "src1"),
+      new org.apache.hadoop.fs.Path(root, "dst1")),
+      "empty-dir target no longer replaced — revisit the publish token dance")
+    assert(new java.io.File(root, "dst1").list().toSeq == Seq("a.txt"))
+    mkdirWith("src2", "b.txt"); mkdirWith("dst2", "existing.txt")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root, "src2"),
+      new org.apache.hadoop.fs.Path(root, "dst2")),
+      "non-empty-dir target no longer swallows the source — revisit the publish token dance")
+    assert(new java.io.File(root, "dst2").list().toSet == Set("src2", "existing.txt"))
+  }
+
   test("upsertSnapshot under a live refreshing stream: no micro-batch sees a partial or mixed snapshot") {
     // Storage.upsertSnapshot and StreamingNearDedup share one
     // snapshot protocol (versioned subdirs + _SUCCESS, staging dirs
