@@ -1689,11 +1689,14 @@ object SparkEntry {
       s"""WITH $PqCtesScaled
          SELECT q_id, rank, neighbor_id, est FROM pqtopk ORDER BY q_id, rank""",
     // SQ8: per-dim [min,max] bounds on the quantized grid, byte codes
-    // c = (x−mn)·255 // rng, pinned reconstruction r = mn + (c·rng)
-    // // 255 (the CASE fuses encode∘decode; mx = mn dims reconstruct
-    // to mn exactly as code-0 does), exact-integer Σ(q−r)² estimate,
-    // ties (est, neighbor_id), self excluded, ProbeCap-capped probes.
-    // `//`/`div` agree because every operand is non-negative.
+    // c = clamp((x−mn)·255 // rng, 0, 255) (the clamp is an identity
+    // when bounds come from this corpus, and the pinned saturation
+    // semantics under a stale bounds artifact — Sq.encode), pinned
+    // reconstruction r = mn + (c·rng) // 255 (the CASE fuses
+    // encode∘decode; mx = mn dims reconstruct to mn exactly as code-0
+    // does), exact-integer Σ(q−r)² estimate, ties (est, neighbor_id),
+    // self excluded, ProbeCap-capped probes. `//`/`div` agree because
+    // every operand is non-negative on the covered grid.
     "q81_sq8_topk" ->
       s"""WITH q AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
@@ -1703,7 +1706,7 @@ object SparkEntry {
            SELECT d, min(qv[d]) AS mn, max(qv[d]) AS mx FROM q, dims GROUP BY d),
          rv AS MATERIALIZED (
            SELECT vec_id, list(CASE WHEN b.mx = b.mn THEN b.mn
-               ELSE b.mn + ((((q.qv[b.d] - b.mn) * 255) // (b.mx - b.mn)) * (b.mx - b.mn)) // 255 END
+               ELSE b.mn + (least(255, greatest(0, ((q.qv[b.d] - b.mn) * 255) // (b.mx - b.mn))) * (b.mx - b.mn)) // 255 END
              ORDER BY b.d) AS r
            FROM q, bounds b GROUP BY vec_id),
          sprobes AS (SELECT vec_id, qv FROM q WHERE vec_id % 50 = 0 AND vec_id < ${Pq.ProbeCap}),

@@ -619,7 +619,7 @@ object Embeddings {
   private[ops] def probeCellsCol(spark: SparkSession, cents: Seq[Centroid],
                                  nprobe: Int): Column = {
     val table = cellTable(cents)
-    cellFnCol(spark, s"probe_cells_$nprobe", table)(
+    cellFnCol(spark, "probe_cells", table)(
       graft.functions.ProbeCells(_, _, table, nprobe))
   }
 
@@ -645,7 +645,7 @@ object Embeddings {
     else {
       val table = twoLevelTable(cents, nSuper)
       graft.functions.CellFns.fnCol(
-        spark, s"probe_cells_g${nprobe}_$nSuperProbe", table, "qv", "nrm")(
+        spark, "probe_cells_g", table, "qv", "nrm")(
         graft.functions.ProbeCells(_, _, table, nprobe, nSuperProbe))
     }
   }

@@ -60,17 +60,28 @@ object Sq {
 
   /** The SQ8 CODES relation (vec_id, codes: array<bigint> of 0..255)
     * — a scan-riding projection over the dim-bounded literal bounds
-    * arrays; zero shuffle. `div` is the INTEGRAL division operator —
-    * operands are non-negative (qv_d ≥ min_d, range ≥ 0), so Spark's
-    * truncating `div` and DuckDB's flooring `//` coincide. */
+    * arrays; zero shuffle. Codes CLAMP to [0, Levels−1]: with bounds
+    * learned from this corpus the clamp is an identity (qv_d ∈
+    * [min_d, max_d] by construction — SqSpec pins it), and with a
+    * STALE persisted bounds artifact whose grid the corpus has
+    * drifted past, saturation IS the staleness semantics (the FAISS
+    * SQ8 encode behavior): drifted values code to the nearest grid
+    * edge instead of emitting out-of-range bytes that silently break
+    * the byte-code invariant (ADVICE r10). Inside the clamp, `div` is
+    * the INTEGRAL division operator; operands are non-negative on the
+    * covered grid, so Spark's truncating `div` and DuckDB's flooring
+    * `//` coincide — and off-grid (stale bounds) the clamp itself
+    * restores engine agreement (both sides saturate to the same
+    * edge). */
   private[graft] def encode(vecs: DataFrame,
                             mins: Seq[Long], maxs: Seq[Long]): DataFrame = {
     val rng = mins.zip(maxs).map { case (mn, mx) => mx - mn }
     vecs.select(col("vec_id"), expr(
       s"""transform(qv, (x, i) ->
             CASE WHEN element_at(${sqlArr(rng)}, i + 1) = 0L THEN 0L
-                 ELSE ((x - element_at(${sqlArr(mins)}, i + 1)) * ${Levels - 1}L)
-                      div element_at(${sqlArr(rng)}, i + 1) END)""").as("codes"))
+                 ELSE least(${Levels - 1}L, greatest(0L,
+                      ((x - element_at(${sqlArr(mins)}, i + 1)) * ${Levels - 1}L)
+                      div element_at(${sqlArr(rng)}, i + 1))) END)""").as("codes"))
   }
 
   /** Pinned reconstruction onto the integer grid:

@@ -22,6 +22,15 @@ object StreamingSqServe {
     * `queries` — a STREAMING DataFrame with (q_id: long, embedding:
     * array<float>) — and hand the ranked result to `onBatch`.
     *
+    * Stale-bounds contract: nothing forces `boundsPath` to have been
+    * learned from `corpusDir`'s CURRENT snapshot. If the corpus has
+    * drifted past the artifact's per-dim [min, max], encoding
+    * SATURATES those values to the grid edge ([[graft.ops.Sq.encode]]
+    * clamps to [0, 255] — the FAISS SQ8 behavior, spec-pinned), so
+    * the byte-code invariant holds unconditionally; what degrades is
+    * recall at the drifted edges, which is the operational signal to
+    * re-learn the bounds (ADVICE r10).
+    *
     * `excludeSelf`: pass true only when the stream's q_ids ARE corpus
     * vec_ids (see [[graft.ops.Sq.sq8Serve]]). */
   def run(spark: SparkSession, queries: DataFrame,

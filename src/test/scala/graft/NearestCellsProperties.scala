@@ -239,4 +239,33 @@ class NearestCellsProperties extends SparkSpec {
     val dup = Seq(C(3L, randVec(10), 1L), C(3L, randVec(10), 1L))
     intercept[IllegalArgumentException] { tableOf(dup, Nil, Nil) }
   }
+
+  test("CellFns key covers expression parameters: same prefix+table, different params never collide") {
+    // ADVICE r10: registration used to key on prefix + table content
+    // only; two columns over the same table whose wrapped expressions
+    // differ only in a closed-over parameter (here ProbeCells' nprobe)
+    // would both lazily resolve to the LAST-registered builder. The
+    // key now folds every non-child constructor parameter in, so one
+    // frame can carry both columns — with the SAME prefix — and each
+    // must evaluate under its own parameter.
+    val s = spark
+    import s.implicits._
+    val cents = (0L until 6L).map(j => C(j, randVec(10), 1L))
+    val t = tableOf(cents, Nil, Nil)
+    val rows = (0 until 20).map(i => (i.toLong, randVec(10)))
+    val df = rows.toDF("id", "qv")
+      .withColumn("nrm", expr("aggregate(qv, 0L, (a, x) -> a + x * x)"))
+    val c1 = graft.functions.CellFns.fnCol(spark, "collide_probe", t, "qv", "nrm")(
+      graft.functions.ProbeCells(_, _, t, 1))
+    val c3 = graft.functions.CellFns.fnCol(spark, "collide_probe", t, "qv", "nrm")(
+      graft.functions.ProbeCells(_, _, t, 3))
+    val got = df.select(col("id"), c1.as("p1"), c3.as("p3")).collect()
+    rows.foreach { case (id, v) =>
+      val nrm = v.map(x => x * x).sum
+      val ranked = cents.map(c => (modelDist(v, nrm, c), c.j)).sorted.map(_._2)
+      val r = got.find(_.getLong(0) == id).get
+      assert(r.getSeq[Long](1) == ranked.take(1), s"nprobe=1 column wrong for id=$id")
+      assert(r.getSeq[Long](2) == ranked.take(3), s"nprobe=3 column wrong for id=$id")
+    }
+  }
 }

@@ -52,6 +52,46 @@ class SqSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
   }
 
+  test("STALE bounds saturate: codes clamp to [0, 255], never break the byte invariant") {
+    // ADVICE r10: a serving loop re-encodes the corpus with bounds
+    // loaded from a persisted artifact; if the corpus has drifted past
+    // the artifact's per-dim grid, codes must SATURATE to the edge
+    // (the FAISS SQ8 behavior), not run out of 0..255. Narrow every
+    // dim's bounds so both edges are exercised, and pin the exact
+    // saturation semantics against a plain-Scala clamp model.
+    val vecs = Embeddings.quantized(spark, dir)
+    val (mins, maxs) = Sq.gridBounds(vecs)
+    val dim = Embeddings.Dim
+    val nMins = (0 until dim).map(d => mins(d) + (maxs(d) - mins(d)) / 4)
+    val nMaxs = (0 until dim).map(d => maxs(d) - (maxs(d) - mins(d)) / 4)
+    val got = Sq.encode(vecs, nMins, nMaxs).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toIndexedSeq))
+    var sawLow = false; var sawHigh = false
+    raw.foreach { case (id, v) =>
+      val want = (0 until dim).map { d =>
+        val rng = nMaxs(d) - nMins(d)
+        if (rng == 0L) 0L
+        else {
+          val c = ((v(d) - nMins(d)) * 255L) / rng
+          // the Scala / here truncates toward zero like Spark's div;
+          // the clamp makes the truncate-vs-floor edge irrelevant
+          math.min(255L, math.max(0L, c))
+        }
+      }
+      if (v.indices.exists(d => v(d) < nMins(d))) sawLow = true
+      if (v.indices.exists(d => v(d) > nMaxs(d))) sawHigh = true
+      assert(got(id).forall(c => c >= 0L && c <= 255L),
+        s"stale-bounds codes out of byte range for vec $id")
+      assert(got(id) == want, s"stale-bounds saturation diverged for vec $id")
+    }
+    assert(sawLow && sawHigh, "fixture failed to exercise both saturation edges")
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("sq8TopK: k rows per probe, self excluded, est = the model's reconstruction distance") {
     val k = 5; val queryMod = 50
     val rows = Sq.sq8TopK(spark, dir, k, queryMod).collect()
