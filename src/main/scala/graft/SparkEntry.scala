@@ -113,6 +113,22 @@ object SparkEntry {
     "q79_ivfpq_topk"        -> ((s, d) => Pq.ivfPqTopK(s, d)),
     "q80_pq_scaled"         -> ((s, d) => Pq.pqTopKScaled(s, d)),
     "q81_sq8_topk"          -> ((s, d) => Sq.sq8TopK(s, d)),
+    "q82_ivfsq8_topk"       -> ((s, d) => Sq.ivfSq8TopK(s, d)),
+    "q83_pq_refine"         -> ((s, d) => Pq.pqRefineTopK(s, d)),
+    // the ROUTED serve on the graded surface (VERDICT r10 #6): train
+    // the pinned quantizer, then serve through the TWO-LEVEL probe
+    // path (nSuper = superFor(nCells) = 4 groups at the oracle scale,
+    // so the grouped kernel really executes) at a SATURATING
+    // nSuperProbe — every group probed — which the pinned
+    // probeGrouped property makes bit-exact to the exact serve, so
+    // the q31 oracle applies verbatim. EmbeddingsSpec asserts the
+    // analyzed plan carries the routed expression (this entry must
+    // never silently degenerate to the exact kernel).
+    "q84_ivf_routed_serve"  -> ((s, d) => {
+      val cents = Embeddings.trainQuantizer(s, d)
+      Embeddings.ivfTopKServeRouted(s, d, cents,
+        nSuperProbe = Embeddings.OracleCells)
+    }),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -494,14 +510,35 @@ object SparkEntry {
            FROM embeddings),
          ${pqCtes("q", KForSql)}"""
 
-  /** q79's replay — IVFADC: the [[IvfCtes]] coarse trajectory, each
-    * cell's [[graft.ops.Embeddings.meanGrid]] integer mean, exact
-    * integer RESIDUALS, the PQ trajectory trained over the residual
-    * relation ([[pqCtes]]("irq")), then the IVFADC serve: nprobe=2
-    * cells per probe (dist ASC, id ASC — the fused ProbeCells
-    * semantics), one ADC table per (probe, probed cell) over the
-    * probe's residual AGAINST THAT CELL, exact-integer estimate sum,
-    * ties (est, neighbor_id), self excluded. */
+  /** The shared IVF-residual routing replay of the ROUTED
+    * compressions (q79 IVFADC, q82 IVF+SQ8): each final cell's
+    * [[graft.ops.Embeddings.meanGrid]] integer mean (`igr`), every
+    * vector's exact-integer residual from its HOME cell (`irq` —
+    * keeps `cell`), the probes' nprobe=2 nearest cells by the fused
+    * ProbeCells (dist ASC, id ASC) semantics (`ipc`), and each
+    * probe's residual AGAINST EACH PROBED CELL (`iprq`). ONE
+    * definition so the two compressions can never diverge on the
+    * routing they share — the Spark side shares it the same way
+    * ([[graft.ops.Pq.residualsOf]] / [[graft.ops.Pq
+    * .probeCellsRelation]] feed both serves). */
+  private val IvfResidualCtes: String =
+    s"""igr AS MATERIALIZED (SELECT j AS cell, list_transform(generate_series(1,64),
+               i -> CAST(floor(CAST(s[i] AS DOUBLE)/CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS g
+             FROM c2),
+         irq AS MATERIALIZED (SELECT v.vec_id, af.j AS cell, list_transform(generate_series(1,64), i -> v.qv[i] - g.g[i]) AS qv
+             FROM v JOIN af ON af.vec_id = v.vec_id JOIN igr g ON g.cell = af.j),
+         ipc AS MATERIALIZED (SELECT vec_id AS q_id, j AS cell FROM (
+               SELECT v.vec_id, c.j, row_number() OVER (PARTITION BY v.vec_id ORDER BY ${IvfDist("c")}, c.j) AS rn
+               FROM v, c2 c WHERE v.vec_id % 50 = 0 AND v.vec_id < ${Pq.ProbeCap}) t WHERE rn <= 2),
+         iprq AS MATERIALIZED (SELECT pc.q_id, pc.cell, list_transform(generate_series(1,64), i -> v.qv[i] - g.g[i]) AS qv
+             FROM ipc pc JOIN v ON v.vec_id = pc.q_id JOIN igr g ON g.cell = pc.cell)"""
+
+  /** q79's replay — IVFADC: the [[IvfCtes]] coarse trajectory, the
+    * [[IvfResidualCtes]] routing, the PQ trajectory trained over the
+    * residual relation ([[pqCtes]]("irq")), then the IVFADC serve:
+    * one ADC table per (probe, probed cell) over the probe's residual
+    * AGAINST THAT CELL, exact-integer estimate sum, ties (est,
+    * neighbor_id), self excluded. */
   private val IvfPqCtes: String = {
     def ipt(m: Int): String = {
       val o = m * Pq.SubDim
@@ -513,21 +550,12 @@ object SparkEntry {
                   ${p}c2 c JOIN ${p}cd x USING (j))"""
     }
     s"""$IvfCtes,
-         igr AS MATERIALIZED (SELECT j AS cell, list_transform(generate_series(1,64),
-               i -> CAST(floor(CAST(s[i] AS DOUBLE)/CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS g
-             FROM c2),
-         irq AS MATERIALIZED (SELECT v.vec_id, list_transform(generate_series(1,64), i -> v.qv[i] - g.g[i]) AS qv
-             FROM v JOIN af ON af.vec_id = v.vec_id JOIN igr g ON g.cell = af.j),
+         $IvfResidualCtes,
          ${pqCtes("irq")},
          icodes AS MATERIALIZED (SELECT f0.vec_id, af.j AS cell,
                f0.code AS cc0, f1.code AS cc1, f2.code AS cc2, f3.code AS cc3
              FROM p0f f0 JOIN p1f f1 USING (vec_id) JOIN p2f f2 USING (vec_id)
              JOIN p3f f3 USING (vec_id) JOIN af USING (vec_id)),
-         ipc AS MATERIALIZED (SELECT vec_id AS q_id, j AS cell FROM (
-               SELECT v.vec_id, c.j, row_number() OVER (PARTITION BY v.vec_id ORDER BY ${IvfDist("c")}, c.j) AS rn
-               FROM v, c2 c WHERE v.vec_id % 50 = 0 AND v.vec_id < ${Pq.ProbeCap}) t WHERE rn <= 2),
-         iprq AS MATERIALIZED (SELECT pc.q_id, pc.cell, list_transform(generate_series(1,64), i -> v.qv[i] - g.g[i]) AS qv
-             FROM ipc pc JOIN v ON v.vec_id = pc.q_id JOIN igr g ON g.cell = pc.cell),
          ${(0 until Pq.M).map(ipt).mkString(",\n         ")},
          iest AS MATERIALIZED (SELECT t0.q_id, cd.vec_id AS neighbor_id,
                (t0.dq + t1.dq + t2.dq + t3.dq) AS est
@@ -538,6 +566,31 @@ object SparkEntry {
              JOIN ipt3 t3 ON t3.q_id = t0.q_id AND t3.cell = cd.cell AND t3.code = cd.cc3
              WHERE cd.vec_id <> t0.q_id)"""
   }
+
+  /** The q31 IVF serve replay — nprobe=1 probes each query's own
+    * final cell, exact cosine re-rank inside it, (cosine DESC, id)
+    * ties. ONE definition for BOTH serve entries: q31 (exact probe)
+    * and q84 (two-level ROUTED probe at saturating nSuperProbe, which
+    * the pinned probeGrouped property makes bit-exact to the exact
+    * probe — so the same SQL is the correct twin, verbatim). */
+  private val IvfServeOracle: String =
+    s"""WITH $IvfCtes,
+         scored AS (
+           SELECT qa.vec_id AS q_id, cv.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1,64), i -> qq.qv[i]*cv.qv[i])) AS BIGINT) AS dot,
+             qq.nrm AS qn, cv.nrm AS cn
+           FROM af qa
+           JOIN af ca ON ca.j = qa.j AND ca.vec_id <> qa.vec_id
+           JOIN v qq ON qq.vec_id = qa.vec_id
+           JOIN v cv ON cv.vec_id = ca.vec_id
+           WHERE qa.vec_id % 50 = 0),
+         ranked AS (
+           SELECT q_id, neighbor_id, dot,
+             CAST(dot AS DOUBLE)/sqrt(CAST(qn AS DOUBLE)*CAST(cn AS DOUBLE)) AS cosine,
+             row_number() OVER (PARTITION BY q_id ORDER BY CAST(dot AS DOUBLE)/sqrt(CAST(qn AS DOUBLE)*CAST(cn AS DOUBLE)) DESC, neighbor_id) AS rnk
+           FROM scored)
+         SELECT q_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dot, cosine
+         FROM ranked WHERE rnk <= 5 ORDER BY q_id, rank"""
 
   /** DuckDB twins. Determinism: decimal-exact aggregation, full-key
     * ORDER BY, explicit casts so dtypes line up (see Relational docs). */
@@ -854,24 +907,7 @@ object SparkEntry {
     "q30_event_windows" ->
       """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, count(*) AS n
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
-    "q31_ivf_topk" ->
-      s"""WITH $IvfCtes,
-         scored AS (
-           SELECT qa.vec_id AS q_id, cv.vec_id AS neighbor_id,
-             CAST(list_sum(list_transform(generate_series(1,64), i -> qq.qv[i]*cv.qv[i])) AS BIGINT) AS dot,
-             qq.nrm AS qn, cv.nrm AS cn
-           FROM af qa
-           JOIN af ca ON ca.j = qa.j AND ca.vec_id <> qa.vec_id
-           JOIN v qq ON qq.vec_id = qa.vec_id
-           JOIN v cv ON cv.vec_id = ca.vec_id
-           WHERE qa.vec_id % 50 = 0),
-         ranked AS (
-           SELECT q_id, neighbor_id, dot,
-             CAST(dot AS DOUBLE)/sqrt(CAST(qn AS DOUBLE)*CAST(cn AS DOUBLE)) AS cosine,
-             row_number() OVER (PARTITION BY q_id ORDER BY CAST(dot AS DOUBLE)/sqrt(CAST(qn AS DOUBLE)*CAST(cn AS DOUBLE)) DESC, neighbor_id) AS rnk
-           FROM scored)
-         SELECT q_id, CAST(rnk AS BIGINT) AS rank, neighbor_id, dot, cosine
-         FROM ranked WHERE rnk <= 5 ORDER BY q_id, rank""",
+    "q31_ivf_topk" -> IvfServeOracle,
     "q32_neardup_clusters" ->
       s"""WITH RECURSIVE $ShingleCtes,
          $PairCtes,
@@ -1719,5 +1755,56 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
            FROM sest) t
          WHERE rn <= 5 ORDER BY q_id, rank""",
+    // IVF+SQ8: the IvfCtes coarse trajectory + the SHARED
+    // IvfResidualCtes routing (one definition with q79), then the q81
+    // byte grid learned over the RESIDUAL relation: per-dim bounds,
+    // fused encode∘decode (clamped exactly as Sq.encode — an identity
+    // here since the bounds cover the residuals), and the serve as a
+    // cell equi-join of each probe's per-cell residual against the
+    // probed cells' reconstructions — est = exact-integer Σ(qres−r)²,
+    // ties (est, neighbor_id), self excluded.
+    "q82_ivfsq8_topk" ->
+      s"""WITH $IvfCtes,
+         $IvfResidualCtes,
+         sbounds AS (
+           SELECT d, min(qv[d]) AS mn, max(qv[d]) AS mx FROM irq, dims GROUP BY d),
+         srv AS MATERIALIZED (
+           SELECT r.vec_id, r.cell, list(CASE WHEN b.mx = b.mn THEN b.mn
+               ELSE b.mn + (least(255, greatest(0, ((r.qv[b.d] - b.mn) * 255) // (b.mx - b.mn))) * (b.mx - b.mn)) // 255 END
+             ORDER BY b.d) AS r
+           FROM irq r, sbounds b GROUP BY r.vec_id, r.cell),
+         isqest AS (
+           SELECT p.q_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1,64),
+               i -> (p.qv[i]-c.r[i])*(p.qv[i]-c.r[i]))) AS BIGINT) AS est
+           FROM iprq p JOIN srv c ON c.cell = p.cell WHERE c.vec_id <> p.q_id)
+         SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, est FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
+           FROM isqest) t
+         WHERE rn <= 5 ORDER BY q_id, rank""",
+    // ADC + exact re-rank: the q77 trajectory generates RefineR
+    // candidates per probe by the ADC estimate (pqest + row_number,
+    // the same (est, neighbor_id) tie-break), then ONLY those
+    // candidates re-score by the exact integer distance on the
+    // quantized grid (q45's formula) and re-rank to the top-5 —
+    // est in the output is the EXACT distance, not the PQ estimate.
+    "q83_pq_refine" ->
+      s"""WITH $PqCtes,
+         rcands AS (SELECT q_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
+             FROM pqest) t WHERE rn <= ${Pq.RefineR}),
+         rex AS (SELECT c.q_id, c.neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1,64),
+               i -> (pq.qv[i]-nq.qv[i])*(pq.qv[i]-nq.qv[i]))) AS BIGINT) AS est
+           FROM rcands c
+           JOIN q pq ON pq.vec_id = c.q_id
+           JOIN q nq ON nq.vec_id = c.neighbor_id)
+         SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, est FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
+           FROM rex) t
+         WHERE rn <= 5 ORDER BY q_id, rank""",
+    // routed serve ≡ exact serve at saturating nSuperProbe (the
+    // pinned probeGrouped property) → the q31 replay IS the twin
+    "q84_ivf_routed_serve" -> IvfServeOracle,
   )
 }

@@ -347,6 +347,83 @@ object Pq {
     pqTopK(spark, dir, k, queryMod, iters, kFor(n))
   }
 
+  /** q83 — ADC + EXACT RE-RANK (the standard two-stage production
+    * serve, FAISS's refine/`IndexRefineFlat` shape): PQ's 64×
+    * compression costs recall (the measured q77 recall@5 floor), and
+    * the way a deployment buys it back WITHOUT giving up the
+    * compressed scan is a refine stage — stage 1 generates `r` ≫ k
+    * candidates per probe by the ADC estimate (the q77 serve,
+    * touching only the 64×-compressed codes), stage 2 re-scores ONLY
+    * those candidates against the raw vectors with the exact integer
+    * distance and re-ranks to the top-k. Both stages are
+    * exact-integer, so the composition replays in DuckDB (the q83
+    * oracle) and the recall-vs-r trade is measured in PqSpec against
+    * the q45 exact ranking.
+    *
+    * Plan shape at 100 TB: stage 1 is the q77 shape (probe batch
+    * broadcasts onto the codes scan — the scan is the 64×-compressed
+    * relation, the only full pass); stage 2 is CANDIDATE-SIZED — the
+    * nProbes·r candidate ids broadcast into an equi-join against the
+    * raw-vector scan (PlanAuditSpec pins that no second all-pairs
+    * join appears), so its cost is one pruned pass over raw vectors +
+    * nProbes·r exact distances, independent of corpus × probe
+    * cross size. */
+  def pqRefineTopK(spark: SparkSession, dir: String,
+                   k: Int = 5, r: Int = RefineR, queryMod: Int = 50,
+                   iters: Int = Embeddings.OracleIters,
+                   nCodes: Int = K): DataFrame = {
+    val vecs = Caches.persist(Embeddings.quantized(spark, dir))
+    val books = trainCodebooks(vecs, iters, nCodes)
+    val codes = encode(vecs, books)
+    val probes = vecs
+      .filter(col("vec_id") % queryMod === 0 && col("vec_id") < ProbeCap)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    refineServe(codes, books, vecs, probes, k, r, excludeSelf = true)
+  }
+
+  /** Default refine candidate budget (stage-1 r): 4·k at the pinned
+    * k = 5 — small enough that the refine join is obviously
+    * candidate-sized, large enough to lift recall measurably (the
+    * PqSpec table measures r ∈ {20, 50, 100}). */
+  val RefineR = 20
+
+  /** The two-stage serve behind [[pqRefineTopK]]: `raw` carries the
+    * exact (vec_id, qv) relation the candidates re-score against —
+    * the SAME relation the codes were encoded from. ONE definition so
+    * a streaming deployment serves bit-identically to the batch q83.
+    *
+    * Refine-stage semantics: est = Σ(q_d − v_d)² over the exact
+    * integer grid (q45's distance), ties (est ASC, neighbor_id ASC).
+    * A candidate list shorter than k (tiny corpus) yields fewer than
+    * k rows — the refine never invents candidates stage 1 didn't
+    * produce. */
+  def refineServe(codes: DataFrame, books: Seq[Seq[Centroid]], raw: DataFrame,
+                  probes: DataFrame, k: Int = 5, r: Int = RefineR,
+                  excludeSelf: Boolean = false): DataFrame = {
+    require(r >= k, s"refine candidate budget r=$r must cover k=$k")
+    val spark = probes.sparkSession
+    graft.functions.VecDot.register(spark)
+    val cands = adcServe(codes, books, probes, r, excludeSelf)
+      .select(col("q_id"), col("neighbor_id"))
+    val qs = probes
+      .select(col("q_id"), col("qv").as("q_v"))
+      .withColumn("q_n", expr("vec_dot(q_v, q_v)"))
+    val nb = raw.select(col("vec_id").as("neighbor_id"), col("qv").as("n_v"),
+      expr("vec_dot(qv, qv)").as("n_n"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("est"), col("neighbor_id"))
+    // candidate ids broadcast INTO the raw scan (candidate-sized
+    // equi-join — the full corpus is never crossed with the probes
+    // again), then the probe batch broadcasts onto the result
+    nb.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(qs), Seq("q_id"))
+      .withColumn("est", col("q_n") - lit(2L) * expr("vec_dot(q_v, n_v)") + col("n_n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("est"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Persist the trained codebooks as a parquet artifact — rows
     * (m, j, s, n); the PQ counterpart of
     * [[Embeddings.saveQuantizer]]: a deployment trains once
@@ -451,7 +528,7 @@ object Pq {
   }
 
   /** Each cell's integer mean grid as a broadcastable relation. */
-  private def gridDfOf(spark: SparkSession, cents: Seq[Centroid]): DataFrame = {
+  private[ops] def gridDfOf(spark: SparkSession, cents: Seq[Centroid]): DataFrame = {
     import spark.implicits._
     cents.map(c => (c.j, Embeddings.meanGrid(c.s, c.n))).toDF("cell", "grid")
   }
@@ -460,7 +537,7 @@ object Pq {
     * mean grid) — the relation the shared codebooks train and encode
     * over. Home cell via the ONE index definition
     * ([[Embeddings.serveIndex]]). */
-  private def residualsOf(spark: SparkSession, dir: String,
+  private[ops] def residualsOf(spark: SparkSession, dir: String,
                           cents: Seq[Centroid]): DataFrame =
     Embeddings.serveIndex(spark, dir, cents)
       .select(col("neighbor_id").as("vec_id"), col("c_v").as("qv"), col("cell"))

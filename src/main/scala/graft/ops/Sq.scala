@@ -74,14 +74,15 @@ object Sq {
     * restores engine agreement (both sides saturate to the same
     * edge). */
   private[graft] def encode(vecs: DataFrame,
-                            mins: Seq[Long], maxs: Seq[Long]): DataFrame = {
+                            mins: Seq[Long], maxs: Seq[Long],
+                            keep: Seq[String] = Nil): DataFrame = {
     val rng = mins.zip(maxs).map { case (mn, mx) => mx - mn }
-    vecs.select(col("vec_id"), expr(
+    vecs.select(col("vec_id") +: keep.map(col) :+ expr(
       s"""transform(qv, (x, i) ->
             CASE WHEN element_at(${sqlArr(rng)}, i + 1) = 0L THEN 0L
                  ELSE least(${Levels - 1}L, greatest(0L,
                       ((x - element_at(${sqlArr(mins)}, i + 1)) * ${Levels - 1}L)
-                      div element_at(${sqlArr(rng)}, i + 1))) END)""").as("codes"))
+                      div element_at(${sqlArr(rng)}, i + 1))) END)""").as("codes"): _*)
   }
 
   /** Pinned reconstruction onto the integer grid:
@@ -132,6 +133,115 @@ object Sq {
     val w = Window.partitionBy(col("q_id")).orderBy(col("est"), col("neighbor_id"))
     (if (excludeSelf) corpus.crossJoin(broadcast(qs)).filter(col("neighbor_id") =!= col("q_id"))
      else corpus.crossJoin(broadcast(qs)))
+      .withColumn("est", col("q_n") - lit(2L) * expr("vec_dot(q_v, rv)") + col("r_n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("est"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** q82 — IVF+SQ8: the near-exact-recall memory point ROUTED (the
+    * FAISS `IVFx,SQ8` production shape), completing the serving axis
+    * q79 opened for PQ: q81's serve must scan every SQ8 code per
+    * probe; this routes the corpus into the trained IVF cells,
+    * SQ8-encodes each vector's RESIDUAL from its home cell's integer
+    * mean grid (per-dim bounds learned over the residual relation —
+    * residuals concentrate near 0, so the same 256 levels land on a
+    * tighter grid than raw SQ8's), and serves by probing only each
+    * query's `nprobe` nearest cells through the SAME cell equi-join +
+    * static probed-cell pruning as [[Pq.ivfPqServe]].
+    *
+    * Exact-replayable construction (the q82 oracle replays it all):
+    * the [[Embeddings.trainQuantizer]] pinned coarse trajectory, the
+    * [[Embeddings.meanGrid]] exact-integer residuals (shared with q79
+    * via [[Pq.residualsOf]]), the [[encode]]/[[decodeCol]] pinned
+    * byte grid over residual bounds, and est = Σ(qres_d − r_d)² — an
+    * exact-integer BIGINT where qres is the query's residual against
+    * the PROBED cell.
+    *
+    * Plan shape at 100 TB: identical to q79's — the probe side
+    * (nprobe rows per query, each carrying its per-cell residual)
+    * broadcasts into a cell equi-join against the codes scan, the
+    * probed-cell set rides the scan as a static filter (partitioned
+    * by cell ⇒ listing-time pruning through the serve path,
+    * StorageSpec's IVFADC proof shape) — per-probe work is
+    * nprobe/nCells of the corpus at 64 B/vector. */
+  def ivfSq8TopK(spark: SparkSession, dir: String,
+                 k: Int = 5, queryMod: Int = 50, nprobe: Int = 2,
+                 nCells: Int = Embeddings.OracleCells,
+                 iters: Int = Embeddings.OracleIters): DataFrame = {
+    val vecs = Caches.persist(Embeddings.quantized(spark, dir))
+    val cents = Embeddings.trainQuantizer(spark, dir, nCells, iters).sortBy(_.j)
+    val residuals = Caches.persist(Pq.residualsOf(spark, dir, cents))
+    val (mins, maxs) = gridBounds(residuals)
+    val codes = encode(residuals, mins, maxs, keep = Seq("cell"))
+    val probes = vecs
+      .filter(col("vec_id") % queryMod === 0 && col("vec_id") < Pq.ProbeCap)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    ivfSq8Serve(codes, cents, mins, maxs, probes, k, nprobe, excludeSelf = true)
+  }
+
+  /** The q82 BUILD stage alone: coarse quantizer + residual bounds —
+    * the artifact pair a deployment persists ([[Embeddings
+    * .saveQuantizer]] + [[saveBounds]]) so serving jobs never re-pay
+    * the training scans ([[graft.stream.StreamingIvfSqServe]]). */
+  def trainIvfSq8(spark: SparkSession, dir: String,
+                  nCells: Int = Embeddings.OracleCells,
+                  iters: Int = Embeddings.OracleIters)
+      : (Seq[Embeddings.Centroid], IndexedSeq[Long], IndexedSeq[Long]) = {
+    val cents = Embeddings.trainQuantizer(spark, dir, nCells, iters).sortBy(_.j)
+    val (mins, maxs) = gridBounds(Caches.persist(Pq.residualsOf(spark, dir, cents)))
+    (cents, mins, maxs)
+  }
+
+  /** The routed SQ8 index relation (vec_id, cell, codes): home cell +
+    * residual byte codes — persist partitioned by cell at scale so
+    * probed cells prune at listing time. */
+  def ivfSq8Codes(spark: SparkSession, dir: String,
+                  cents: Seq[Embeddings.Centroid],
+                  mins: Seq[Long], maxs: Seq[Long]): DataFrame =
+    encode(Caches.persist(Pq.residualsOf(spark, dir, cents)), mins, maxs,
+      keep = Seq("cell"))
+
+  /** The q82 SERVE stage: probe each query's `nprobe` nearest cells
+    * (fused [[graft.functions.ProbeCells]] ranking via
+    * [[Pq.probeCellsRelation]] — ONE definition with q79, so the
+    * probed set cannot drift between the compressions), build the
+    * query's per-probed-cell RESIDUAL, and resolve est through the
+    * cell equi-join against `codes` with the probed-cell set riding
+    * the codes scan as a static filter. `queries` carries (q_id, qv)
+    * on the corpus integer grid ([[Pq.quantizeQueries]] for external
+    * embeddings). ONE definition shared by batch q82 and the
+    * streaming seam, so their agreement is an identity. */
+  def ivfSq8Serve(codes: DataFrame, cents: Seq[Embeddings.Centroid],
+                  mins: Seq[Long], maxs: Seq[Long],
+                  queries: DataFrame, k: Int = 5, nprobe: Int = 2,
+                  excludeSelf: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    graft.functions.VecDot.register(spark)
+    val sorted = cents.sortBy(_.j)
+    // ONE evaluation of the probe ranking (the q79 rationale): the
+    // probe relation is broadcast-sized by contract, so collect it
+    // once and derive both the probed-cell static filter and the
+    // query side from the local rows.
+    val probesPlan = Pq.probeCellsRelation(queries, sorted, nprobe)
+    val probeRows = probesPlan.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val probedCells = probeRows.map(_.getAs[Long]("cell")).distinct.toSeq
+    val qres = probes.join(broadcast(Pq.gridDfOf(spark, sorted)), "cell")
+      .select(col("q_id"), col("cell"),
+        zip_with(col("qv"), col("grid"), (a, b) => a - b).as("q_v"))
+      .withColumn("q_n", expr("vec_dot(q_v, q_v)"))
+    val corpus = codes.filter(col("cell").isin(probedCells: _*))
+      .withColumn("rv", decodeCol(mins, maxs))
+      .select(col("vec_id").as("neighbor_id"), col("cell"), col("rv"),
+        expr("vec_dot(rv, rv)").as("r_n"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("est"), col("neighbor_id"))
+    (if (excludeSelf) corpus.join(broadcast(qres), Seq("cell"))
+        .filter(col("neighbor_id") =!= col("q_id"))
+     else corpus.join(broadcast(qres), Seq("cell")))
       .withColumn("est", col("q_n") - lit(2L) * expr("vec_dot(q_v, rv)") + col("r_n"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

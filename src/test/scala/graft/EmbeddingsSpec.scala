@@ -329,6 +329,28 @@ class EmbeddingsSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
   }
 
+  test("q84 carries the ROUTED probe expression in its analyzed plan (never the exact kernel)") {
+    // the graded q84 entry's whole point is exercising the grouped
+    // probe kernel through the driver's oracle — if a refactor made
+    // probeCellsColTwoLevel silently fall back to the exact expression
+    // (nSuper degenerating to <= 1 or >= nCells), q84 would still pass
+    // its oracle and certify nothing. Walk the analyzed plan and
+    // require a ProbeCells with nSuperProbe >= 1 (the grouped kernel).
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val df = SparkEntry.queries("q84_ivf_routed_serve")(spark, dir)
+    val probes = df.queryExecution.analyzed.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case pc: graft.functions.ProbeCells => pc
+      })
+    }.flatten
+    assert(probes.nonEmpty, "q84's plan carries no ProbeCells expression at all")
+    assert(probes.exists(_.nSuperProbe >= 1),
+      s"q84 degenerated to the exact probe kernel: ${probes.map(p => (p.nprobe, p.nSuperProbe))}")
+    // and the grouped table really has groups to route through
+    assert(probes.filter(_.nSuperProbe >= 1).forall(_.table.groupStart.nonEmpty))
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("buckets are non-degenerate and candidates never include self") {
     val out = Embeddings.annTopK(spark, dir).collect()
     assert(out.nonEmpty)

@@ -22,11 +22,13 @@ class PlanAuditSpec extends SparkSpec {
   // scan of all codes per probe — and q80 is the same serve at the
   // kFor-derived K. Everything else must keep an equi-key.
   // q81 is the SQ8 serve — the same definitional codes-scan-per-probe
-  // shape (broadcast build side = the probe batch).
+  // shape (broadcast build side = the probe batch). q83's STAGE 1 is
+  // the q77 ADC scan (allowed); its refine stage must stay equi (the
+  // dedicated test below pins it).
   private val BnljAllowed =
     Set("q16_owners_glob_join", "q45_brute_topk", "q48_source_mix",
       "q74_temperature_mix", "q77_pq_topk", "q78_knn_classify",
-      "q80_pq_scaled", "q81_sq8_topk")
+      "q80_pq_scaled", "q81_sq8_topk", "q83_pq_refine")
 
   test("no CartesianProduct in any query plan; BNLJ only where all-pairs IS the operator") {
     assume(new java.io.File(dir).isDirectory, "testdata not present")
@@ -39,5 +41,20 @@ class PlanAuditSpec extends SparkSpec {
           s"$name plans a BroadcastNestedLoopJoin (non-equi join leaked in?)")
       graft.ops.Caches.releaseAll(spark)
     }
+  }
+
+  test("q83 refine stage is candidate-sized: one ADC all-pairs scan, equi-joined refine") {
+    // the two-stage claim made auditable: stage 1 (ADC candidate
+    // generation) is the ONE BroadcastNestedLoopJoin — the refine
+    // must re-score candidates through broadcast EQUI-joins, never a
+    // second all-pairs pass over (corpus × probes)
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val plan = graft.ops.Pq.pqRefineTopK(spark, dir)
+      .queryExecution.executedPlan.toString
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj == 1, s"q83 must have exactly the stage-1 ADC BNLJ, found $bnlj:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q83's refine joins must be broadcast equi-joins:\n$plan")
+    graft.ops.Caches.releaseAll(spark)
   }
 }

@@ -136,6 +136,48 @@ class PqSpec extends SparkSpec {
     assert(recall >= 0.08, s"PQ recall@5 collapsed to $recall")
   }
 
+  test("pqRefineTopK: exact re-rank of ADC candidates — recall rises with r and beats plain PQ") {
+    // the two-stage contract: (a) every refine output is one of
+    // stage 1's r candidates re-scored by the EXACT distance (q45's
+    // formula), so at r → corpus size the refine converges to brute;
+    // (b) the measured recall-vs-r table vs the q45 exact ranking is
+    // monotone non-decreasing and already ≥ plain PQ's recall at the
+    // default r (refine can only fix rank inversions inside the
+    // candidate set, never lose a hit stage 1 found).
+    val exact = Embeddings.bruteTopK(spark, dir).collect()
+    val plainPq = recallAgainst(exact, Pq.pqTopK(spark, dir).collect())
+    val rs = Seq(20, 50, 100)
+    val recalls = rs.map { r =>
+      val got = Pq.pqRefineTopK(spark, dir, k = 5, r = r).collect()
+      // contract (a): est is the exact integer distance, k rows per
+      // probe, self excluded
+      val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding").collect()
+        .map(rr => (rr.getLong(0),
+          rr.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toIndexedSeq))
+        .toMap
+      got.foreach { row =>
+        val (q, n, est) = (row.getLong(0), row.getLong(2), row.getLong(3))
+        assert(n != q, s"refine served the probe itself at r=$r")
+        val want = raw(q).indices.map { i => val t = raw(q)(i) - raw(n)(i); t * t }.sum
+        assert(est == want, s"refine est is not the exact distance for ($q, $n) at r=$r")
+      }
+      assert(got.groupBy(_.getLong(0)).values.forall(_.length == 5))
+      r -> recallAgainst(exact, got)
+    }
+    info(s"recall@5: plain PQ = $plainPq, refine = ${recalls.map { case (r, v) => s"r=$r: $v" }.mkString(", ")}")
+    assert(recalls.head._2 >= plainPq,
+      s"refine at r=${rs.head} (${recalls.head._2}) must not lose to plain PQ ($plainPq)")
+    recalls.sliding(2).foreach { case Seq((r1, v1), (r2, v2)) =>
+      assert(v2 >= v1, s"recall fell from $v1 (r=$r1) to $v2 (r=$r2)")
+    }
+    // r large enough to cover most of the sf0.001 corpus should push
+    // recall well above the PQ floor — the refine is DOING something
+    assert(recalls.last._2 >= math.min(0.9, plainPq + 0.3),
+      s"refine at r=${rs.last} only reached ${recalls.last._2}")
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("ivfPqTopK: candidates come only from the probe's nprobe cells; k rows per probe; deterministic") {
     val k = 5; val queryMod = 50; val nprobe = 2
     val cents = Embeddings.trainQuantizer(spark, dir).sortBy(_.j)

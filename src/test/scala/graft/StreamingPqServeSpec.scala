@@ -147,4 +147,72 @@ class StreamingPqServeSpec extends SparkSpec {
       "streamed IVFADC serving diverged from the batch q79 path")
     graft.ops.Caches.releaseAll(spark)
   }
+
+  test("IVFADC serving RESTARTS from checkpoint: no re-emission, batch 2 identical to uninterrupted") {
+    // VERDICT r10 #5: the eight serving seams pin stream ≡ batch but
+    // never killed and resumed the query — the recovery story a
+    // production serving loop depends on. This runs the seam over a
+    // FILE source (offsets a checkpoint can replay; MemoryStream's
+    // cannot survive a restart), stops the query after batch 1,
+    // restarts from the SAME checkpoint, and asserts batch 1 is never
+    // re-emitted while batch 2's results are bit-identical to the
+    // uninterrupted batch path.
+    assume(new java.io.File(SfDir).isDirectory, "testdata not present")
+    val s = spark
+    import s.implicits._
+
+    val (cents, books) = Pq.trainIvfPq(spark, SfDir)
+    val quantPath = Files.createTempDirectory("ivfpq-rst-coarse").toString
+    val bookPath = Files.createTempDirectory("ivfpq-rst-books").toString
+    Embeddings.saveQuantizer(spark, cents, quantPath)
+    Pq.saveCodebooks(spark, books, bookPath)
+
+    def key(r: Row): (Long, Long) = (r.getAs[Long]("q_id"), r.getAs[Long]("rank"))
+    def value(r: Row): (Long, Long) =
+      (r.getAs[Long]("neighbor_id"), r.getAs[Long]("est"))
+    val batch = Pq.ivfPqTopK(spark, SfDir, k = 5, queryMod = 50, nprobe = 2)
+      .collect().map(r => key(r) -> value(r)).toMap
+    graft.ops.Caches.releaseAll(spark)
+
+    val queryVecs = graft.ops.Tables.embeddings(spark, SfDir)
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("q_id"), $"embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val (firstHalf, secondHalf) = queryVecs.splitAt(queryVecs.length / 2)
+
+    val srcDir = Files.createTempDirectory("ivfpq-rst-src").toString
+    val ckpt = Files.createTempDirectory("ivfpq-rst-ckpt").toString
+    val schema = firstHalf.toSeq.toDF("q_id", "embedding").schema
+    def stream() = spark.readStream.schema(schema).parquet(srcDir)
+
+    // ---- run 1: serve batch 1, then KILL the query
+    firstHalf.toSeq.toDF("q_id", "embedding").write.mode("append").parquet(srcDir)
+    val got1 = collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    val q1 = graft.stream.StreamingIvfPqServe.run(spark, stream(),
+      SfDir, quantPath, bookPath, ckpt, k = 5, nprobe = 2, excludeSelf = true) { scored =>
+      scored.collect().foreach(r => got1 += key(r) -> value(r))
+    }
+    try q1.processAllAvailable() finally q1.stop()
+    assert(got1.keySet.map(_._1) == firstHalf.map(_._1).toSet,
+      "run 1 must serve exactly batch 1's queries")
+    graft.ops.Caches.releaseAll(spark)
+
+    // ---- new data lands while the service is DOWN
+    secondHalf.toSeq.toDF("q_id", "embedding").write.mode("append").parquet(srcDir)
+
+    // ---- run 2: restart from the SAME checkpoint
+    val got2 = collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    val q2 = graft.stream.StreamingIvfPqServe.run(spark, stream(),
+      SfDir, quantPath, bookPath, ckpt, k = 5, nprobe = 2, excludeSelf = true) { scored =>
+      scored.collect().foreach(r => got2 += key(r) -> value(r))
+    }
+    try q2.processAllAvailable() finally q2.stop()
+
+    assert(got2.keySet.map(_._1) == secondHalf.map(_._1).toSet,
+      s"restart must serve exactly the files that arrived while down — no re-emission of batch 1 " +
+        s"(got ${got2.keySet.map(_._1)})")
+    assert((got1 ++ got2).toMap == batch,
+      "restarted serving diverged from the uninterrupted batch path")
+    graft.ops.Caches.releaseAll(spark)
+  }
 }
