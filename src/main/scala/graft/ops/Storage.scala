@@ -319,4 +319,67 @@ object Storage {
     * of [[upsertSnapshot]]'s protocol). */
   def readSnapshot(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(graft.stream.StreamingNearDedup.resolveSnapshot(spark, root))
+
+  /** VACUUM — the storage-lifecycle closer of the snapshot protocol:
+    * [[upsertSnapshot]]/[[compactSnapshot]] only ever ADD versions,
+    * so a nightly upsert+compact loop leaks a full corpus copy per
+    * run forever. This deletes SUPERSEDED version directories,
+    * keeping (a) the newest committed version and every version after
+    * it, and (b) the `keepLast` most recent committed versions before
+    * it (time-travel / pinned-reader grace). Marker-less directories
+    * OLDER than the newest committed version are crash debris
+    * (invisible to every reader) and are removed too; marker-less
+    * directories NEWER than it may be a publish in flight (the rename
+    * is atomic, but a competitor may be mid-retry) and are never
+    * touched.
+    *
+    * Concurrency contract, spec-proven (StorageSpec):
+    *  - never races the newest-complete resolution: only versions
+    *    STRICTLY OLDER than the newest committed one are candidates,
+    *    and [[graft.stream.StreamingNearDedup.resolveSnapshot]] never
+    *    returns those — a concurrent publish only ADDS newer
+    *    versions, which widens (never shrinks) the kept set;
+    *  - a reader pinned to a KEPT version is unaffected (deletion
+    *    touches only versions older than the grace window);
+    *  - idempotent under crash/retry: deletion of a version directory
+    *    is self-contained, so a vacuum that died mid-delete leaves a
+    *    subset of the garbage, and the next run removes the rest.
+    *
+    * SCAN-GRACE ASSUMPTION (document it, don't pretend otherwise —
+    * every snapshot store has this window): a reader that resolved
+    * v(n) and is still scanning when v(n) ages past the grace window
+    * loses its files mid-scan. `keepLast` IS the grace contract —
+    * size it so (keepLast × refresh interval) exceeds the longest
+    * scan, exactly like a table format's vacuum retention. Readers
+    * needing more pin a version and hold it outside the vacuum
+    * schedule.
+    *
+    * Returns the deleted version directories (diagnostics /
+    * audit). */
+  def vacuumSnapshots(spark: SparkSession, root: String, keepLast: Int = 2): Seq[String] = {
+    require(keepLast >= 1, "keepLast must keep at least the newest committed version")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newest = graft.stream.StreamingNearDedup.resolveSnapshot(spark, root)
+    if (newest == root || !fs.exists(rootPath)) return Nil // nothing versioned to vacuum
+    val newestV = new org.apache.hadoop.fs.Path(newest).getName.drop(1).toLong
+    val versions = fs.listStatus(rootPath).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.matches("v[0-9]+"))
+      .map(p => p.getName.drop(1).toLong -> p)
+      .sortBy(_._1)
+    def committed(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    // the grace window: the newest committed version plus the
+    // keepLast-1 committed versions directly before it
+    val keptCommitted = versions.filter { case (v, p) => v <= newestV && committed(p) }
+      .map(_._1).sorted.takeRight(keepLast).toSet
+    // v < newestV keeps every version at-or-after the newest committed
+    // one — including marker-less NEWER dirs (possible in-flight
+    // publishes); OLDER marker-less dirs are crash debris and go
+    val victims = versions.filter { case (v, _) =>
+      v < newestV && !keptCommitted.contains(v)
+    }
+    victims.foreach { case (_, p) => fs.delete(p, true) }
+    victims.map(_._2.toString).toSeq
+  }
 }

@@ -59,11 +59,12 @@ class BenchFormatSpec extends AnyFunSuite {
     // DriverContractSpec's invariant) — full names live in
     // BENCH_DETAIL.json where no window applies
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // worst-case adj flag: the cap full AND the "+N" overflow tail
+    // worst-case adj flag: the cap full (at 2-digit ratios) AND the
+    // "+N" overflow tail
     val line =
       s"""{"metric":"total","value":${BenchFormat.num(9999.99)},"unit":"sec","queries":${
         BenchFormat.jmap(names.map(_.take(3) -> 9.99))},"adj":${
-        BenchFormat.adjList(names)},"sf":${
+        BenchFormat.adjList(names.map(_ -> 99.9))},"sf":${
         BenchFormat.sfJson("/root/testdata/sf0.1")}}"""
     assert(line.length <= 1900,
       s"graded line would be ${line.length} chars at ${names.length} queries — " +
@@ -71,14 +72,17 @@ class BenchFormatSpec extends AnyFunSuite {
         "(shorter names or a split record) before growing the surface")
   }
 
-  test("adjList: sorted prefixes, pinned cap, overflow compressed to +N") {
+  test("adjList: sorted prefixes with final-vs-guard ratio, pinned cap, overflow compressed to +N") {
     assert(BenchFormat.adjList(Nil) == "[]")
-    assert(BenchFormat.adjList(Seq("q12_union_all")) == """["q12"]""")
-    assert(BenchFormat.adjList(Seq("q13_x", "q12_y")) == """["q12","q13"]""")
-    val many = (1 to 12).map(i => f"q$i%02d_name")
+    // the ratio rides each entry at one decimal — a quiet third run
+    // reads "q12:1" (ratio back under guard), a real regression reads
+    // its multiple
+    assert(BenchFormat.adjList(Seq("q12_union_all" -> 1.04)) == """["q12:1"]""")
+    assert(BenchFormat.adjList(Seq("q13_x" -> 3.94, "q12_y" -> 0.8)) == """["q12:0.8","q13:3.9"]""")
+    val many = (1 to 12).map(i => f"q$i%02d_name" -> 2.0)
     val full = BenchFormat.adjList(many)
-    assert(full == """["q01","q02","q03","q04","q05","q06","q07","q08","+4"]""")
+    assert(full == """["q01:2","q02:2","q03:2","q04:2","q05:2","q06:2","q07:2","q08:2","+4"]""")
     // the worst case is bounded regardless of surface size
-    assert(BenchFormat.adjList((1 to 500).map(i => f"q$i%03d")).length <= 60)
+    assert(BenchFormat.adjList((1 to 500).map(i => f"q$i%03d" -> 99.9)).length <= 110)
   }
 }

@@ -172,6 +172,37 @@ class DepGraphSpec extends SparkSpec {
     }
   }
 
+  test("transitive closure pair budget: wide fan-out trips maxPairs with an actionable error") {
+    // VERDICT r10 #7: the round guard bounds DIAMETER, but the
+    // doubling trade's real cost is O(Σ reachable pairs) — a
+    // wide-fan-out bipartite-ish graph (every source reaching every
+    // sink through a 2-level funnel) reaches quadratic pair space in
+    // ~2 rounds while staying far inside any round budget. The budget
+    // must fail LOUD (a truncated closure is indistinguishable from a
+    // converged one), and the same input must pass under a budget
+    // that fits its true closure size.
+    val s = spark
+    import s.implicits._
+    val n = 60
+    // sources s_i -> hub -> sinks t_j: closure = n·(n+1) + (n+1)
+    // pairs (every source reaches hub + all sinks)
+    val raw = (
+      (0 until n).map(i => (f"src_$i%02d", f"fs_$i%02d.sql", Seq(f"own_s$i%02d.sql"), Seq("hub"))) ++
+      Seq(("hub", "fhub.sql", Seq("own_hub.sql"), (0 until n).map(j => f"snk_$j%02d"))) ++
+      (0 until n).map(j => (f"snk_$j%02d", f"ft_$j%02d.sql", Seq(f"own_t$j%02d.sql"), Seq.empty[String]))
+    ).toDF("function", "path", "used_in_files", "used_in_functions")
+    val ex = intercept[IllegalStateException] {
+      DepGraph.transitiveDependencies(raw, maxPairs = 500)
+    }
+    assert(ex.getMessage.contains("pairs") && ex.getMessage.contains("maxPairs"),
+      s"pair-budget error must be actionable, got: ${ex.getMessage}")
+    // generous budget: converges and the head really reaches all sinks
+    val got = DepGraph.transitiveDependencies(raw, maxPairs = 100000).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2)).toMap
+    assert(got("src_00") == (Seq("own_s00.sql", "own_hub.sql") ++
+      (0 until n).map(j => f"own_t$j%02d.sql")).sorted)
+  }
+
   test("transitive closure survives duplicate edges in caller-supplied raw input") {
     // review r10 finding: the convergence probe compares ROW COUNTS,
     // so duplicate (function, user) edges in a caller-built raw DF

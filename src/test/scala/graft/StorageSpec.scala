@@ -153,6 +153,46 @@ class StorageSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
   }
 
+  test("IVF+SQ8 SERVE PATH prunes partitioned codes at listing time (no hand-written isin)") {
+    // the q82 twin of the IVFADC serve-path proof: ivfSq8Serve injects
+    // its probed-cell set as a static filter on the codes scan, so the
+    // production partitioned-by-cell deployment reads nprobe/nCells of
+    // the FILES through the serve path — plan assert AND behavioral
+    // corruption proof. The probed set is derived through the SAME
+    // probeCellsRelation definition q79 uses, so the two routed
+    // compressions cannot drift on what "probed" means.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val (cents, mins, maxs) = graft.ops.Sq.trainIvfSq8(spark, dir)
+    val codes = graft.ops.Sq.ivfSq8Codes(spark, dir, cents, mins, maxs)
+    val root = java.nio.file.Files.createTempDirectory("ivfsqserve").toString + "/codes"
+    Storage.writePartitioned(codes, root, "cell")
+    val full = Storage.readPartitioned(spark, root)
+
+    val one = graft.ops.Embeddings.quantized(spark, dir)
+      .filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    val served = graft.ops.Sq.ivfSq8Serve(full, cents, mins, maxs, one, k = 5, nprobe = 2)
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan)
+    val want = served.collect().map(_.toString).toSeq
+    assert(want.size == 5)
+
+    val probed = graft.ops.Pq.probeCellsRelation(one, cents, 2)
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
+    assert(probed.size == 2)
+    val unprobed = cents.map(_.j).filterNot(probed.contains).head
+    corruptPartition(root, s"cell=$unprobed")
+    val again = graft.ops.Sq.ivfSq8Serve(Storage.readPartitioned(spark, root),
+      cents, mins, maxs, one, k = 5, nprobe = 2)
+    assert(again.collect().map(_.toString).toSeq == want,
+      "serve result changed across the corruption — it must never read unprobed cells")
+    intercept[Exception] {
+      Storage.readPartitioned(spark, root).agg(sum(size(col("codes")))).collect()
+    }
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("ANN serveQueryBatch prunes a partitioned index at listing time through the serve path") {
     // the q31-family twin of the IVFADC serve-path proof: the
     // cell-assigned serving index persists partitioned by cell, and
@@ -450,6 +490,64 @@ class StorageSpec extends SparkSpec {
       "the aborted publish leaked content into the occupied slot")
     assert(Option(new java.io.File(root.stripPrefix("file:")).list()).toSeq.flatten
       .forall(!_.startsWith(".staging")))
+  }
+
+  test("vacuumSnapshots: grace window kept, debris removed, pinned kept readers unaffected, idempotent") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftvac").toString + "/corpus"
+    def ver(n: Long): String = root.stripPrefix("file:") + s"/v$n"
+    def exists(n: Long): Boolean = new java.io.File(ver(n)).exists()
+    // build a 5-version chain (the nightly-loop shape)
+    (1 to 5).foreach { i =>
+      Storage.upsertSnapshot(spark, root,
+        Seq((i.toLong, s"text $i")).toDF("doc_id", "text"), "doc_id")
+    }
+    // crash debris: an old version without its marker — simulate by
+    // stripping v1's (non-version-named dirs are out of scope of the
+    // protocol entirely)
+    val marker = new java.io.File(ver(1), "_SUCCESS")
+    assert(marker.delete(), "fixture: strip v1's marker to make crash debris")
+
+    // a reader PINNED to a kept version before the vacuum
+    val pinned = spark.read.parquet(ver(4))
+
+    val deleted = Storage.vacuumSnapshots(spark, root, keepLast = 2)
+    // kept: v5 (newest committed) + v4 (grace); deleted: v1 (debris),
+    // v2, v3
+    assert(deleted.map(p => p.substring(p.lastIndexOf('/') + 1)).sorted == Seq("v1", "v2", "v3"),
+      s"vacuum deleted $deleted")
+    assert(!exists(1) && !exists(2) && !exists(3) && exists(4) && exists(5))
+    // newest-complete resolution is undisturbed
+    assert(graft.stream.StreamingNearDedup.resolveSnapshot(spark, root).endsWith("/v5"))
+    assert(Storage.readSnapshot(spark, root).count() == 5)
+    // the pinned kept reader still scans cleanly
+    assert(pinned.count() == 4)
+
+    // idempotent retry: nothing left to delete, chain unchanged
+    assert(Storage.vacuumSnapshots(spark, root, keepLast = 2).isEmpty)
+    assert(exists(4) && exists(5))
+
+    // a crashed vacuum (some victims already gone) retries cleanly:
+    // recreate an old version dir to play the "not yet deleted" victim
+    assert(new java.io.File(ver(2)).mkdirs())
+    assert(Storage.vacuumSnapshots(spark, root, keepLast = 2)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("v2"))
+
+    // an in-flight publish (marker-less dir NEWER than the newest
+    // committed version) is never touched
+    assert(new java.io.File(ver(6)).mkdirs())
+    assert(Storage.vacuumSnapshots(spark, root, keepLast = 1)
+      .map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("v4"))
+    assert(exists(5) && exists(6), "vacuum touched a possible in-flight publish")
+
+    // keepLast must keep at least the newest
+    intercept[IllegalArgumentException] {
+      Storage.vacuumSnapshots(spark, root, keepLast = 0)
+    }
+    // a flat (no versions) root is a no-op
+    val flat = java.nio.file.Files.createTempDirectory("graftvacflat").toString
+    assert(Storage.vacuumSnapshots(spark, flat, keepLast = 2).isEmpty)
   }
 
   test("rename-semantics probe: Hadoop local rename does NOT fail on existing dir targets") {
