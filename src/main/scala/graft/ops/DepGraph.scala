@@ -180,12 +180,20 @@ object DepGraph {
         .distinct()
         .localCheckpoint(eager = false) // truncate RDD lineage
       val n = ck.count() // one action: materializes the checkpoint + convergence probe
-      if (n > maxPairs)
+      if (n > maxPairs) {
+        // free BOTH live checkpoint block sets before throwing: the
+        // budget's message invites the caller to catch and fall back
+        // to flattenedDependencies in the same session, and two
+        // budget-scale block sets pinned in executor storage would
+        // risk exactly the OOM the budget exists to prevent
+        prevCk.foreach(Caches.freeLocalCheckpoint)
+        Caches.freeLocalCheckpoint(ck)
         throw new IllegalStateException(
           s"transitiveDependencies closure reached $n pairs (budget $maxPairs) after ${i + 1} " +
             "rounds -- the graph's reachability relation is too dense for the pointer-doubling " +
             "trade (O(sum of reachable pairs) rows); raise maxPairs or use flattenedDependencies " +
             "(one-hop) for this input")
+      }
       // the superseded round's checkpoint blocks are dead the moment
       // the next round is materialized — free them now instead of
       // waiting on ContextCleaner GC (the Caches.freeLocalCheckpoint

@@ -548,10 +548,14 @@ object Pq {
   /** The IVFADC index relation (vec_id, cell, c0..c3): home cell +
     * residual PQ codes — the 64×-compressed, routable corpus
     * representation a serving deployment persists (partitioned by
-    * cell at scale, so probed cells prune at listing time). */
+    * cell at scale, so probed cells prune at listing time). The
+    * residual relation is NOT cached here: this builder scans it
+    * exactly once — callers cache the CODES they build (review r11);
+    * the training paths own their residual cache where codebook
+    * training really makes multiple passes. */
   def ivfPqCodes(spark: SparkSession, dir: String,
                  cents: Seq[Centroid], books: Seq[Seq[Centroid]]): DataFrame =
-    encode(Caches.persist(residualsOf(spark, dir, cents)), books, keep = Seq("cell"))
+    encode(residualsOf(spark, dir, cents), books, keep = Seq("cell"))
 
   /** The q79 SERVE stage: probe each query's `nprobe` nearest cells
     * (fused [[graft.functions.ProbeCells]] ranking), build one ADC

@@ -197,12 +197,15 @@ object Sq {
 
   /** The routed SQ8 index relation (vec_id, cell, codes): home cell +
     * residual byte codes — persist partitioned by cell at scale so
-    * probed cells prune at listing time. */
+    * probed cells prune at listing time. The residual relation is NOT
+    * cached here: this builder scans it exactly once (the caller
+    * caches the CODES, not their input — review r11); the train path
+    * ([[trainIvfSq8]]/[[ivfSq8TopK]]) owns its own residual cache
+    * where two passes genuinely read it. */
   def ivfSq8Codes(spark: SparkSession, dir: String,
                   cents: Seq[Embeddings.Centroid],
                   mins: Seq[Long], maxs: Seq[Long]): DataFrame =
-    encode(Caches.persist(Pq.residualsOf(spark, dir, cents)), mins, maxs,
-      keep = Seq("cell"))
+    encode(Pq.residualsOf(spark, dir, cents), mins, maxs, keep = Seq("cell"))
 
   /** The q82 SERVE stage: probe each query's `nprobe` nearest cells
     * (fused [[graft.functions.ProbeCells]] ranking via

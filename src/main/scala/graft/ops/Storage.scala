@@ -183,18 +183,25 @@ object Storage {
       // in StorageSpec) — an empty target is REPLACED and a non-empty
       // target swallows the source as a CHILD, both returning true. So
       // "the rename failed" cannot carry the mutual exclusion alone;
-      // tryPublish below checks the target dir really IS ours.
-      val token = new org.apache.hadoop.fs.Path(work, "_publisher")
-      fs.create(token).close()
+      // tryPublish below checks the target dir really IS ours. The
+      // token name carries THIS publisher's identity (the staging dir's
+      // unique suffix): every protocol peer stamps a token too, so a
+      // bare shared name would verify as "some publisher's dir is at
+      // the target" and a loser whose staging was swallowed into the
+      // winner's dir would wrongly report the WINNER's version as its
+      // own publish (review r11).
+      val tokenName = s"_publisher-${work.getName.stripPrefix(".staging-")}"
+      fs.create(new org.apache.hadoop.fs.Path(work, tokenName)).close()
       /** Claim `next` for `work`: occupied target → false (no rename
         * attempted); rename reporting success with a competitor landed
         * in the check→rename window → pull `work` back out of the
         * competitor's directory and report false. True only when the
-        * published directory is verifiably ours. */
+        * published directory is verifiably ours (OUR identity token at
+        * the target's top level). */
       def tryPublish(next: org.apache.hadoop.fs.Path): Boolean = {
         if (fs.exists(next)) false
         else if (!fs.rename(work, next)) false
-        else if (fs.exists(new org.apache.hadoop.fs.Path(next, "_publisher"))) true
+        else if (fs.exists(new org.apache.hadoop.fs.Path(next, tokenName))) true
         else {
           // a non-empty competitor appeared in the window and the
           // rename moved `work` INSIDE it — recover the staging dir
@@ -273,7 +280,12 @@ object Storage {
     * see [[stageAndPublish]]) and returns the newest committed
     * version; publishing the rewritten old data on top of the upsert
     * would silently shadow its rows for every reader. The aborted
-    * compaction simply retries on its next schedule.
+    * compaction simply retries on its next schedule. (If the pinned
+    * slot is occupied by marker-less DEBRIS rather than a committed
+    * competitor, the abort would repeat forever on an otherwise-idle
+    * chain — [[vacuumSnapshots]] removes such debris, so the standard
+    * nightly upsert→compact→vacuum loop self-heals the wedge on the
+    * next cycle.)
     *
     * Plan shape at 100 TB: one read + round-robin repartition + write
     * — the copy-on-write trade, same as the upsert itself; run it
@@ -324,14 +336,18 @@ object Storage {
     * [[upsertSnapshot]]/[[compactSnapshot]] only ever ADD versions,
     * so a nightly upsert+compact loop leaks a full corpus copy per
     * run forever. This deletes SUPERSEDED version directories,
-    * keeping (a) the newest committed version and every version after
-    * it, and (b) the `keepLast` most recent committed versions before
-    * it (time-travel / pinned-reader grace). Marker-less directories
-    * OLDER than the newest committed version are crash debris
-    * (invisible to every reader) and are removed too; marker-less
-    * directories NEWER than it may be a publish in flight (the rename
-    * is atomic, but a competitor may be mid-retry) and are never
-    * touched.
+    * keeping (a) the newest committed version and every committed
+    * version after it, and (b) the `keepLast` most recent committed
+    * versions before it (time-travel / pinned-reader grace).
+    * Marker-less `v<n>` directories are DEBRIS at any position and
+    * are removed: a protocol publish appears ATOMICALLY with its
+    * `_SUCCESS` (the marker is written into the staging dir before
+    * the rename, and the rename is atomic), so there is no in-flight
+    * state in which a v-named marker-less directory is a legitimate
+    * pending publish — and removing one also un-wedges a compaction
+    * whose pinned v(source+1) slot such debris would otherwise
+    * occupy forever (review r11). Out-of-protocol writers must not
+    * hand-create `v<n>` names; that is the protocol's namespace.
     *
     * Concurrency contract, spec-proven (StorageSpec):
     *  - never races the newest-complete resolution: only versions
@@ -343,7 +359,9 @@ object Storage {
     *    touches only versions older than the grace window);
     *  - idempotent under crash/retry: deletion of a version directory
     *    is self-contained, so a vacuum that died mid-delete leaves a
-    *    subset of the garbage, and the next run removes the rest.
+    *    subset of the garbage, and the next run removes the rest — a
+    *    delete that FAILS (permissions, open handle) is likewise just
+    *    left for the next run, and is NOT reported as deleted.
     *
     * SCAN-GRACE ASSUMPTION (document it, don't pretend otherwise —
     * every snapshot store has this window): a reader that resolved
@@ -362,7 +380,13 @@ object Storage {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val newest = graft.stream.StreamingNearDedup.resolveSnapshot(spark, root)
     if (newest == root || !fs.exists(rootPath)) return Nil // nothing versioned to vacuum
-    val newestV = new org.apache.hadoop.fs.Path(newest).getName.drop(1).toLong
+    val newestName = new org.apache.hadoop.fs.Path(newest).getName
+    // resolveSnapshot accepts ANY marker-carrying directory; if a
+    // foreign non-`v<n>` dir resolved as newest, this root is not
+    // (only) under the versioned protocol — refuse to reason about
+    // ordering and no-op rather than crash or delete anything
+    if (!newestName.matches("v[0-9]+")) return Nil
+    val newestV = newestName.drop(1).toLong
     val versions = fs.listStatus(rootPath).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.matches("v[0-9]+"))
       .map(p => p.getName.drop(1).toLong -> p)
@@ -373,13 +397,15 @@ object Storage {
     // keepLast-1 committed versions directly before it
     val keptCommitted = versions.filter { case (v, p) => v <= newestV && committed(p) }
       .map(_._1).sorted.takeRight(keepLast).toSet
-    // v < newestV keeps every version at-or-after the newest committed
-    // one — including marker-less NEWER dirs (possible in-flight
-    // publishes); OLDER marker-less dirs are crash debris and go
-    val victims = versions.filter { case (v, _) =>
-      v < newestV && !keptCommitted.contains(v)
+    // victims: superseded committed versions outside the grace window,
+    // plus marker-less debris at ANY version (publishes are atomic
+    // with their marker — see the scaladoc contract)
+    val victims = versions.filter { case (v, p) =>
+      (v < newestV && !keptCommitted.contains(v)) || !committed(p)
     }
-    victims.foreach { case (_, p) => fs.delete(p, true) }
-    victims.map(_._2.toString).toSeq
+    // report only what was actually removed: a failed delete stays on
+    // disk and belongs to the next run's retry, not this audit list
+    victims.filter { case (_, p) => fs.delete(p, true) }
+      .map(_._2.toString).toSeq
   }
 }

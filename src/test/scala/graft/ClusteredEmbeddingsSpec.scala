@@ -1,0 +1,65 @@
+package graft
+
+import graft.tools.{ClusteredEmbeddings, GeometryRecall}
+
+/** The clustered-geometry fixture (VERDICT r10 #3): deterministic
+  * like the rest of ScaleUp, schema-compatible with the driver's
+  * embeddings table, and actually CLUSTERED — points sit nearer their
+  * own center than any other. Plus the GeometryRecall report contract
+  * over it (parseable, recall ∈ [0,1], refine ≥ plain PQ). */
+class ClusteredEmbeddingsSpec extends SparkSpec {
+
+  test("generator is deterministic and schema-compatible; clusters are well-separated") {
+    val t1 = java.nio.file.Files.createTempDirectory("clust1").toString
+    val t2 = java.nio.file.Files.createTempDirectory("clust2").toString
+    ClusteredEmbeddings.run(spark, t1, n = 400, nClusters = 8)
+    ClusteredEmbeddings.run(spark, t2, n = 400, nClusters = 8)
+    def rows(d: String) = spark.read.parquet(s"$d/embeddings.parquet")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toIndexedSeq, r.getInt(2)))
+      .sortBy(_._1)
+    val (a, b) = (rows(t1), rows(t2))
+    assert(a.length == 400 && a.toSeq == b.toSeq, "two runs diverged — generator is not deterministic")
+
+    // schema matches the driver testdata byte-for-byte in names/types
+    val want = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").schema
+    val got = spark.read.parquet(s"$t1/embeddings.parquet").schema
+    assert(got.map(f => (f.name, f.dataType)) == want.map(f => (f.name, f.dataType)),
+      s"schema drifted: $got vs $want")
+
+    // label IS the generating cluster, and ≥ 95% of points sit
+    // strictly nearer their own center than any other (well-separated
+    // at the defaults, yet not exactly 100% by construction — sigma
+    // noise can straddle)
+    val cs = ClusteredEmbeddings.centers(8, sep = 0.3, seed = 20260814L)
+    def d2(v: IndexedSeq[Float], c: IndexedSeq[Double]): Double =
+      v.indices.map { i => val t = v(i) - c(i); t * t }.sum
+    val nearOwn = a.count { case (id, v, label) =>
+      assert(label == (id % 8).toInt)
+      val own = d2(v, cs(label))
+      cs.indices.filter(_ != label).forall(k => own < d2(v, cs(k)))
+    }
+    assert(nearOwn >= (a.length * 0.95).toInt,
+      s"only $nearOwn/400 points nearest their own center — geometry is not clustered")
+  }
+
+  test("GeometryRecall over the clustered fixture: parseable line, sane recalls, refine >= plain PQ") {
+    val t = java.nio.file.Files.createTempDirectory("clustrec").toString
+    // 500 vectors → same scale as sf0.001, so every family's pinned
+    // training defaults apply
+    ClusteredEmbeddings.run(spark, t, n = 500, nClusters = 10)
+    val line = GeometryRecall.report(spark, t)
+    val vals = """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(line)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    val keys = Seq("lsh_q27", "ivf_q31", "pq_q77", "pq_scaled_q80",
+      "ivfpq_q79", "sq8_q81", "ivfsq8_q82", "refine_q83")
+    keys.foreach { k =>
+      assert(vals.contains(k), s"$k missing from $line")
+      assert(vals(k) >= 0.0 && vals(k) <= 1.0, s"$k recall out of range in $line")
+    }
+    assert(vals("refine_q83") >= vals("pq_q77"),
+      s"refine must not lose to the plain ADC ranking it refines: $line")
+    // SQ8 spends 16x PQ's bytes — its recall floor must hold on this
+    // geometry too
+    assert(vals("sq8_q81") >= vals("pq_q77"), line)
+  }
+}

@@ -534,12 +534,17 @@ class StorageSpec extends SparkSpec {
     assert(Storage.vacuumSnapshots(spark, root, keepLast = 2)
       .map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("v2"))
 
-    // an in-flight publish (marker-less dir NEWER than the newest
-    // committed version) is never touched
+    // a marker-less v-dir NEWER than the newest committed version is
+    // DEBRIS too (protocol publishes appear atomically WITH their
+    // marker — there is no in-flight marker-less state) and removing
+    // it un-wedges a compaction pinned to that slot (review r11)
     assert(new java.io.File(ver(6)).mkdirs())
     assert(Storage.vacuumSnapshots(spark, root, keepLast = 1)
-      .map(p => p.substring(p.lastIndexOf('/') + 1)) == Seq("v4"))
-    assert(exists(5) && exists(6), "vacuum touched a possible in-flight publish")
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).sorted == Seq("v4", "v6"))
+    assert(exists(5) && !exists(6))
+    // the v6 slot is free again — a compaction pinned to v(5+1) can
+    // claim it on its next schedule — and resolution is undisturbed
+    assert(graft.stream.StreamingNearDedup.resolveSnapshot(spark, root).endsWith("/v5"))
 
     // keepLast must keep at least the newest
     intercept[IllegalArgumentException] {
@@ -548,6 +553,19 @@ class StorageSpec extends SparkSpec {
     // a flat (no versions) root is a no-op
     val flat = java.nio.file.Files.createTempDirectory("graftvacflat").toString
     assert(Storage.vacuumSnapshots(spark, flat, keepLast = 2).isEmpty)
+
+    // a FOREIGN committed directory that out-sorts the v-scheme makes
+    // the newest snapshot non-protocol-named: vacuum must refuse to
+    // reason about ordering (no-op, no crash, nothing deleted) while
+    // readSnapshot keeps working on the same root
+    assert(new java.io.File(root.stripPrefix("file:") + "/x_backup").mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root.stripPrefix("file:") + "/x_backup/_SUCCESS"),
+      Array.empty[Byte])
+    assert(graft.stream.StreamingNearDedup.resolveSnapshot(spark, root).endsWith("/x_backup"))
+    assert(Storage.vacuumSnapshots(spark, root, keepLast = 1).isEmpty,
+      "vacuum must no-op when the newest committed dir is not v-named")
+    assert(exists(5), "vacuum deleted under a foreign newest dir")
   }
 
   test("rename-semantics probe: Hadoop local rename does NOT fail on existing dir targets") {
