@@ -129,6 +129,7 @@ object SparkEntry {
       Embeddings.ivfTopKServeRouted(s, d, cents,
         nSuperProbe = Embeddings.OracleCells)
     }),
+    "q85_ivfpq_sq8_refine"  -> ((s, d) => Sq.ivfPqSq8RefineTopK(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -532,6 +533,23 @@ object SparkEntry {
                FROM v, c2 c WHERE v.vec_id % 50 = 0 AND v.vec_id < ${Pq.ProbeCap}) t WHERE rn <= 2),
          iprq AS MATERIALIZED (SELECT pc.q_id, pc.cell, list_transform(generate_series(1,64), i -> v.qv[i] - g.g[i]) AS qv
              FROM ipc pc JOIN v ON v.vec_id = pc.q_id JOIN igr g ON g.cell = pc.cell)"""
+
+  /** The SQ8-over-residuals replay shared by q82 (IVF+SQ8 serve) and
+    * q85 (SQ8 refine): per-dim bounds over the shared residual
+    * relation `irq` (`sbounds`) and the fused encode∘decode
+    * reconstruction per vector (`srv`) — ONE definition, because the
+    * Scala side shares the reconstruction through one
+    * [[graft.ops.Sq.encode]]/[[graft.ops.Sq.decodeCol]] pair, so a
+    * clamp/rounding fix must reach both oracles or neither. Requires
+    * [[IvfResidualCtes]]'s `irq` and [[ivfCtes]]'s `dims` upstream. */
+  private val SqResidualCtes: String =
+    s"""sbounds AS (
+           SELECT d, min(qv[d]) AS mn, max(qv[d]) AS mx FROM irq, dims GROUP BY d),
+         srv AS MATERIALIZED (
+           SELECT r.vec_id, r.cell, list(CASE WHEN b.mx = b.mn THEN b.mn
+               ELSE b.mn + (least(255, greatest(0, ((r.qv[b.d] - b.mn) * 255) // (b.mx - b.mn))) * (b.mx - b.mn)) // 255 END
+             ORDER BY b.d) AS r
+           FROM irq r, sbounds b GROUP BY r.vec_id, r.cell)"""
 
   /** q79's replay — IVFADC: the [[IvfCtes]] coarse trajectory, the
     * [[IvfResidualCtes]] routing, the PQ trajectory trained over the
@@ -1766,13 +1784,7 @@ object SparkEntry {
     "q82_ivfsq8_topk" ->
       s"""WITH $IvfCtes,
          $IvfResidualCtes,
-         sbounds AS (
-           SELECT d, min(qv[d]) AS mn, max(qv[d]) AS mx FROM irq, dims GROUP BY d),
-         srv AS MATERIALIZED (
-           SELECT r.vec_id, r.cell, list(CASE WHEN b.mx = b.mn THEN b.mn
-               ELSE b.mn + (least(255, greatest(0, ((r.qv[b.d] - b.mn) * 255) // (b.mx - b.mn))) * (b.mx - b.mn)) // 255 END
-             ORDER BY b.d) AS r
-           FROM irq r, sbounds b GROUP BY r.vec_id, r.cell),
+         $SqResidualCtes,
          isqest AS (
            SELECT p.q_id, c.vec_id AS neighbor_id,
              CAST(list_sum(list_transform(generate_series(1,64),
@@ -1806,5 +1818,29 @@ object SparkEntry {
     // routed serve ≡ exact serve at saturating nSuperProbe (the
     // pinned probeGrouped property) → the q31 replay IS the twin
     "q84_ivf_routed_serve" -> IvfServeOracle,
+    // IVFADC candidates + SQ8 refine: stage 1 is q79's routed ADC
+    // replay generating RefineR candidates per probe (iest + the same
+    // (est, neighbor_id) tie-break); stage 2 re-scores ONLY those
+    // candidates with q82's SQ8-reconstruction distance — the probe's
+    // residual against the CANDIDATE's home cell (iprq) vs the
+    // candidate's reconstructed residual (srv over the shared irq
+    // relation) — and re-ranks to the top-5. est in the output is the
+    // SQ8 refine distance, not the ADC estimate.
+    "q85_ivfpq_sq8_refine" ->
+      s"""WITH $IvfPqCtes,
+         $SqResidualCtes,
+         rrcands AS (SELECT q_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
+             FROM iest) t WHERE rn <= ${Pq.RefineR}),
+         rrex AS (SELECT c.q_id, c.neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1,64),
+               i -> (p.qv[i]-s.r[i])*(p.qv[i]-s.r[i]))) AS BIGINT) AS est
+           FROM rrcands c
+           JOIN srv s ON s.vec_id = c.neighbor_id
+           JOIN iprq p ON p.q_id = c.q_id AND p.cell = s.cell)
+         SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, est FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
+           FROM rrex) t
+         WHERE rn <= 5 ORDER BY q_id, rank""",
   )
 }

@@ -583,7 +583,6 @@ object Pq {
   def ivfPqServe(codes: DataFrame, cents: Seq[Centroid], books: Seq[Seq[Centroid]],
                  queries: DataFrame, k: Int = 5, nprobe: Int = 2,
                  excludeSelf: Boolean = false): DataFrame = {
-    val spark = queries.sparkSession
     val sorted = cents.sortBy(_.j)
     // ONE evaluation of the probe ranking (review r10): the probe
     // relation is broadcast-sized by contract (nQueries × nprobe
@@ -591,16 +590,32 @@ object Pq {
     // and the ADC-table side from the local rows — a separate
     // distinct().collect() action would re-run the per-probe cell
     // ranking (and the query-relation scan) a second time per batch.
+    val probesPlan = probeCellsRelation(queries, sorted, nprobe)
+    ivfPqServeFrom(codes, sorted, books, probesPlan.collect(), probesPlan.schema,
+      k, excludeSelf)
+  }
+
+  /** [[ivfPqServe]] from an ALREADY-COLLECTED probe relation (rows of
+    * [[probeCellsRelation]]'s schema): the q85 refine composition runs
+    * the routed ADC stage AND a probe-residual refine stage off the
+    * same probe ranking — this entry point lets it pay the ranking
+    * once (the review-r10 one-evaluation rationale, extended across
+    * stages). `sorted` MUST be cell-id-sorted (callers pass
+    * `cents.sortBy(_.j)`). */
+  private[graft] def ivfPqServeFrom(codes: DataFrame, sorted: Seq[Centroid],
+                                    books: Seq[Seq[Centroid]],
+                                    probeRows: Array[org.apache.spark.sql.Row],
+                                    probeSchema: org.apache.spark.sql.types.StructType,
+                                    k: Int, excludeSelf: Boolean): DataFrame = {
+    val spark = codes.sparkSession
     // The probed-cell set rides the codes scan as a STATIC filter: on
     // the partitioned-by-cell production layout the probed cells
     // prune at LISTING time through the serve path itself
     // (StorageSpec proves it end-to-end), not only when DPP happens
     // to fire — VERDICT r9 #2. Semantically a no-op: the cell
     // equi-join below keeps exactly these cells' rows anyway.
-    val probesPlan = probeCellsRelation(queries, sorted, nprobe)
-    val probeRows = probesPlan.collect()
     val probes = spark.createDataFrame(
-      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+      java.util.Arrays.asList(probeRows: _*), probeSchema)
     val probedCells = probeRows.map(_.getAs[Long]("cell")).distinct.toSeq
     val ptabs = (0 until M).foldLeft(
       probes.join(broadcast(gridDfOf(spark, sorted)), "cell")

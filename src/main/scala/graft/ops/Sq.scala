@@ -96,6 +96,47 @@ object Sq {
             (c * element_at(${sqlArr(rng)}, i + 1)) div ${Levels - 1}L)""")
   }
 
+  /** The probe side of every ROUTED SQ8 serve: each probe row's
+    * residual against its probed cell (q_v) plus its exact norm — ONE
+    * definition shared by q82's serve and q85's refine stage so the
+    * probe residuals can never drift between the compositions. */
+  private def qresOf(probes: DataFrame, sorted: Seq[Embeddings.Centroid]): DataFrame =
+    probes.join(broadcast(Pq.gridDfOf(probes.sparkSession, sorted)), "cell")
+      .select(col("q_id"), col("cell"),
+        zip_with(col("qv"), col("grid"), (a, b) => a - b).as("q_v"))
+      .withColumn("q_n", expr("vec_dot(q_v, q_v)"))
+
+  /** The corpus side of every SQ8 serve: the reconstruction rides the
+    * codes scan (row-local) with its exact norm precomputed; `keep`
+    * carries routing columns (cell) through. ONE definition for all
+    * three SQ8 serves. */
+  private def decoded(codes: DataFrame, mins: Seq[Long], maxs: Seq[Long],
+                      keep: Seq[String] = Nil): DataFrame =
+    codes.withColumn("rv", decodeCol(mins, maxs))
+      .select(Seq(col("vec_id").as("neighbor_id")) ++ keep.map(col) ++
+        Seq(col("rv"), expr("vec_dot(rv, rv)").as("r_n")): _*)
+
+  /** The ONE ranking tail of every SQ8 serve ([[Pq.adcTail]]'s
+    * counterpart): `pairs` carries (q_id, neighbor_id, q_v, q_n, rv,
+    * r_n) candidate rows from whatever candidate generation ran
+    * upstream (q81's broadcast cross join, q82's cell equi-join,
+    * q85's candidate-sized refine joins); this applies the
+    * exact-integer estimate — ONE codegen `vec_dot` cross term, the
+    * norms precomputed per side — and the per-probe (est ASC,
+    * neighbor_id ASC) top-k. One definition: the estimate and
+    * tie-break are a bit-exact contract with the q81/q82/q85 oracles
+    * and must never diverge between variants. */
+  private def sqTail(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("est"), col("neighbor_id"))
+    pairs
+      .withColumn("est", col("q_n") - lit(2L) * expr("vec_dot(q_v, rv)") + col("r_n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("est"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** q81 — SQ8 top-k: for every probe (vec_id % queryMod = 0, capped
     * by the [[Pq.ProbeCap]] pattern), the k nearest corpus vectors by
     * exact-integer distance to the RECONSTRUCTED vector (est ASC,
@@ -123,22 +164,12 @@ object Sq {
                excludeSelf: Boolean = false): DataFrame = {
     val spark = probes.sparkSession
     graft.functions.VecDot.register(spark)
-    val corpus = codes
-      .withColumn("rv", decodeCol(mins, maxs))
-      .select(col("vec_id").as("neighbor_id"), col("rv"),
-        expr("vec_dot(rv, rv)").as("r_n"))
+    val corpus = decoded(codes, mins, maxs)
     val qs = probes
       .select(col("q_id"), col("qv").as("q_v"))
       .withColumn("q_n", expr("vec_dot(q_v, q_v)"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("est"), col("neighbor_id"))
-    (if (excludeSelf) corpus.crossJoin(broadcast(qs)).filter(col("neighbor_id") =!= col("q_id"))
-     else corpus.crossJoin(broadcast(qs)))
-      .withColumn("est", col("q_n") - lit(2L) * expr("vec_dot(q_v, rv)") + col("r_n"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("est"))
-      .orderBy(col("q_id"), col("rank"))
+    val pairs = corpus.crossJoin(broadcast(qs))
+    sqTail(if (excludeSelf) pairs.filter(col("neighbor_id") =!= col("q_id")) else pairs, k)
   }
 
   /** q82 — IVF+SQ8: the near-exact-recall memory point ROUTED (the
@@ -207,6 +238,24 @@ object Sq {
                   mins: Seq[Long], maxs: Seq[Long]): DataFrame =
     encode(Pq.residualsOf(spark, dir, cents), mins, maxs, keep = Seq("cell"))
 
+  /** Build BOTH q85 serve tiers — the routed 4 B/vec ADC codes and
+    * the 64 B/vec SQ8 refine codes — off ONE cached residual
+    * relation. [[Pq.ivfPqCodes]] and [[ivfSq8Codes]] each scan their
+    * own [[Pq.residualsOf]]; calling them side by side at serve
+    * startup pays the dominant build cost (the full-corpus
+    * [[Embeddings.serveIndex]] assignment pass + mean-grid join)
+    * twice (review r11). Callers persist the returned TIERS; the
+    * residual cache behind them is registered with [[Caches]] and
+    * falls to the session's releaseAll. */
+  def buildRefineTiers(spark: SparkSession, dir: String,
+                       cents: Seq[Embeddings.Centroid],
+                       books: Seq[Seq[Embeddings.Centroid]],
+                       mins: Seq[Long], maxs: Seq[Long]): (DataFrame, DataFrame) = {
+    val residuals = Caches.persist(Pq.residualsOf(spark, dir, cents))
+    (Pq.encode(residuals, books, keep = Seq("cell")),
+     encode(residuals, mins, maxs, keep = Seq("cell")))
+  }
+
   /** The q82 SERVE stage: probe each query's `nprobe` nearest cells
     * (fused [[graft.functions.ProbeCells]] ranking via
     * [[Pq.probeCellsRelation]] — ONE definition with q79, so the
@@ -233,24 +282,103 @@ object Sq {
     val probes = spark.createDataFrame(
       java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
     val probedCells = probeRows.map(_.getAs[Long]("cell")).distinct.toSeq
-    val qres = probes.join(broadcast(Pq.gridDfOf(spark, sorted)), "cell")
-      .select(col("q_id"), col("cell"),
-        zip_with(col("qv"), col("grid"), (a, b) => a - b).as("q_v"))
-      .withColumn("q_n", expr("vec_dot(q_v, q_v)"))
-    val corpus = codes.filter(col("cell").isin(probedCells: _*))
-      .withColumn("rv", decodeCol(mins, maxs))
-      .select(col("vec_id").as("neighbor_id"), col("cell"), col("rv"),
-        expr("vec_dot(rv, rv)").as("r_n"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("est"), col("neighbor_id"))
-    (if (excludeSelf) corpus.join(broadcast(qres), Seq("cell"))
-        .filter(col("neighbor_id") =!= col("q_id"))
-     else corpus.join(broadcast(qres), Seq("cell")))
-      .withColumn("est", col("q_n") - lit(2L) * expr("vec_dot(q_v, rv)") + col("r_n"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), col("est"))
-      .orderBy(col("q_id"), col("rank"))
+    val qres = qresOf(probes, sorted)
+    val corpus = decoded(codes.filter(col("cell").isin(probedCells: _*)),
+      mins, maxs, keep = Seq("cell"))
+    val pairs = corpus.join(broadcast(qres), Seq("cell"))
+    sqTail(if (excludeSelf) pairs.filter(col("neighbor_id") =!= col("q_id")) else pairs, k)
+  }
+
+  /** q85 — IVFADC candidates + SQ8 refine (FAISS's
+    * `IVFx,PQy` + `RefineFlat(SQ8)` production pairing): the LAST
+    * composition of the ANN matrix, and the one a 100 TB deployment
+    * actually serves with when RAW vectors are too big to keep at all.
+    * q83's refine re-scores ADC candidates against raw vectors
+    * (256 B/vec — 25 TB of refine-tier storage per 10¹¹ vectors);
+    * this replaces the refine tier with the SQ8 codes (64 B/vec, the
+    * measured near-exact-recall memory point): stage 1 generates
+    * `r` ≫ k candidates per probe through the ROUTED ADC serve (the
+    * q79 cell equi-join over 4 B/vec codes + static probed-cell
+    * pruning), stage 2 re-scores ONLY those candidates against the
+    * SQ8-RECONSTRUCTED vectors and re-ranks to top-k. Raw vectors
+    * never load at serve time — the serve tiers are 4 B scan +
+    * 64 B refine.
+    *
+    * Exact-replayable construction (the q85 oracle replays it all):
+    * both stages ride the SHARED residual relation ([[Pq
+    * .residualsOf]]) — stage 1 is q79's serve verbatim at k = r;
+    * stage 2's distance is q82's est formula — Σ(qres_d − r_d)² where
+    * qres is the query's residual against the CANDIDATE'S home cell
+    * (algebraically the original-space distance to the reconstruction
+    * g_cell + r, since qres = qv − g_cell) — computed only for the
+    * candidate pairs. Ties (est ASC, neighbor_id ASC); a candidate
+    * list shorter than k yields fewer than k rows (the refine never
+    * invents candidates stage 1 didn't produce — the q83 contract).
+    *
+    * Plan shape at 100 TB: stage 1 is q79's (probe batch broadcasts
+    * into a cell equi-join, probed cells prune at listing time);
+    * stage 2 is CANDIDATE-SIZED — the nProbes·r candidate ids
+    * broadcast into an equi-join against the SQ8 codes scan, which
+    * ALSO carries the probed-cell static filter (a candidate's home
+    * cell is probed by construction), so on the partitioned-by-cell
+    * layout the refine tier prunes at listing time too. PlanAuditSpec
+    * pins both: no second all-pairs join, both scans filtered. */
+  def ivfPqSq8RefineTopK(spark: SparkSession, dir: String,
+                         k: Int = 5, r: Int = Pq.RefineR, queryMod: Int = 50,
+                         nprobe: Int = 2,
+                         nCells: Int = Embeddings.OracleCells,
+                         iters: Int = Embeddings.OracleIters): DataFrame = {
+    val vecs = Caches.persist(Embeddings.quantized(spark, dir))
+    val cents = Embeddings.trainQuantizer(spark, dir, nCells, iters).sortBy(_.j)
+    // ONE cached residual relation feeds codebook training, PQ
+    // encoding, bounds, and SQ8 encoding (the q79 review-r9 rationale)
+    val residuals = Caches.persist(Pq.residualsOf(spark, dir, cents))
+    val books = Pq.trainCodebooks(residuals, iters)
+    val pqCodes = Pq.encode(residuals, books, keep = Seq("cell"))
+    val (mins, maxs) = gridBounds(residuals)
+    val sqCodes = encode(residuals, mins, maxs, keep = Seq("cell"))
+    val probes = vecs
+      .filter(col("vec_id") % queryMod === 0 && col("vec_id") < Pq.ProbeCap)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    ivfPqSq8RefineServe(pqCodes, sqCodes, cents, books, mins, maxs,
+      probes, k, r, nprobe, excludeSelf = true)
+  }
+
+  /** The two-stage serve behind [[ivfPqSq8RefineTopK]]. ONE
+    * definition shared by the batch q85 and
+    * [[graft.stream.StreamingRefineServe]], so batch/stream agreement
+    * is an identity. The probe ranking is paid ONCE and feeds all
+    * three uses: stage 1's probed-cell filter + ADC tables
+    * ([[Pq.ivfPqServeFrom]]), stage 2's per-probed-cell query
+    * residuals, and stage 2's own static probed-cell filter. */
+  def ivfPqSq8RefineServe(pqCodes: DataFrame, sqCodes: DataFrame,
+                          cents: Seq[Embeddings.Centroid],
+                          books: Seq[Seq[Embeddings.Centroid]],
+                          mins: Seq[Long], maxs: Seq[Long],
+                          queries: DataFrame, k: Int = 5, r: Int = Pq.RefineR,
+                          nprobe: Int = 2,
+                          excludeSelf: Boolean = false): DataFrame = {
+    require(r >= k, s"refine candidate budget r=$r must cover k=$k")
+    val spark = queries.sparkSession
+    graft.functions.VecDot.register(spark)
+    val sorted = cents.sortBy(_.j)
+    val probesPlan = Pq.probeCellsRelation(queries, sorted, nprobe)
+    val probeRows = probesPlan.collect()
+    val probedCells = probeRows.map(_.getAs[Long]("cell")).distinct.toSeq
+    // stage 1: routed ADC candidate generation — q79's serve at k = r
+    val cands = Pq.ivfPqServeFrom(pqCodes, sorted, books, probeRows,
+        probesPlan.schema, r, excludeSelf)
+      .select(col("q_id"), col("neighbor_id"))
+    // stage 2: each probe's residual against each PROBED cell (the
+    // q82 probe side) meets the candidates' SQ8 reconstructions
+    // through candidate-sized equi-joins
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probesPlan.schema)
+    val qres = qresOf(probes, sorted)
+    val nb = decoded(sqCodes.filter(col("cell").isin(probedCells: _*)),
+      mins, maxs, keep = Seq("cell"))
+    sqTail(nb.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(qres), Seq("q_id", "cell")), k)
   }
 
   /** Persist the learned bounds as a parquet artifact (d, mn, mx) —

@@ -51,13 +51,19 @@ class ClusteredEmbeddingsSpec extends SparkSpec {
     val vals = """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(line)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val keys = Seq("lsh_q27", "ivf_q31", "pq_q77", "pq_scaled_q80",
-      "ivfpq_q79", "sq8_q81", "ivfsq8_q82", "refine_q83")
+      "ivfpq_q79", "sq8_q81", "ivfsq8_q82", "refine_q83", "ivfpqsq8refine_q85")
     keys.foreach { k =>
       assert(vals.contains(k), s"$k missing from $line")
       assert(vals(k) >= 0.0 && vals(k) <= 1.0, s"$k recall out of range in $line")
     }
     assert(vals("refine_q83") >= vals("pq_q77"),
       s"refine must not lose to the plain ADC ranking it refines: $line")
+    // q83's EXACT re-rank provably never loses; the q85 SQ8 re-score
+    // is approximate (reconstruction error ~range/255 per dim), so
+    // allow one-neighbor slack (10 probes × k=5 → 0.02/neighbor)
+    // rather than asserting an unprovable hard ordering
+    assert(vals("ivfpqsq8refine_q85") >= vals("ivfpq_q79") - 0.05,
+      s"SQ8 refine lost to the routed ADC ranking it refines by more than reconstruction-error slack: $line")
     // SQ8 spends 16x PQ's bytes — its recall floor must hold on this
     // geometry too
     assert(vals("sq8_q81") >= vals("pq_q77"), line)

@@ -57,4 +57,31 @@ class PlanAuditSpec extends SparkSpec {
       s"q83's refine joins must be broadcast equi-joins:\n$plan")
     graft.ops.Caches.releaseAll(spark)
   }
+
+  test("q85 is FULLY routed: no all-pairs join anywhere, probed-cell filter on BOTH tiers") {
+    // the composition's 100 TB claim made auditable: unlike q83
+    // (whose stage 1 is the definitional full-codes ADC scan), q85's
+    // candidate generation is the ROUTED q79 serve — so the whole
+    // two-stage plan must carry ZERO BroadcastNestedLoopJoins, only
+    // broadcast equi-joins, and the static probed-cell IN filter must
+    // appear on BOTH compressed tiers (the 4 B/vec ADC codes scan AND
+    // the 64 B/vec SQ8 refine scan) so a partitioned-by-cell layout
+    // prunes both at listing time (StorageSpec proves the behavior).
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val plan = graft.ops.Sq.ivfPqSq8RefineTopK(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q85 must not plan any all-pairs join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q85 plans a cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q85's joins must be broadcast equi-joins:\n$plan")
+    // two DISTINCT cell attribute ids, not two occurrences: one
+    // tier's predicate can print twice (a Filter node + the same set
+    // echoed in PushedFilters, or an AQE initial+final render), so a
+    // raw count of 2 would pass with the other tier's filter regressed
+    val cellIn = "cell#(\\d+)L? (IN|INSET)".r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(cellIn.size >= 2,
+      s"q85 must filter BOTH tiers by the probed-cell set (probed-cell filters only on attribute ids $cellIn):\n$plan")
+    graft.ops.Caches.releaseAll(spark)
+  }
 }

@@ -137,4 +137,90 @@ class SqSpec extends SparkSpec {
     assert(sq >= 0.8, s"SQ8 recall@5 collapsed to $sq")
     assert(sq > pq, s"SQ8 recall ($sq) must beat PQ recall ($pq) — it spends 16x the bytes")
   }
+
+  test("ivfPqSq8RefineTopK: candidates = routed ADC top-r; est = the exact-integer SQ8 refine replay") {
+    val k = 5; val r = Pq.RefineR
+    val rows = Sq.ivfPqSq8RefineTopK(spark, dir, k).collect()
+    graft.ops.Caches.releaseAll(spark)
+    assert(rows.nonEmpty)
+    // stage-1 candidate sets: q79's routed serve at k = r (the SAME
+    // definition q85's stage 1 runs through ivfPqServeFrom)
+    val cands = Pq.ivfPqTopK(spark, dir, k = r).collect()
+      .map(rw => (rw.getLong(0), rw.getLong(2))).groupBy(_._1)
+      .map { case (q, g) => q -> g.map(_._2).toSet }
+    graft.ops.Caches.releaseAll(spark)
+    rows.foreach { rw =>
+      val (q, nb) = (rw.getLong(0), rw.getLong(2))
+      assert(nb != q)
+      assert(cands(q)(nb),
+        s"refine emitted ($q, $nb) which stage 1 never produced — the refine invented a candidate")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      assert(g.length == k, s"probe $q served ${g.length} rows (want $k)")
+      assert(g.map(_.getLong(1)).sorted.toSeq == (1L to k), s"probe $q ranks not 1..$k")
+    }
+
+    // exact-integer replay of the refine distance from the PUBLIC
+    // training artifacts: home cells + quantized vectors via
+    // serveIndex, each cell's pinned mean grid floor(s/n + 0.5), SQ8
+    // residual codes/reconstruction over the trained bounds — then
+    // assert each output row is EXACTLY the top-k of its candidate
+    // set under (refine est ASC, neighbor_id ASC)
+    val (cents, mins, maxs) = Sq.trainIvfSq8(spark, dir)
+    val grid = cents.map(c => c.j ->
+      c.s.indices.map(i => math.floor(c.s(i).toDouble / c.n + 0.5).toLong)).toMap
+    val idx = Embeddings.serveIndex(spark, dir, cents)
+      .select("neighbor_id", "cell", "c_v").collect()
+      .map(rw => rw.getLong(0) -> (rw.getLong(1), rw.getSeq[Long](2).toIndexedSeq)).toMap
+    graft.ops.Caches.releaseAll(spark)
+    def recon(id: Long): IndexedSeq[Long] = {
+      val (cell, v) = idx(id)
+      val g = grid(cell)
+      v.indices.map { d =>
+        val res = v(d) - g(d); val rng = maxs(d) - mins(d)
+        val c = if (rng == 0L) 0L
+          else math.min(255L, math.max(0L, ((res - mins(d)) * 255L) / rng))
+        val rr = if (rng == 0L) mins(d) else mins(d) + (c * rng) / 255L
+        g(d) + rr // back to the original grid: cell mean + reconstructed residual
+      }
+    }
+    def refineEst(q: Long, nb: Long): Long = {
+      val qv = idx(q)._2; val rv = recon(nb)
+      qv.indices.map { d => val t = qv(d) - rv(d); t * t }.sum
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      val want = cands(q).toSeq.map(nb => (refineEst(q, nb), nb)).sorted.take(k)
+      val got = g.sortBy(_.getLong(1)).map(rw => (rw.getLong(3), rw.getLong(2))).toSeq
+      assert(got == want,
+        s"probe $q: refine ranking diverged from the plain-Scala replay\n got $got\nwant $want")
+    }
+  }
+
+  test("refine recall: SQ8 refine lifts the routed ADC ranking it refines") {
+    val brute = Embeddings.bruteTopK(spark, dir).collect()
+    graft.ops.Caches.releaseAll(spark)
+    def sets(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .map { case (q, g) => q -> g.map(_._2).toSet }
+    def recall(got: Array[org.apache.spark.sql.Row]): Double = {
+      val (w, g) = (sets(brute), sets(got))
+      assert(w.keySet == g.keySet)
+      w.keys.toSeq.map(q => (g(q) & w(q)).size.toDouble / w(q).size).sum / w.size
+    }
+    val refined = recall(Sq.ivfPqSq8RefineTopK(spark, dir).collect())
+    graft.ops.Caches.releaseAll(spark)
+    val adc = recall(Pq.ivfPqTopK(spark, dir).collect())
+    graft.ops.Caches.releaseAll(spark)
+    // the composition's whole point: re-scoring the ADC candidates at
+    // SQ8 fidelity should not lose to the ADC ranking alone (measured
+    // ≈ 0.10 → well above on this corpus). Unlike q83's EXACT re-rank
+    // (provably never loses recall), the SQ8 re-score is approximate
+    // — reconstruction error ~range/255 per dim can demote a true
+    // neighbor the ADC estimate happened to keep — so the ordering is
+    // empirical: allow one-neighbor slack per refreshed testdata draw
+    // (10 probes × k=5 → 0.02 recall per neighbor) instead of
+    // asserting an unprovable hard inequality.
+    assert(refined >= adc - 0.05,
+      s"SQ8 refine ($refined) lost to the plain routed ADC ranking ($adc) by more than reconstruction-error slack")
+  }
 }

@@ -193,6 +193,53 @@ class StorageSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
   }
 
+  test("REFINE SERVE PATH prunes BOTH partitioned tiers at listing time (q85)") {
+    // the composed twin of the q79/q82 serve-path proofs: q85 reads
+    // TWO compressed tiers (routed ADC codes for candidates, SQ8
+    // codes for refinement) and its serve must inject the probed-cell
+    // static filter into BOTH — corrupting an unprobed cell in EITHER
+    // tier must leave the served result bit-identical.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val (cents, books) = graft.ops.Pq.trainIvfPq(spark, dir)
+    val (cents2, mins, maxs) = graft.ops.Sq.trainIvfSq8(spark, dir)
+    assert(cents.map(c => (c.j, c.n, c.s)) == cents2.map(c => (c.j, c.n, c.s)),
+      "the pinned coarse trajectory must be deterministic across the two train entries")
+    val pqRoot = java.nio.file.Files.createTempDirectory("refsrvA").toString + "/pq"
+    val sqRoot = java.nio.file.Files.createTempDirectory("refsrvB").toString + "/sq"
+    Storage.writePartitioned(graft.ops.Pq.ivfPqCodes(spark, dir, cents, books), pqRoot, "cell")
+    Storage.writePartitioned(graft.ops.Sq.ivfSq8Codes(spark, dir, cents, mins, maxs), sqRoot, "cell")
+
+    val one = graft.ops.Embeddings.quantized(spark, dir)
+      .filter(col("vec_id") === 0L)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    def serve() = graft.ops.Sq.ivfPqSq8RefineServe(
+      Storage.readPartitioned(spark, pqRoot), Storage.readPartitioned(spark, sqRoot),
+      cents, books, mins, maxs, one, k = 5, nprobe = 2)
+    val served = serve()
+    // BOTH scans carry the probed-cell predicate in PartitionFilters
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findAllIn(plan).size >= 2, plan)
+    val want = served.collect().map(_.toString).toSeq
+    assert(want.size == 5)
+
+    val probed = graft.ops.Pq.probeCellsRelation(one, cents, 2)
+      .select(col("cell")).distinct().collect().map(_.getLong(0)).toSet
+    assert(probed.size == 2)
+    val unprobed = cents.map(_.j).filterNot(probed.contains).head
+    corruptPartition(pqRoot, s"cell=$unprobed")
+    corruptPartition(sqRoot, s"cell=$unprobed")
+    assert(serve().collect().map(_.toString).toSeq == want,
+      "refine serve changed across the corruption — it must never read unprobed cells in either tier")
+    intercept[Exception] {
+      Storage.readPartitioned(spark, pqRoot).agg(sum(col("c0"))).collect()
+    }
+    intercept[Exception] {
+      Storage.readPartitioned(spark, sqRoot).agg(sum(size(col("codes")))).collect()
+    }
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("ANN serveQueryBatch prunes a partitioned index at listing time through the serve path") {
     // the q31-family twin of the IVFADC serve-path proof: the
     // cell-assigned serving index persists partitioned by cell, and
