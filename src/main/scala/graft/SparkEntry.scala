@@ -130,6 +130,8 @@ object SparkEntry {
         nSuperProbe = Embeddings.OracleCells)
     }),
     "q85_ivfpq_sq8_refine"  -> ((s, d) => Sq.ivfPqSq8RefineTopK(s, d)),
+    "q86_filtered_ivfsq8"   -> ((s, d) => Sq.ivfSq8TopKFiltered(s, d)),
+    "q87_ivfsq8_frozen_ingest" -> ((s, d) => Sq.ivfSq8FrozenIngestTopK(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -215,28 +217,37 @@ object SparkEntry {
     * and the two unrolled Lloyd's rounds are `OracleIters`, pinned by
     * the require below (ADVICE r6 — a parameter change on the Scala
     * side now fails here rather than silently de-certifying). */
-  private def ivfCtes(cellsSql: String): String = {
+  private def ivfCtes(cellsSql: String, trainWhere: String = ""): String = {
     require(Embeddings.OracleIters == 2,
       "IvfCtes structurally unrolls exactly 2 Lloyd's rounds — re-derive the replay SQL")
+    // `trainWhere` restricts the TRAINING tranche only (seeding + both
+    // Lloyd's rounds read `vt`); the FINAL assignment (df/af) always
+    // covers the full corpus — the frozen-quantizer ingest contract
+    // (q87): later deltas are assigned against centroids they never
+    // trained. Empty (the default) trains on everything, emitting the
+    // same trajectory the q27..q85 replays have always pinned.
+    val t = if (trainWhere.isEmpty) "v" else "vt"
+    val tCte = if (trainWhere.isEmpty) ""
+               else s"vt AS (SELECT * FROM v WHERE $trainWhere),\n         "
     s"""q AS (
            SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
            FROM embeddings),
          v AS (
            SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nrm FROM q),
          dims AS (SELECT unnest(generate_series(1,64)) AS d),
-         c0 AS (SELECT vec_id AS j, qv AS s, CAST(1 AS BIGINT) AS n
-                FROM v ORDER BY vec_id LIMIT ($cellsSql)),
+         ${tCte}c0 AS (SELECT vec_id AS j, qv AS s, CAST(1 AS BIGINT) AS n
+                FROM $t ORDER BY vec_id LIMIT ($cellsSql)),
          d1 AS (
            SELECT v.vec_id, c.j,
              CAST(list_sum(list_transform(generate_series(1,64),
                i -> (c.n*v.qv[i]-c.s[i])*(c.n*v.qv[i]-c.s[i]))) AS DOUBLE)
                / CAST(c.n*c.n AS DOUBLE) AS dist
-           FROM v, c0 c),
+           FROM $t v, c0 c),
          a1 AS (SELECT vec_id, j FROM (
                   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
                   FROM d1) t WHERE rn = 1),
          s1 AS (SELECT a1.j, dims.d, CAST(sum(v.qv[dims.d]) AS BIGINT) AS sv
-                FROM a1 JOIN v USING (vec_id), dims GROUP BY a1.j, dims.d),
+                FROM a1 JOIN $t v USING (vec_id), dims GROUP BY a1.j, dims.d),
          n1 AS (SELECT j, CAST(count(*) AS BIGINT) AS n FROM a1 GROUP BY j),
          c1 AS (SELECT s1.j, list(sv ORDER BY d) AS s, n1.n
                 FROM s1 JOIN n1 USING (j) GROUP BY s1.j, n1.n),
@@ -245,12 +256,12 @@ object SparkEntry {
              CAST(list_sum(list_transform(generate_series(1,64),
                i -> (c.n*v.qv[i]-c.s[i])*(c.n*v.qv[i]-c.s[i]))) AS DOUBLE)
                / CAST(c.n*c.n AS DOUBLE) AS dist
-           FROM v, c1 c),
+           FROM $t v, c1 c),
          a2 AS (SELECT vec_id, j FROM (
                   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
                   FROM d2) t WHERE rn = 1),
          s2 AS (SELECT a2.j, dims.d, CAST(sum(v.qv[dims.d]) AS BIGINT) AS sv
-                FROM a2 JOIN v USING (vec_id), dims GROUP BY a2.j, dims.d),
+                FROM a2 JOIN $t v USING (vec_id), dims GROUP BY a2.j, dims.d),
          n2 AS (SELECT j, CAST(count(*) AS BIGINT) AS n FROM a2 GROUP BY j),
          c2 AS (SELECT s2.j, list(sv ORDER BY d) AS s, n2.n
                 FROM s2 JOIN n2 USING (j) GROUP BY s2.j, n2.n),
@@ -542,14 +553,41 @@ object SparkEntry {
     * [[graft.ops.Sq.encode]]/[[graft.ops.Sq.decodeCol]] pair, so a
     * clamp/rounding fix must reach both oracles or neither. Requires
     * [[IvfResidualCtes]]'s `irq` and [[ivfCtes]]'s `dims` upstream. */
-  private val SqResidualCtes: String =
+  private def sqResidualCtes(boundsWhere: String = ""): String = {
+    // `boundsWhere` restricts the BOUNDS tranche only (the frozen-
+    // artifact ingest contract, q87): bounds are learned over the
+    // tranche's residuals, while `srv` encodes the FULL corpus against
+    // them — the clamp saturates drifted deltas to the grid edge, the
+    // exact semantics Sq.encode's least/greatest pins.
+    val w = if (boundsWhere.isEmpty) "" else s" WHERE $boundsWhere"
     s"""sbounds AS (
-           SELECT d, min(qv[d]) AS mn, max(qv[d]) AS mx FROM irq, dims GROUP BY d),
+           SELECT d, min(qv[d]) AS mn, max(qv[d]) AS mx FROM irq, dims$w GROUP BY d),
          srv AS MATERIALIZED (
            SELECT r.vec_id, r.cell, list(CASE WHEN b.mx = b.mn THEN b.mn
                ELSE b.mn + (least(255, greatest(0, ((r.qv[b.d] - b.mn) * 255) // (b.mx - b.mn))) * (b.mx - b.mn)) // 255 END
              ORDER BY b.d) AS r
            FROM irq r, sbounds b GROUP BY r.vec_id, r.cell)"""
+  }
+
+  private val SqResidualCtes: String = sqResidualCtes()
+
+  /** The ONE SQ8 serve tail — q82's exact-integer estimate over
+    * (probe residual, reconstruction) pairs met through the cell
+    * equi-join, (est ASC, neighbor_id ASC) top-5 — shared verbatim by
+    * q82, q86 (which adds the label selector join + predicate) and
+    * q87, mirroring the Scala side's single [[graft.ops.Sq]] sqTail:
+    * the estimate and tie-break can never drift between the serves. */
+  private def sqServeTail(extraJoin: String = "", extraWhere: String = ""): String =
+    s"""isqest AS (
+           SELECT p.q_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1,64),
+               i -> (p.qv[i]-c.r[i])*(p.qv[i]-c.r[i]))) AS BIGINT) AS est
+           FROM iprq p JOIN srv c ON c.cell = p.cell$extraJoin
+           WHERE c.vec_id <> p.q_id$extraWhere)
+         SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, est FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
+           FROM isqest) t
+         WHERE rn <= 5 ORDER BY q_id, rank"""
 
   /** q79's replay — IVFADC: the [[IvfCtes]] coarse trajectory, the
     * [[IvfResidualCtes]] routing, the PQ trajectory trained over the
@@ -1785,15 +1823,28 @@ object SparkEntry {
       s"""WITH $IvfCtes,
          $IvfResidualCtes,
          $SqResidualCtes,
-         isqest AS (
-           SELECT p.q_id, c.vec_id AS neighbor_id,
-             CAST(list_sum(list_transform(generate_series(1,64),
-               i -> (p.qv[i]-c.r[i])*(p.qv[i]-c.r[i]))) AS BIGINT) AS est
-           FROM iprq p JOIN srv c ON c.cell = p.cell WHERE c.vec_id <> p.q_id)
-         SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, est FROM (
-           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
-           FROM isqest) t
-         WHERE rn <= 5 ORDER BY q_id, rank""",
+         ${sqServeTail()}""",
+    // q82's serve under the label selector: the tier join + modulo
+    // predicate drop candidates AFTER cell probing (index built on
+    // the full corpus, filter per request — the Sq.ivfSq8TopKFiltered
+    // contract)
+    "q86_filtered_ivfsq8" ->
+      s"""WITH $IvfCtes,
+         $IvfResidualCtes,
+         $SqResidualCtes,
+         ${sqServeTail(
+           extraJoin = " JOIN embeddings e ON e.vec_id = c.vec_id",
+           extraWhere = " AND e.label % 2 = 0")}""",
+    // frozen-quantizer rolling ingest: training (seeding + both
+    // Lloyd's rounds) AND the residual bounds read ONLY the base
+    // tranche (vec_id % 5 <> 4); assignment, encoding (clamped — the
+    // drifted-delta saturation semantics) and the serve cover the
+    // full corpus against the frozen artifacts
+    "q87_ivfsq8_frozen_ingest" ->
+      s"""WITH ${ivfCtes(Embeddings.OracleCells.toString, trainWhere = "vec_id % 5 <> 4")},
+         $IvfResidualCtes,
+         ${sqResidualCtes(boundsWhere = "irq.vec_id % 5 <> 4")},
+         ${sqServeTail()}""",
     // ADC + exact re-rank: the q77 trajectory generates RefineR
     // candidates per probe by the ADC estimate (pqest + row_number,
     // the same (est, neighbor_id) tie-break), then ONLY those

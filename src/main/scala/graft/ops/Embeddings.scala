@@ -510,10 +510,17 @@ object Embeddings {
     * round through [[nearestCellTwoLevel]] — the SAME N·nCells term
     * that dominates final assignment lives in each training pass, so
     * a production-sized training run must route both (q76 gates the
-    * routed trajectory end-to-end). */
-  private def trainQuantizerOn(vecs: DataFrame,
-                               nCells: Int, iters: Int,
-                               nSuper: Int = 1): Seq[Centroid] = {
+    * routed trajectory end-to-end).
+    *
+    * PUBLIC because a rolling-ingest deployment trains on a TRANCHE
+    * (the corpus as of the last rebuild), freezes the artifact, and
+    * encodes later deltas against it (q87's contract): `vecs` carries
+    * (vec_id, qv) rows — [[quantized]] output, filtered to the
+    * training tranche. Callers persist `vecs` (this runs `iters + 1`
+    * passes over it). */
+  def trainQuantizerOn(vecs: DataFrame,
+                       nCells: Int, iters: Int,
+                       nSuper: Int = 1): Seq[Centroid] = {
     // Forgy seeding, pinned: the nCells smallest vec_ids, each a
     // 1-member centroid (its own exact component vector).
     var cents: Seq[Centroid] = vecs.orderBy(col("vec_id")).limit(nCells)
@@ -657,9 +664,18 @@ object Embeddings {
     * static serving deployment ([[graft.stream.StreamingAnnServe]]):
     * at 100 TB the index is the big relation and never moves — each
     * batch's probe rows broadcast to it. */
-  def serveIndex(spark: SparkSession, dir: String, rawCents: Seq[Centroid]): DataFrame = {
+  def serveIndex(spark: SparkSession, dir: String, rawCents: Seq[Centroid]): DataFrame =
+    indexBatch(quantized(spark, dir), rawCents)
+
+  /** [[serveIndex]] over an arbitrary ALREADY-QUANTIZED vector batch —
+    * (vec_id, qv, nrm) rows on the corpus integer grid. The
+    * rolling-ingest assignment entry: a delta batch lands in its
+    * nearest cell of a FROZEN quantizer it never trained
+    * ([[graft.stream.StreamingVectorIngest]]), exactly the q87
+    * contract. */
+  def indexBatch(vecs: DataFrame, rawCents: Seq[Centroid]): DataFrame = {
     require(rawCents.nonEmpty, "quantizer has no centroids")
-    indexOf(quantized(spark, dir), rawCents.sortBy(_.j))
+    indexOf(vecs, rawCents.sortBy(_.j))
   }
 
   /** Score an ARBITRARY query batch — (q_id: long, embedding:

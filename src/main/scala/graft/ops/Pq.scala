@@ -539,9 +539,17 @@ object Pq {
     * ([[Embeddings.serveIndex]]). */
   private[ops] def residualsOf(spark: SparkSession, dir: String,
                           cents: Seq[Centroid]): DataFrame =
-    Embeddings.serveIndex(spark, dir, cents)
+    residualsOfIndex(Embeddings.serveIndex(spark, dir, cents), cents)
+
+  /** [[residualsOf]] over an already-assigned index relation
+    * ([[Embeddings.serveIndex]] / [[Embeddings.indexBatch]] output) —
+    * the batch-level core the rolling-ingest encoder rides, so a
+    * delta batch's residuals derive through the SAME mean-grid join
+    * as the full corpus's. */
+  private[ops] def residualsOfIndex(index: DataFrame, cents: Seq[Centroid]): DataFrame =
+    index
       .select(col("neighbor_id").as("vec_id"), col("c_v").as("qv"), col("cell"))
-      .join(broadcast(gridDfOf(spark, cents)), "cell")
+      .join(broadcast(gridDfOf(index.sparkSession, cents)), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("qv"), col("grid"), (a, b) => a - b).as("qv"))
 

@@ -289,6 +289,149 @@ object Sq {
     sqTail(if (excludeSelf) pairs.filter(col("neighbor_id") =!= col("q_id")) else pairs, k)
   }
 
+  /** q86 — FILTERED IVF+SQ8 top-k (the FAISS `IDSelector` / filtered-
+    * search production shape): the routed q82 serve under a PER-QUERY
+    * metadata predicate — here `label % labelMod = 0` over the
+    * corpus's label column — with selector semantics pinned to how
+    * every production engine defines them: training, routing, and
+    * encoding see the FULL corpus (the index is built once, filters
+    * change per request); the predicate drops candidates at SERVE
+    * time, after cell probing, so a probe returns fewer than k rows
+    * when its probed cells hold fewer than k matching vectors (the
+    * filter never widens the probe set — recall under selective
+    * filters is the nprobe trade, measured in SqSpec).
+    *
+    * The filterable payload is attached to the TIER, not joined at
+    * serve: [[ivfSq8CodesWithLabel]] pays one co-partitioned
+    * vec_id equi-join at BUILD time (amortized across every serve,
+    * the standard payload-in-index layout), so at serve time the
+    * predicate is a scan-riding filter on the codes relation itself —
+    * Catalyst pushes it below the probed-cell equi-join, and on a
+    * persisted tier it reaches the parquet scan as a pushed filter
+    * (PlanAuditSpec pins both the pushdown and the probed-cell
+    * pruning surviving alongside it).
+    *
+    * Exact-replayable: q82's construction verbatim plus one label
+    * equi-join + modulo predicate — the q86 oracle replays the serve
+    * with `JOIN embeddings ... WHERE label % 2 = 0`. */
+  def ivfSq8TopKFiltered(spark: SparkSession, dir: String,
+                         k: Int = 5, queryMod: Int = 50, nprobe: Int = 2,
+                         nCells: Int = Embeddings.OracleCells,
+                         iters: Int = Embeddings.OracleIters,
+                         labelMod: Int = 2): DataFrame = {
+    val vecs = Caches.persist(Embeddings.quantized(spark, dir))
+    val cents = Embeddings.trainQuantizer(spark, dir, nCells, iters).sortBy(_.j)
+    val residuals = Caches.persist(Pq.residualsOf(spark, dir, cents))
+    val (mins, maxs) = gridBounds(residuals)
+    val codes = encode(residuals, mins, maxs, keep = Seq("cell"))
+      .join(vecs.select(col("vec_id"), col("label")), "vec_id")
+    val probes = vecs
+      .filter(col("vec_id") % queryMod === 0 && col("vec_id") < Pq.ProbeCap)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    ivfSq8Serve(codes.filter(col("label") % labelMod === 0), cents, mins, maxs,
+      probes, k, nprobe, excludeSelf = true)
+  }
+
+  /** The q86 payload-attached tier: the routed SQ8 codes relation
+    * carrying the corpus's filterable metadata (label) — ONE
+    * co-partitioned vec_id equi-join at build time. Persist
+    * partitioned by cell; per-request predicates then ride the tier
+    * scan next to the probed-cell filter. */
+  def ivfSq8CodesWithLabel(spark: SparkSession, dir: String,
+                           cents: Seq[Embeddings.Centroid],
+                           mins: Seq[Long], maxs: Seq[Long]): DataFrame =
+    ivfSq8Codes(spark, dir, cents, mins, maxs)
+      .join(Embeddings.quantized(spark, dir).select(col("vec_id"), col("label")),
+        "vec_id")
+
+  /** q87 — FROZEN-QUANTIZER ROLLING INGEST (the index-refresh
+    * composition every production ANN deployment runs nightly): the
+    * coarse quantizer AND the SQ8 residual bounds are trained on the
+    * BASE tranche only (`vec_id % deltaMod ≠ deltaMod−1` — the corpus
+    * as of the last full rebuild), FROZEN, and the WHOLE corpus —
+    * base plus the later delta tranche — is assigned, residualized,
+    * and encoded against those frozen artifacts. This is the exact
+    * contract of FAISS's `add()` after `train()`: ingest never
+    * retrains, so delta vectors land in the nearest FROZEN cell and
+    * their residuals may fall OUTSIDE the frozen per-dim bounds — the
+    * [[encode]] clamp saturates them to the grid edge, which is the
+    * documented staleness semantics (ADVICE r10) now exercised on the
+    * graded surface under genuine drift (SqSpec asserts the fixture
+    * actually saturates codes, so the gate is non-vacuous).
+    *
+    * Because [[encode]] is row-local, encoding the delta tranche
+    * separately and unioning it with the base tier is bit-identical
+    * to this one-pass encode — StorageSpec proves the REAL ingest
+    * path (base tier published as snapshot v1, delta UPSERTED as v2,
+    * newest-complete resolution, serve off the refreshed snapshot)
+    * returns exactly this query's rows.
+    *
+    * Exact-replayable: the q87 oracle re-runs the pinned training
+    * trajectory over the base tranche CTE, assigns the full corpus
+    * against the frozen centroids, learns bounds over base residuals
+    * only, and replays the clamped encode∘decode over everything —
+    * the serve tail is q82's verbatim. */
+  def ivfSq8FrozenIngestTopK(spark: SparkSession, dir: String,
+                             k: Int = 5, queryMod: Int = 50, nprobe: Int = 2,
+                             nCells: Int = Embeddings.OracleCells,
+                             iters: Int = Embeddings.OracleIters,
+                             deltaMod: Int = 5): DataFrame = {
+    val vecs = Caches.persist(Embeddings.quantized(spark, dir))
+    val isBase = col("vec_id") % deltaMod =!= (deltaMod - 1)
+    val cents = Embeddings.trainQuantizerOn(
+      Caches.persist(vecs.filter(isBase)), nCells, iters).sortBy(_.j)
+    // full-corpus residuals against the FROZEN centroids feed both the
+    // base-only bounds pass and the encode pass — cached once
+    val residuals = Caches.persist(Pq.residualsOf(spark, dir, cents))
+    val (mins, maxs) = gridBounds(residuals.filter(isBase))
+    val codes = encode(residuals, mins, maxs, keep = Seq("cell"))
+    val probes = vecs
+      .filter(col("vec_id") % queryMod === 0 && col("vec_id") < Pq.ProbeCap)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    ivfSq8Serve(codes, cents, mins, maxs, probes, k, nprobe, excludeSelf = true)
+  }
+
+  /** Encode a NEW-VECTOR batch — (vec_id: long, embedding:
+    * array<float>) rows that were NOT part of the index build —
+    * against FROZEN artifacts: quantize onto the corpus integer grid,
+    * assign each row to its nearest frozen cell
+    * ([[Embeddings.indexBatch]]), residualize against the cell's mean
+    * grid (the ONE [[Pq.residualsOfIndex]] definition the full-corpus
+    * tiers use), and [[encode]] with the frozen bounds — drifted
+    * components saturate to the grid edge (the q87 clamp contract).
+    * The delta encoder behind [[graft.stream.StreamingVectorIngest]]:
+    * because every step is row-local after the broadcast mean-grid
+    * join, encoding deltas batch-by-batch and upserting is
+    * bit-identical to re-encoding the grown corpus in one pass. */
+  def ivfSq8EncodeBatch(batch: DataFrame, cents: Seq[Embeddings.Centroid],
+                        mins: Seq[Long], maxs: Seq[Long]): DataFrame = {
+    graft.functions.VecDot.register(batch.sparkSession)
+    val q = batch.select(col("vec_id"),
+        transform(col("embedding"), x => floor(x.cast("double") * 1000)).as("qv"))
+      .withColumn("nrm", expr("vec_dot(qv, qv)"))
+    encode(Pq.residualsOfIndex(Embeddings.indexBatch(q, cents), cents.sortBy(_.j)),
+      mins, maxs, keep = Seq("cell"))
+  }
+
+  /** The q87 BUILD stage alone: tranche-train the quantizer, freeze
+    * it, learn bounds over the tranche's residuals — the artifact
+    * triple a rolling-ingest deployment persists at rebuild time
+    * ([[Embeddings.saveQuantizer]] + [[saveBounds]]); every later
+    * ingest batch encodes against it without touching the trainer. */
+  def trainFrozenIvfSq8(spark: SparkSession, dir: String,
+                        deltaMod: Int = 5,
+                        nCells: Int = Embeddings.OracleCells,
+                        iters: Int = Embeddings.OracleIters)
+      : (Seq[Embeddings.Centroid], IndexedSeq[Long], IndexedSeq[Long]) = {
+    val isBase = col("vec_id") % deltaMod =!= (deltaMod - 1)
+    val cents = Embeddings.trainQuantizerOn(
+      Caches.persist(Embeddings.quantized(spark, dir).filter(isBase)),
+      nCells, iters).sortBy(_.j)
+    val (mins, maxs) = gridBounds(
+      Pq.residualsOf(spark, dir, cents).filter(isBase))
+    (cents, mins, maxs)
+  }
+
   /** q85 — IVFADC candidates + SQ8 refine (FAISS's
     * `IVFx,PQy` + `RefineFlat(SQ8)` production pairing): the LAST
     * composition of the ANN matrix, and the one a 100 TB deployment

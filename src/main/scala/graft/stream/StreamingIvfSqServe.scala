@@ -34,15 +34,26 @@ object StreamingIvfSqServe {
     * `onBatch`.
     *
     * `excludeSelf`: pass true only when the stream's q_ids ARE corpus
-    * vec_ids (see [[graft.ops.Sq.ivfSq8Serve]]). */
+    * vec_ids (see [[graft.ops.Sq.ivfSq8Serve]]).
+    *
+    * `selector`: an optional metadata predicate over the tier's
+    * columns (the q86 filtered-search contract — build the tier with
+    * [[graft.ops.Sq.ivfSq8CodesWithLabel]] so the filterable payload
+    * rides it): candidates failing it drop at serve time, per
+    * micro-batch, with training/routing untouched. A service-level
+    * selector (e.g. a tenant filter); per-REQUEST selectors call
+    * [[graft.ops.Sq.ivfSq8Serve]] on a filtered view directly. */
   def run(spark: SparkSession, queries: DataFrame,
           corpusDir: String, quantizerPath: String, boundsPath: String,
           checkpointDir: String,
-          k: Int = 5, nprobe: Int = 2, excludeSelf: Boolean = false)
+          k: Int = 5, nprobe: Int = 2, excludeSelf: Boolean = false,
+          selector: Option[org.apache.spark.sql.Column] = None)
          (onBatch: DataFrame => Unit): StreamingQuery = {
     val cents = Embeddings.loadQuantizer(spark, quantizerPath)
     val (mins, maxs) = Sq.loadBounds(spark, boundsPath)
-    val codes = graft.ops.Caches.persist(Sq.ivfSq8Codes(spark, corpusDir, cents, mins, maxs))
+    val tier = if (selector.isDefined) Sq.ivfSq8CodesWithLabel(spark, corpusDir, cents, mins, maxs)
+               else Sq.ivfSq8Codes(spark, corpusDir, cents, mins, maxs)
+    val codes = graft.ops.Caches.persist(selector.map(tier.filter).getOrElse(tier))
     queries.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -84,4 +84,26 @@ class PlanAuditSpec extends SparkSpec {
       s"q85 must filter BOTH tiers by the probed-cell set (probed-cell filters only on attribute ids $cellIn):\n$plan")
     graft.ops.Caches.releaseAll(spark)
   }
+
+  test("q86 selector rides the scans: probed-cell IN filter AND the label predicate, no all-pairs join") {
+    // filtered search's 100 TB claim: the selector must NOT widen the
+    // serve into a corpus pass — the plan keeps q82's routed shape
+    // (probed-cell static IN filter, broadcast equi-joins only) and
+    // the label predicate appears as a plain Filter over the tier
+    // columns (Catalyst pushes it below the cell equi-join; on a
+    // persisted payload-attached tier it reaches the parquet scan as
+    // a pushed filter — the StorageSpec family proves that behavior
+    // for this scan shape).
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val plan = graft.ops.Sq.ivfSq8TopKFiltered(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q86 must not plan any all-pairs join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q86 plans a cartesian:\n$plan")
+    assert("cell#\\d+L? (IN|INSET)".r.findFirstIn(plan).isDefined,
+      s"q86 lost the probed-cell static filter:\n$plan")
+    assert("\\(label#\\d+ % 2\\) = 0".r.findFirstIn(plan).isDefined,
+      s"q86's label selector is not a scan-riding filter:\n$plan")
+    graft.ops.Caches.releaseAll(spark)
+  }
 }

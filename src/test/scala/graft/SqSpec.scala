@@ -196,6 +196,92 @@ class SqSpec extends SparkSpec {
     }
   }
 
+  test("ivfSq8TopKFiltered: selector semantics — matches only, never demotes a surviving candidate, and the filter really bites") {
+    val filtered = Sq.ivfSq8TopKFiltered(spark, dir).collect()
+    graft.ops.Caches.releaseAll(spark)
+    val unfiltered = Sq.ivfSq8TopK(spark, dir).collect()
+    graft.ops.Caches.releaseAll(spark)
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    // 1. every served neighbor satisfies the selector
+    filtered.foreach { r =>
+      assert(labels(r.getLong(2)) % 2 == 0,
+        s"filtered serve emitted neighbor ${r.getLong(2)} with odd label ${labels(r.getLong(2))}")
+    }
+    // 2. ranks are contiguous 1..n with n <= k (a probe whose probed
+    //    cells hold fewer than k matches legitimately returns fewer)
+    filtered.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      assert(g.length <= 5 && g.map(_.getLong(1)).sorted.toSeq == (1L to g.length),
+        s"probe $q: ranks not contiguous 1..n<=k")
+    }
+    // 3. dropping non-matching candidates can only PROMOTE survivors:
+    //    every unfiltered top-k row whose neighbor matches must appear
+    //    in the filtered serve at the same est and rank <= its old one
+    val fIdx = filtered.map(r => (r.getLong(0), r.getLong(2)) -> (r.getLong(1), r.getLong(3))).toMap
+    unfiltered.filter(r => labels(r.getLong(2)) % 2 == 0).foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(fIdx.contains(key), s"matching candidate $key vanished under the selector")
+      val (fr, fe) = fIdx(key)
+      assert(fe == r.getLong(3), s"est drifted for $key: filtered $fe vs unfiltered ${r.getLong(3)}")
+      assert(fr <= r.getLong(1), s"selector DEMOTED $key: rank ${r.getLong(1)} -> $fr")
+    }
+    // 4. non-vacuity: the unfiltered serve must surface at least one
+    //    odd-label neighbor, otherwise this fixture gates nothing
+    assert(unfiltered.exists(r => labels(r.getLong(2)) % 2 != 0),
+      "fixture vacuous: no odd-label neighbor in the unfiltered top-k")
+  }
+
+  test("ivfSq8FrozenIngestTopK: tranche training freezes real artifacts and delta residuals drift past the frozen bounds") {
+    val (frozenCents, mins, maxs) = Sq.trainFrozenIvfSq8(spark, dir)
+    graft.ops.Caches.releaseAll(spark)
+    val (fullCents, fullMins, fullMaxs) = Sq.trainIvfSq8(spark, dir)
+    graft.ops.Caches.releaseAll(spark)
+    // the freeze is non-vacuous: the tranche-trained artifacts differ
+    // from the full-corpus ones (else q87 degenerates to q82)
+    assert(frozenCents.map(c => (c.j, c.n, c.s)) != fullCents.map(c => (c.j, c.n, c.s)),
+      "tranche-trained quantizer identical to the full-corpus one — the freeze gates nothing")
+    assert((mins, maxs) != (fullMins, fullMaxs),
+      "tranche bounds identical to full-corpus bounds — the drift fixture gates nothing")
+
+    // replay the full-corpus residuals against the FROZEN quantizer
+    // (serveIndex + the pinned mean grid, the q85 replay pattern) and
+    // assert the drift is REAL: some delta residual falls outside the
+    // frozen bounds (so the encode clamp saturates), while every BASE
+    // residual lies inside (base defines the bounds)
+    val grid = frozenCents.map(c => c.j ->
+      c.s.indices.map(i => math.floor(c.s(i).toDouble / c.n + 0.5).toLong)).toMap
+    val idx = Embeddings.serveIndex(spark, dir, frozenCents)
+      .select("neighbor_id", "cell", "c_v").collect()
+      .map(rw => (rw.getLong(0), rw.getLong(1), rw.getSeq[Long](2).toIndexedSeq))
+    graft.ops.Caches.releaseAll(spark)
+    def residual(cell: Long, v: IndexedSeq[Long]): IndexedSeq[Long] =
+      v.indices.map(d => v(d) - grid(cell)(d))
+    val (base, delta) = idx.partition { case (id, _, _) => id % 5 != 4 }
+    base.foreach { case (id, cell, v) =>
+      val r = residual(cell, v)
+      r.indices.foreach(d => assert(r(d) >= mins(d) && r(d) <= maxs(d),
+        s"base vec $id dim $d residual ${r(d)} outside its OWN bounds [${mins(d)}, ${maxs(d)}]"))
+    }
+    val drifted = delta.exists { case (_, cell, v) =>
+      val r = residual(cell, v)
+      r.indices.exists(d => r(d) < mins(d) || r(d) > maxs(d))
+    }
+    assert(drifted,
+      "fixture vacuous: no delta residual drifts past the frozen bounds — the clamp never fires")
+
+    // operator contract on the graded entry: k rows per probe, ranks
+    // 1..k, self excluded (the oracle certifies the full ranking)
+    val rows = Sq.ivfSq8FrozenIngestTopK(spark, dir).collect()
+    graft.ops.Caches.releaseAll(spark)
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, g) =>
+      assert(g.map(_.getLong(1)).sorted.toSeq == (1L to g.length))
+      assert(g.forall(_.getLong(2) != q))
+    }
+  }
+
   test("refine recall: SQ8 refine lifts the routed ADC ranking it refines") {
     val brute = Embeddings.bruteTopK(spark, dir).collect()
     graft.ops.Caches.releaseAll(spark)

@@ -240,6 +240,43 @@ class StorageSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
   }
 
+  test("FROZEN INGEST through the snapshot protocol: base publish + delta upsert serve bit-identically to q87's one-pass encode") {
+    // the q87 production loop made real: the base tranche's codes are
+    // PUBLISHED as snapshot v1, the delta tranche's codes (encoded
+    // against the SAME frozen artifacts — including clamp saturation
+    // where delta residuals drifted past the frozen bounds, SqSpec
+    // proves the fixture drifts) are UPSERTED as v2, and serving off
+    // the newest-committed resolution must return exactly the rows of
+    // the graded q87 query, which encodes everything in one pass.
+    // Because Sq.encode is row-local, any divergence here is a
+    // protocol defect (lost rows, duplicate keys, partial snapshot),
+    // not a quantization one.
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val (cents, mins, maxs) = graft.ops.Sq.trainFrozenIvfSq8(spark, dir)
+    val full = graft.ops.Sq.ivfSq8Codes(spark, dir, cents, mins, maxs)
+    val isBase = col("vec_id") % 5 =!= 4
+    val root = java.nio.file.Files.createTempDirectory("frozeningest").toString + "/codes"
+    val v1 = Storage.upsertSnapshot(spark, root, full.filter(isBase), "vec_id")
+    val v2 = Storage.upsertSnapshot(spark, root, full.filter(!isBase), "vec_id")
+    assert(v1 != v2)
+    graft.ops.Caches.releaseAll(spark)
+
+    val probes = graft.ops.Embeddings.quantized(spark, dir)
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < graft.ops.Pq.ProbeCap)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    val served = graft.ops.Sq.ivfSq8Serve(
+        Storage.readSnapshot(spark, root), cents, mins, maxs,
+        probes, k = 5, nprobe = 2, excludeSelf = true)
+      .collect().map(_.toString).toSeq
+    graft.ops.Caches.releaseAll(spark)
+    val direct = graft.ops.Sq.ivfSq8FrozenIngestTopK(spark, dir)
+      .collect().map(_.toString).toSeq
+    graft.ops.Caches.releaseAll(spark)
+    assert(served == direct,
+      "snapshot-refreshed serve diverged from the one-pass frozen-ingest encode")
+  }
+
   test("ANN serveQueryBatch prunes a partitioned index at listing time through the serve path") {
     // the q31-family twin of the IVFADC serve-path proof: the
     // cell-assigned serving index persists partitioned by cell, and

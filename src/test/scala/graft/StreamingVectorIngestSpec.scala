@@ -1,0 +1,83 @@
+package graft
+
+import graft.ops.{Embeddings, Sq, Storage}
+import graft.stream.StreamingVectorIngest
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.nio.file.Files
+
+/** The rolling-ingest write loop end-to-end (the streaming form of
+  * q87): frozen artifacts trained on the base tranche, the base tier
+  * published as snapshot v1, NEW vectors streamed through
+  * [[graft.stream.StreamingVectorIngest]] across TWO micro-batches —
+  * then a serve off the newest-committed snapshot must be
+  * bit-identical to q87's one-pass encode of the full corpus. Any
+  * divergence is an ingest defect (lost delta, duplicate key, stale
+  * resolution, clamp drift between the batch and streaming encoders),
+  * since encode is row-local. */
+class StreamingVectorIngestSpec extends SparkSpec {
+
+  private val SfDir = "/root/testdata/sf0.001"
+
+  test("base publish + two streamed delta batches; snapshot serve ≡ one-pass q87") {
+    assume(new java.io.File(SfDir).isDirectory, "testdata not present")
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // BUILD stage: tranche-train, freeze, persist the artifact pair
+    val (cents, mins, maxs) = Sq.trainFrozenIvfSq8(spark, SfDir)
+    graft.ops.Caches.releaseAll(spark)
+    val qArtifact = Files.createTempDirectory("vecingest").toString + "/quantizer"
+    val bArtifact = Files.createTempDirectory("vecingest").toString + "/bounds"
+    Embeddings.saveQuantizer(spark, cents, qArtifact)
+    Sq.saveBounds(spark, mins, maxs, bArtifact)
+
+    // base tier published as snapshot v1
+    val root = Files.createTempDirectory("vecingest").toString + "/codes"
+    val base = Sq.ivfSq8Codes(spark, SfDir, cents, mins, maxs)
+      .filter(col("vec_id") % 5 =!= 4)
+    val baseCount = base.count()
+    Storage.upsertSnapshot(spark, root, base, "vec_id")
+    graft.ops.Caches.releaseAll(spark)
+
+    // the delta tranche arrives as a STREAM, split across two
+    // micro-batches — each upserts a new snapshot version
+    val deltas = graft.ops.Tables.embeddings(spark, SfDir)
+      .filter($"vec_id" % 5 === 4)
+      .select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    assert(deltas.length >= 2, "need at least two delta vectors to split across batches")
+    val (firstHalf, secondHalf) = deltas.splitAt(deltas.length / 2)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val ckpt = Files.createTempDirectory("vecingest-ckpt").toString
+    val q = StreamingVectorIngest.run(spark,
+      input.toDF().toDF("vec_id", "embedding"),
+      root, qArtifact, bArtifact, ckpt)
+    try {
+      input.addData(firstHalf.toSeq)
+      q.processAllAvailable()
+      // mid-ingest reads resolve a COMMITTED version: base + batch 1
+      assert(Storage.readSnapshot(spark, root).count() ==
+        baseCount + firstHalf.length,
+        "mid-ingest snapshot must hold base plus exactly the first delta batch")
+      input.addData(secondHalf.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the refreshed snapshot serves bit-identically to q87's one-pass
+    // encode (same probes, same frozen artifacts)
+    val probes = Embeddings.quantized(spark, SfDir)
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < graft.ops.Pq.ProbeCap)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    val served = Sq.ivfSq8Serve(Storage.readSnapshot(spark, root),
+        cents, mins, maxs, probes, k = 5, nprobe = 2, excludeSelf = true)
+      .collect().map(_.toString).toSeq
+    graft.ops.Caches.releaseAll(spark)
+    val direct = Sq.ivfSq8FrozenIngestTopK(spark, SfDir)
+      .collect().map(_.toString).toSeq
+    graft.ops.Caches.releaseAll(spark)
+    assert(served == direct,
+      "stream-ingested snapshot serve diverged from q87's one-pass encode")
+  }
+}
