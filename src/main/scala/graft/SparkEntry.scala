@@ -132,6 +132,9 @@ object SparkEntry {
     "q85_ivfpq_sq8_refine"  -> ((s, d) => Sq.ivfPqSq8RefineTopK(s, d)),
     "q86_filtered_ivfsq8"   -> ((s, d) => Sq.ivfSq8TopKFiltered(s, d)),
     "q87_ivfsq8_frozen_ingest" -> ((s, d) => Sq.ivfSq8FrozenIngestTopK(s, d)),
+    "q88_hybrid_rrf"        -> ((s, d) => Retrieval.hybridRrfDocs(s, d)),
+    "q89_range_search"      -> ((s, d) => Sq.ivfSq8RangeSearch(s, d)),
+    "q90_delete_serve"      -> ((s, d) => Sq.ivfSq8DeleteTopK(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -532,8 +535,11 @@ object SparkEntry {
     * definition so the two compressions can never diverge on the
     * routing they share — the Spark side shares it the same way
     * ([[graft.ops.Pq.residualsOf]] / [[graft.ops.Pq
-    * .probeCellsRelation]] feed both serves). */
-  private val IvfResidualCtes: String =
+    * .probeCellsRelation]] feed both serves). `queryMod` selects the
+    * probe set (`vec_id % queryMod = 0` under the ProbeCap) — 50 for
+    * the q79/q82 family, 100 for q88's hybrid leg, which must share
+    * ONE probe set with the BM25 leg it fuses against. */
+  private def ivfResidualCtes(queryMod: Int): String =
     s"""igr AS MATERIALIZED (SELECT j AS cell, list_transform(generate_series(1,64),
                i -> CAST(floor(CAST(s[i] AS DOUBLE)/CAST(n AS DOUBLE) + 0.5) AS BIGINT)) AS g
              FROM c2),
@@ -541,9 +547,11 @@ object SparkEntry {
              FROM v JOIN af ON af.vec_id = v.vec_id JOIN igr g ON g.cell = af.j),
          ipc AS MATERIALIZED (SELECT vec_id AS q_id, j AS cell FROM (
                SELECT v.vec_id, c.j, row_number() OVER (PARTITION BY v.vec_id ORDER BY ${IvfDist("c")}, c.j) AS rn
-               FROM v, c2 c WHERE v.vec_id % 50 = 0 AND v.vec_id < ${Pq.ProbeCap}) t WHERE rn <= 2),
+               FROM v, c2 c WHERE v.vec_id % $queryMod = 0 AND v.vec_id < ${Pq.ProbeCap}) t WHERE rn <= 2),
          iprq AS MATERIALIZED (SELECT pc.q_id, pc.cell, list_transform(generate_series(1,64), i -> v.qv[i] - g.g[i]) AS qv
              FROM ipc pc JOIN v ON v.vec_id = pc.q_id JOIN igr g ON g.cell = pc.cell)"""
+
+  private val IvfResidualCtes: String = ivfResidualCtes(50)
 
   /** The SQ8-over-residuals replay shared by q82 (IVF+SQ8 serve) and
     * q85 (SQ8 refine): per-dim bounds over the shared residual
@@ -577,13 +585,16 @@ object SparkEntry {
     * q82, q86 (which adds the label selector join + predicate) and
     * q87, mirroring the Scala side's single [[graft.ops.Sq]] sqTail:
     * the estimate and tie-break can never drift between the serves. */
-  private def sqServeTail(extraJoin: String = "", extraWhere: String = ""): String =
+  private def sqEstCte(extraJoin: String = "", extraWhere: String = ""): String =
     s"""isqest AS (
            SELECT p.q_id, c.vec_id AS neighbor_id,
              CAST(list_sum(list_transform(generate_series(1,64),
                i -> (p.qv[i]-c.r[i])*(p.qv[i]-c.r[i]))) AS BIGINT) AS est
            FROM iprq p JOIN srv c ON c.cell = p.cell$extraJoin
-           WHERE c.vec_id <> p.q_id$extraWhere)
+           WHERE c.vec_id <> p.q_id$extraWhere)"""
+
+  private def sqServeTail(extraJoin: String = "", extraWhere: String = ""): String =
+    s"""${sqEstCte(extraJoin, extraWhere)}
          SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, est FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
            FROM isqest) t
@@ -1893,5 +1904,74 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
            FROM rrex) t
          WHERE rn <= 5 ORDER BY q_id, rank""",
+    // Hybrid lexical+semantic fusion: the q71 BM25 replay (b-prefixed
+    // CTEs, probe set % 100 under the ProbeCap, SELF-EXCLUDED — both
+    // legs treat the query doc as external) and the q82 routed
+    // IVF+SQ8 replay (the shared CTE chain at queryMod = 100) each
+    // cut a top-10, then Reciprocal Rank Fusion on the exact-integer
+    // grid: candidates = union of both lists, score = Σ RrfScale //
+    // (60 + rank) with an absent leg contributing 0, fused cut on
+    // (rrf_score DESC, doc_id).
+    "q88_hybrid_rrf" ->
+      s"""WITH $IvfCtes,
+         ${ivfResidualCtes(100)},
+         $SqResidualCtes,
+         ${sqEstCte()},
+         sem AS (SELECT q_id AS query_id, neighbor_id AS doc_id, rn AS srank FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
+             FROM isqest) t WHERE rn <= 10),
+         btoks AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> length(w) > 0) AS ws
+             FROM documents),
+         bdl AS (SELECT doc_id, len(ws) AS dl, ws FROM btoks),
+         btf AS (SELECT doc_id, dl, term, count(*) AS tf
+             FROM (SELECT doc_id, dl, unnest(ws) AS term FROM bdl) t GROUP BY 1, 2, 3),
+         bstats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                CAST(sum(dl) AS DOUBLE)/(SELECT count(*) FROM documents) AS avgdl FROM bdl),
+         bidf AS (SELECT term, ln(1 + (CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))/(df + CAST(0.5 AS DOUBLE))) AS idf
+             FROM (SELECT term, count(*) AS df FROM btf GROUP BY 1) d, bstats),
+         bq AS (SELECT DISTINCT doc_id AS query_id, term
+             FROM (SELECT doc_id, unnest(ws[1:8]) AS term FROM btoks
+                   WHERE doc_id % 100 = 0 AND doc_id < ${Pq.ProbeCap}) t),
+         bcontrib AS (SELECT q.query_id, t.doc_id,
+             CAST(i.idf * (t.tf*(CAST(1.2 AS DOUBLE) + 1)/(t.tf + CAST(1.2 AS DOUBLE)*(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)*t.dl/avgdl))) AS DECIMAL(18,6)) AS c
+             FROM bq q JOIN btf t USING (term) JOIN bidf i USING (term), bstats
+             WHERE t.doc_id <> q.query_id),
+         bscores AS (SELECT query_id, doc_id, sum(c) AS score_q FROM bcontrib GROUP BY 1, 2),
+         lex AS (SELECT query_id, doc_id, lrank FROM (
+             SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS lrank
+             FROM bscores) t WHERE lrank <= 10),
+         cand AS (SELECT query_id, doc_id FROM lex UNION SELECT query_id, doc_id FROM sem),
+         fused AS (SELECT c.query_id, c.doc_id,
+             CAST(coalesce(${Retrieval.RrfScale} // (${Retrieval.RrfK0} + l.lrank), 0)
+                + coalesce(${Retrieval.RrfScale} // (${Retrieval.RrfK0} + s.srank), 0) AS BIGINT) AS rrf_score
+             FROM cand c
+             LEFT JOIN lex l ON l.query_id = c.query_id AND l.doc_id = c.doc_id
+             LEFT JOIN sem s ON s.query_id = c.query_id AND s.doc_id = c.doc_id)
+         SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, rrf_score FROM (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rn
+           FROM fused) t
+         WHERE rn <= 10 ORDER BY query_id, rank""",
+    // Range search: q82's chain with the rank cut replaced by the
+    // radius predicate — every (probe, neighbor) pair from the probed
+    // cells with est ≤ tau, ordered (q_id, est, neighbor_id); a probe
+    // with no in-radius neighbor contributes no rows.
+    "q89_range_search" ->
+      s"""WITH $IvfCtes,
+         $IvfResidualCtes,
+         $SqResidualCtes,
+         ${sqEstCte()}
+         SELECT q_id, neighbor_id, est FROM isqest
+         WHERE est <= ${Sq.RangeTau} ORDER BY q_id, est, neighbor_id""",
+    // Tombstone delete: the refreshed snapshot's serve is bit-equal to
+    // q82's chain minus the deleted keys (the tombstone merge is "base
+    // rows minus deleted keys" and encode is row-local), so the oracle
+    // drops them on the corpus side; deleted ids still PROBE (query
+    // vectors are external to the index).
+    "q90_delete_serve" ->
+      s"""WITH $IvfCtes,
+         $IvfResidualCtes,
+         $SqResidualCtes,
+         ${sqServeTail(extraWhere = " AND c.vec_id % 10 <> 3")}""",
   )
 }

@@ -109,8 +109,12 @@ object Retrieval {
     * standard unique-terms form); terms absent from the corpus
     * contribute nothing by construction of the join. Ties rank by
     * doc_id, so the cut is deterministic. Zero-term queries match
-    * nothing. */
-  def bm25TopK(ix: Bm25Index, queries: DataFrame, k: Int = 10): DataFrame = {
+    * nothing. `excludeSelf` drops the document whose id equals the
+    * query_id BEFORE ranking (for corpus-derived probe sets whose
+    * query_id IS a doc_id — the ANN family's excludeSelf contract);
+    * external query ids match nothing and are unaffected. */
+  def bm25TopK(ix: Bm25Index, queries: DataFrame, k: Int = 10,
+               excludeSelf: Boolean = false): DataFrame = {
     require(k > 0, "k must be positive")
     val qterms = queries
       .select(col("query_id"), explode(termsOf(col("query"))).as("term"))
@@ -127,7 +131,8 @@ object Retrieval {
     val contrib = (col("idf") * norm).cast("decimal(18,6)")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_q").desc, col("doc_id"))
-    ix.postings.join(broadcast(qterms), Seq("term"))
+    val matched = ix.postings.join(broadcast(qterms), Seq("term"))
+    (if (excludeSelf) matched.filter(col("doc_id") =!= col("query_id")) else matched)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(contrib).as("score_q"))
       .withColumn("rank", row_number().over(w))
@@ -156,5 +161,83 @@ object Retrieval {
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(termsOf(col("text")), 1, 8)).as("query"))
     bm25TopK(ix, probes, k = 10).orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Reciprocal Rank Fusion constants (Cormack, Clarke & Büttcher,
+    * SIGIR 2009): the standard k₀ = 60 smoothing, with the 1/(k₀+r)
+    * contributions lifted onto an exact-integer grid —
+    * RrfScale div (k₀ + r) — so the fused score, and therefore the
+    * ranking and the cut, are bit-identical under any partitioning,
+    * summation order, or engine (the q62/BM25 never-sum-raw-doubles
+    * rule; integer division of non-negative operands agrees between
+    * Spark `div` and DuckDB `//`). At 10¹² scale the integer
+    * truncation distinguishes every rank pair r ∈ [1, 10⁵]. */
+  val RrfK0 = 60L
+  val RrfScale = 1000000000000L
+
+  /** RECIPROCAL RANK FUSION of two per-query rankings — the
+    * production hybrid-retrieval combiner (lexical BM25 + semantic
+    * ANN is how retrieval systems actually serve: each leg catches
+    * what the other misses; RRF fuses them rank-domain, so the two
+    * legs' incomparable score scales never need calibration). Both
+    * inputs carry (query_id, rank, doc_id) and are top-list-bounded
+    * by contract (≤ perList rows per query), so the fusion is
+    * candidate-sized: the candidate set is the UNION of both lists,
+    * each candidate scores Σ_lists RrfScale div (k₀ + rank) with an
+    * absent list contributing 0, and the fused top-k cuts on
+    * (rrf_score DESC, doc_id ASC). A doc on both lists outranks
+    * docs on one — the consensus property that makes RRF robust.
+    *
+    * Plan shape at 100 TB: both legs end in per-query top lists, so
+    * everything here is bounded by nQueries·perList rows — the
+    * joins broadcast, the window partitions by query_id over ≤
+    * 2·perList rows each; the fusion itself never touches the
+    * corpus. */
+  def rrfFuse(lex: DataFrame, sem: DataFrame, k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    val l = lex.select(col("query_id"), col("doc_id"), col("rank").cast("long").as("lrank"))
+    val s = sem.select(col("query_id"), col("doc_id"), col("rank").cast("long").as("srank"))
+    val cand = l.select("query_id", "doc_id").union(s.select("query_id", "doc_id")).distinct()
+    val fused = cand
+      .join(broadcast(l), Seq("query_id", "doc_id"), "left")
+      .join(broadcast(s), Seq("query_id", "doc_id"), "left")
+      .withColumn("rrf_score",
+        coalesce(expr(s"${RrfScale}L div (${RrfK0}L + lrank)"), lit(0L)) +
+          coalesce(expr(s"${RrfScale}L div (${RrfK0}L + srank)"), lit(0L)))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rrf_score").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("rrf_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q88 — HYBRID lexical+semantic retrieval: the BM25 leg (q71's
+    * index + prefix probes) and the ROUTED IVF+SQ8 ANN leg (q82's
+    * serve) fused by [[rrfFuse]]. Rides the dataset contract that
+    * `documents.doc_id` and `embeddings.vec_id` share one id space
+    * (each document has its embedding row) — the probe set is ids
+    * `% queryMod = 0` under [[Pq.ProbeCap]], the SAME set on both
+    * legs, each leg self-excluded (the query doc is not its own
+    * answer — the external-query production contract). perList = 10
+    * candidates per leg, fused top-10.
+    *
+    * Exact-replayable end to end: BM25's decimal-quantized scores,
+    * the q82 exact-integer serve, and the integer RRF grid — the q88
+    * oracle replays both legs AND the fusion. */
+  def hybridRrfDocs(spark: SparkSession, dir: String,
+                    k: Int = 10, perList: Int = 10, queryMod: Int = 100,
+                    nprobe: Int = 2): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ix = bm25Build(docs)
+    val probes = docs
+      .filter(col("doc_id") % queryMod === 0 && col("doc_id") < Pq.ProbeCap)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(termsOf(col("text")), 1, 8)).as("query"))
+    val lex = bm25TopK(ix, probes, perList, excludeSelf = true)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val sem = Sq.ivfSq8TopK(spark, dir, k = perList, queryMod = queryMod, nprobe = nprobe)
+      .select(col("q_id").as("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+    rrfFuse(lex, sem, k)
   }
 }

@@ -126,10 +126,17 @@ object Sq {
     * neighbor_id ASC) top-k. One definition: the estimate and
     * tie-break are a bit-exact contract with the q81/q82/q85 oracles
     * and must never diverge between variants. */
+  /** The exact-integer SQ8 estimate on candidate pairs —
+    * est = q_n − 2·⟨q_v, rv⟩ + r_n = Σ(qres_d − r_d)² — ONE
+    * definition for the ranked serves ([[sqTail]]) and the radius
+    * serve ([[ivfSq8RangeServe]]), so the estimate can never drift
+    * between the top-k and range contracts. */
+  private def withEst(pairs: DataFrame): DataFrame =
+    pairs.withColumn("est", col("q_n") - lit(2L) * expr("vec_dot(q_v, rv)") + col("r_n"))
+
   private def sqTail(pairs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("est"), col("neighbor_id"))
-    pairs
-      .withColumn("est", col("q_n") - lit(2L) * expr("vec_dot(q_v, rv)") + col("r_n"))
+    withEst(pairs)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
@@ -269,14 +276,24 @@ object Sq {
   def ivfSq8Serve(codes: DataFrame, cents: Seq[Embeddings.Centroid],
                   mins: Seq[Long], maxs: Seq[Long],
                   queries: DataFrame, k: Int = 5, nprobe: Int = 2,
-                  excludeSelf: Boolean = false): DataFrame = {
+                  excludeSelf: Boolean = false): DataFrame =
+    sqTail(ivfSq8Pairs(codes, cents, mins, maxs, queries, nprobe, excludeSelf), k)
+
+  /** The candidate-pair half of every routed SQ8 serve — ONE
+    * evaluation of the probe ranking (the q79 rationale: the probe
+    * relation is broadcast-sized by contract, so collect it once and
+    * derive both the probed-cell static filter and the query side
+    * from the local rows), the cell equi-join of decoded
+    * reconstructions against per-probed-cell query residuals.
+    * [[ivfSq8Serve]] ranks these pairs to top-k;
+    * [[ivfSq8RangeServe]] keeps every pair within a radius. */
+  private def ivfSq8Pairs(codes: DataFrame, cents: Seq[Embeddings.Centroid],
+                          mins: Seq[Long], maxs: Seq[Long],
+                          queries: DataFrame, nprobe: Int,
+                          excludeSelf: Boolean): DataFrame = {
     val spark = queries.sparkSession
     graft.functions.VecDot.register(spark)
     val sorted = cents.sortBy(_.j)
-    // ONE evaluation of the probe ranking (the q79 rationale): the
-    // probe relation is broadcast-sized by contract, so collect it
-    // once and derive both the probed-cell static filter and the
-    // query side from the local rows.
     val probesPlan = Pq.probeCellsRelation(queries, sorted, nprobe)
     val probeRows = probesPlan.collect()
     val probes = spark.createDataFrame(
@@ -286,7 +303,124 @@ object Sq {
     val corpus = decoded(codes.filter(col("cell").isin(probedCells: _*)),
       mins, maxs, keep = Seq("cell"))
     val pairs = corpus.join(broadcast(qres), Seq("cell"))
-    sqTail(if (excludeSelf) pairs.filter(col("neighbor_id") =!= col("q_id")) else pairs, k)
+    if (excludeSelf) pairs.filter(col("neighbor_id") =!= col("q_id")) else pairs
+  }
+
+  /** q89 — RANGE SEARCH (the FAISS `range_search` API shape, the
+    * third retrieval contract after top-k and filtered top-k): every
+    * neighbor within a RADIUS, not a fixed count — the shape
+    * dedup-by-distance, collision detection, and "all near-matches"
+    * audits need, where the answer size is data-dependent by design.
+    * Served ROUTED over IVF+SQ8 (q82's build verbatim): candidates
+    * come from each query's `nprobe` probed cells and pairs keep
+    * `est ≤ tau` instead of ranking to k. Like every IVF serve this
+    * is approximate-by-routing — a true neighbor outside the probed
+    * cells is missed; SqSpec MEASURES range-completeness against the
+    * exact radius scan, the nprobe trade of the range contract.
+    *
+    * Exact-replayable: q82's construction verbatim with the rank cut
+    * replaced by `WHERE est ≤ tau` — the q89 oracle replays it from
+    * the shared CTE chain. Output (q_id, neighbor_id, est) ordered
+    * (q_id, est, neighbor_id); a probe with no neighbor inside the
+    * radius yields no rows (the range contract: empty is an answer).
+    *
+    * Plan shape at 100 TB: identical to q82's serve — the radius
+    * filter rides the SAME scan-pruned cell equi-join, and because
+    * there is no per-query window, the range serve is cheaper than
+    * top-k at equal candidate volume (no rank shuffle: the filter is
+    * a scan-riding predicate after one codegen vec_dot). `tau` is on
+    * the ×1000 integer grid (squared distance), ~1.5% pair density
+    * on the synthetic corpus — production tunes it per-metric as
+    * FAISS does. */
+  val RangeTau = 1450000L
+
+  def ivfSq8RangeSearch(spark: SparkSession, dir: String,
+                        tau: Long = RangeTau, queryMod: Int = 50, nprobe: Int = 2,
+                        nCells: Int = Embeddings.OracleCells,
+                        iters: Int = Embeddings.OracleIters): DataFrame = {
+    val vecs = Caches.persist(Embeddings.quantized(spark, dir))
+    val cents = Embeddings.trainQuantizer(spark, dir, nCells, iters).sortBy(_.j)
+    val residuals = Caches.persist(Pq.residualsOf(spark, dir, cents))
+    val (mins, maxs) = gridBounds(residuals)
+    val codes = encode(residuals, mins, maxs, keep = Seq("cell"))
+    val probes = vecs
+      .filter(col("vec_id") % queryMod === 0 && col("vec_id") < Pq.ProbeCap)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    ivfSq8RangeServe(codes, cents, mins, maxs, probes, tau, nprobe, excludeSelf = true)
+  }
+
+  /** The radius serve behind [[ivfSq8RangeSearch]]: [[ivfSq8Pairs]]
+    * + `est ≤ tau`. ONE definition with the top-k serve's pair
+    * generation and estimate, so range and top-k can never disagree
+    * about what "distance" means. */
+  def ivfSq8RangeServe(codes: DataFrame, cents: Seq[Embeddings.Centroid],
+                       mins: Seq[Long], maxs: Seq[Long],
+                       queries: DataFrame, tau: Long, nprobe: Int = 2,
+                       excludeSelf: Boolean = false): DataFrame = {
+    require(tau >= 0, "radius must be non-negative")
+    withEst(ivfSq8Pairs(codes, cents, mins, maxs, queries, nprobe, excludeSelf))
+      .filter(col("est") <= tau)
+      .select(col("q_id"), col("neighbor_id"), col("est"))
+      .orderBy(col("q_id"), col("est"), col("neighbor_id"))
+  }
+
+  /** q90 — TOMBSTONE DELETE through the index lifecycle (the FAISS
+    * `remove_ids` contract, served through the snapshot protocol):
+    * deleting vectors from a deployed ANN index WITHOUT a rebuild.
+    * The routed SQ8 tier is PUBLISHED as snapshot v1
+    * ([[Storage.upsertSnapshot]]), the delete set (`vec_id %
+    * deleteMod = deleteRem` — 10% of the corpus) lands as a TOMBSTONE
+    * upsert (v2: base minus the deleted keys — the copy-on-write
+    * row-delete this protocol gives plain parquet), superseded v1 is
+    * [[Storage.vacuumSnapshots]]ed, and the serve runs off the
+    * refreshed snapshot — so the GRADED query exercises publish →
+    * tombstone-delete → vacuum → resolve → serve, the full mutation
+    * loop a production deployment runs when GDPR/takedown deletions
+    * arrive. Training and routing are NOT redone (the frozen-index
+    * contract, as in q87): deletion changes the candidate set only.
+    *
+    * Semantics pinned: deleted ids never appear as neighbors; a
+    * DELETED id still works as a QUERY (query vectors are external
+    * by contract — deletion removes a vector from the INDEX, not
+    * from the world); a probe whose probed cells lost rows returns
+    * what remains (possibly < k — deletion is the filter trade,
+    * same as q86's selector).
+    *
+    * Exact-replayable: because the tombstone merge is exactly "base
+    * rows minus deleted keys" and [[encode]] is row-local, the
+    * refreshed snapshot's serve is bit-identical to filtering the
+    * codes relation — the q90 oracle replays q82's chain with
+    * `vec_id % deleteMod <> deleteRem` on the corpus side; the
+    * protocol path producing the same rows IS the graded claim.
+    *
+    * Plan shape at 100 TB: the delete pays one copy-on-write tier
+    * rewrite (64 B/vec — never the raw corpus, never the trainer,
+    * the q87 ingest economics); the serve is q82's verbatim over a
+    * smaller tier. */
+  def ivfSq8DeleteTopK(spark: SparkSession, dir: String,
+                       k: Int = 5, queryMod: Int = 50, nprobe: Int = 2,
+                       nCells: Int = Embeddings.OracleCells,
+                       iters: Int = Embeddings.OracleIters,
+                       deleteMod: Int = 10, deleteRem: Int = 3): DataFrame = {
+    val vecs = Caches.persist(Embeddings.quantized(spark, dir))
+    val cents = Embeddings.trainQuantizer(spark, dir, nCells, iters).sortBy(_.j)
+    val residuals = Caches.persist(Pq.residualsOf(spark, dir, cents))
+    val (mins, maxs) = gridBounds(residuals)
+    val codes = encode(residuals, mins, maxs, keep = Seq("cell"))
+    // the REAL mutation loop, not a simulation: publish, tombstone,
+    // vacuum the superseded version, serve the resolved snapshot
+    val root = java.nio.file.Files.createTempDirectory("ivfsq8-del").toString
+    Storage.upsertSnapshot(spark, root, codes, "vec_id")
+    Storage.upsertSnapshot(spark, root,
+      codes.filter(col("vec_id") % deleteMod === deleteRem)
+        .withColumn("__deleted", lit(true)),
+      "vec_id", deleteCol = Some("__deleted"))
+    Storage.vacuumSnapshots(spark, root, keepLast = 1)
+    val tier = Storage.readSnapshot(spark, root)
+    val probes = vecs
+      .filter(col("vec_id") % queryMod === 0 && col("vec_id") < Pq.ProbeCap)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    ivfSq8Serve(tier, cents, mins, maxs, probes, k, nprobe, excludeSelf = true)
   }
 
   /** q86 — FILTERED IVF+SQ8 top-k (the FAISS `IDSelector` / filtered-

@@ -106,4 +106,38 @@ class PlanAuditSpec extends SparkSpec {
       s"q86's label selector is not a scan-riding filter:\n$plan")
     graft.ops.Caches.releaseAll(spark)
   }
+
+  test("q89 range serve keeps the routed shape and pays NO rank window — the radius is a scan-riding predicate") {
+    // range search's 100 TB claim: same pruned cell equi-join as the
+    // ranked serve, but the per-query row_number window (a rank
+    // shuffle over every candidate) is GONE — the radius cut is a
+    // plain Filter on the estimate right after the codegen vec_dot
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val plan = graft.ops.Sq.ivfSq8RangeSearch(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q89 planned an all-pairs join:\n$plan")
+    assert("cell#\\d+L? (IN|INSET)".r.findFirstIn(plan).isDefined,
+      s"q89 lost the probed-cell static filter:\n$plan")
+    assert(plan.contains(graft.ops.Sq.RangeTau.toString),
+      s"q89's radius predicate is not in the executed plan:\n$plan")
+    assert(!plan.contains("Window"),
+      s"q89 must not pay a per-query rank window — the range contract has no k:\n$plan")
+    graft.ops.Caches.releaseAll(spark)
+  }
+
+  test("q90 delete serve keeps q82's routed shape over the refreshed snapshot") {
+    // the tombstone rewrite must not cost the serve its plan: the
+    // snapshot read is a plain parquet scan carrying the probed-cell
+    // IN filter, candidates meet probes through the broadcast cell
+    // equi-join, and nothing degenerates to an all-pairs join
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val plan = graft.ops.Sq.ivfSq8DeleteTopK(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"q90 planned an all-pairs join:\n$plan")
+    assert("cell#\\d+L? (IN|INSET)".r.findFirstIn(plan).isDefined,
+      s"q90 lost the probed-cell static filter:\n$plan")
+    graft.ops.Caches.releaseAll(spark)
+  }
 }

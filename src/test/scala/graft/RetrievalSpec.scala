@@ -188,4 +188,100 @@ class RetrievalSpec extends SparkSpec {
       graft.ops.Caches.releaseAll(spark)
     }
   }
+
+  test("rrfFuse: exact-integer RRF laws — consensus wins, absent leg contributes 0, ties break on doc_id") {
+    // q1 lexical: docs 10, 11, 12 at ranks 1..3; semantic: 12, 13 at
+    // ranks 1..2. Doc 12 sits on BOTH lists (consensus); 11 and 13
+    // land the identical single-leg rank-2 score (integer tie).
+    // q2 appears on the semantic leg ONLY (a zero-term lexical query).
+    val lex = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L))
+      .toDF("query_id", "rank", "doc_id")
+    val sem = Seq((1L, 1L, 12L), (1L, 2L, 13L), (2L, 1L, 20L))
+      .toDF("query_id", "rank", "doc_id")
+    val got = Retrieval.rrfFuse(lex, sem, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def c(r: Long) = Retrieval.RrfScale / (Retrieval.RrfK0 + r)
+    val q1 = Seq((12L, c(3) + c(1)), (10L, c(1)), (11L, c(2)), (13L, c(2)))
+      .sortBy { case (d, s) => (-s, d) }
+      .zipWithIndex.map { case ((d, s), i) => (1L, (i + 1).toLong, d, s) }
+    val q2 = Seq((2L, 1L, 20L, c(1)))
+    assert(got.toSeq == q1 ++ q2)
+    // the fixture's load-bearing shape: consensus doc 12 must outrank
+    // the lexical winner despite its worse single-leg ranks, and the
+    // 11-vs-13 integer tie must fall to the smaller doc_id
+    assert(got(0)._3 == 12L && got(1)._3 == 10L)
+    assert(got(2)._3 == 11L && got(3)._3 == 13L && got(2)._4 == got(3)._4)
+    intercept[IllegalArgumentException](Retrieval.rrfFuse(lex, sem, 0))
+  }
+
+  test("bm25TopK excludeSelf: drops only the self doc with contiguous re-ranking; external query ids unaffected") {
+    val docs = Seq(
+      (1L, "apple banana cherry"), (2L, "apple banana"), (3L, "apple"),
+      (4L, "durian elderberry")).toDF("doc_id", "text")
+    val ix = Retrieval.bm25Build(docs)
+    // query 1 IS doc 1: with excludeSelf its own doc vanishes and the
+    // remaining ranks stay contiguous from 1
+    val self = Seq((1L, "apple banana cherry")).toDF("query_id", "query")
+    val kept = Retrieval.bm25TopK(ix, self, k = 10, excludeSelf = true).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(!kept.map(_._2).contains(1L), "self doc survived excludeSelf")
+    assert(kept.map(_._1).toSeq == (1 to kept.length), "ranks not contiguous after self exclusion")
+    // an EXTERNAL query id collides with no doc — excludeSelf is a no-op
+    val ext = Seq((999L, "apple banana")).toDF("query_id", "query")
+    val a = Retrieval.bm25TopK(ix, ext, k = 10, excludeSelf = true).collect().toSeq
+    val b = Retrieval.bm25TopK(ix, ext, k = 10, excludeSelf = false).collect().toSeq
+    assert(a == b, "excludeSelf changed an external query's answer")
+    graft.ops.Caches.releaseAll(spark)
+  }
+
+  test("hybridRrfDocs: the fused ranking replays from the two legs, and both legs genuinely contribute") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val got = Retrieval.hybridRrfDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.ops.Caches.releaseAll(spark)
+    assert(got.nonEmpty)
+    // replay the two legs through their own public entry points and
+    // fuse in plain Scala — the fused operator must agree bit-exactly
+    val docs = graft.ops.Tables.documents(spark, dir)
+    val ix = Retrieval.bm25Build(docs)
+    val probes = spark.sql(
+      s"""SELECT doc_id AS query_id,
+            concat_ws(' ', slice(filter(split(lower(text), '\\\\s+'), t -> length(t) > 0), 1, 8)) AS query
+          FROM parquet.`$dir/documents.parquet`
+          WHERE doc_id % 100 = 0 AND doc_id < ${graft.ops.Pq.ProbeCap}""")
+    val lex = Retrieval.bm25TopK(ix, probes, k = 10, excludeSelf = true).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getInt(1).toLong)).toMap
+    graft.ops.Caches.releaseAll(spark)
+    val sem = graft.ops.Sq.ivfSq8TopK(spark, dir, k = 10, queryMod = 100).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
+    graft.ops.Caches.releaseAll(spark)
+    def c(r: Long) = Retrieval.RrfScale / (Retrieval.RrfK0 + r)
+    val want = (lex.keySet ++ sem.keySet).groupBy(_._1).toSeq.flatMap { case (q, pairs) =>
+      pairs.toSeq.map { case (_, d) =>
+        (q, d, lex.get((q, d)).map(c).getOrElse(0L) + sem.get((q, d)).map(c).getOrElse(0L))
+      }.sortBy { case (_, d, s) => (-s, d) }.take(10)
+        .zipWithIndex.map { case ((_, d, s), i) => (q, (i + 1).toLong, d, s) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want, "hybrid fusion diverged from the plain-Scala leg replay")
+    // non-vacuity: each leg must contribute candidates the other leg
+    // does not have — otherwise the fusion never exercises its
+    // absent-leg-0 branch
+    val lexOnly = lex.keySet -- sem.keySet
+    val semOnly = sem.keySet -- lex.keySet
+    assert(lexOnly.nonEmpty && semOnly.nonEmpty,
+      s"legs identical (lexOnly=${lexOnly.size}, semOnly=${semOnly.size}) — fusion fixture vacuous")
+  }
+
+  test("rrfFuse plan: candidate-sized broadcast joins only — no sort-merge shuffle, no cartesian") {
+    val lex = Seq((1L, 1L, 10L)).toDF("query_id", "rank", "doc_id")
+    val sem = Seq((1L, 1L, 12L)).toDF("query_id", "rank", "doc_id")
+    val plan = Retrieval.rrfFuse(lex, sem).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"rrfFuse shuffled a top-list-bounded side:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"rrfFuse planned an all-pairs join:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"rrfFuse's leg attaches must broadcast:\n$plan")
+  }
 }

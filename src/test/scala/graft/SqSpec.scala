@@ -309,4 +309,103 @@ class SqSpec extends SparkSpec {
     assert(refined >= adc - 0.05,
       s"SQ8 refine ($refined) lost to the plain routed ADC ranking ($adc) by more than reconstruction-error slack")
   }
+
+  test("ivfSq8RangeSearch: radius law, ranked-serve identity, every exact-radius miss explained") {
+    val dir01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir01).isDirectory, "testdata not present")
+    val tau = Sq.RangeTau
+    val got = Sq.ivfSq8RangeSearch(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.ops.Caches.releaseAll(spark)
+    assert(got.nonEmpty, "the oracle-SF fixture must return in-radius pairs")
+    assert(got.forall(_._3 <= tau), "a returned pair exceeds the radius")
+    assert(got.sortBy(t => (t._1, t._3, t._2)).toSeq == got.toSeq,
+      "(q_id, est, neighbor_id) output ordering violated")
+
+    // identity with the ranked serve: range ≡ est-filtered saturating
+    // top-k — the two contracts share pair generation and estimate
+    val full = Sq.ivfSq8TopK(spark, dir01, k = 1 << 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).filter(_._3 <= tau).toSet
+    graft.ops.Caches.releaseAll(spark)
+    assert(got.toSet == full, "range serve diverged from the est-filtered ranked serve")
+
+    // completeness vs the EXACT radius, with every miss EXPLAINED:
+    // either the neighbor's home cell was not probed (the routing
+    // trade) or the SQ8 reconstruction pushed est past tau (the
+    // compression trade). An unexplained miss is a bug, not a trade.
+    val raw = spark.read.parquet(s"$dir01/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toIndexedSeq))
+      .toMap
+    val probes = raw.keySet.filter(q => q % 50 == 0 && q < Pq.ProbeCap)
+    val exact = for {
+      q <- probes.toSeq; n <- raw.keySet.toSeq; if n != q
+      d = raw(q).indices.map { i => val t = raw(q)(i) - raw(n)(i); t * t }.sum
+      if d <= tau
+    } yield (q, n)
+    assert(exact.nonEmpty, "no exact pair inside the radius — fixture vacuous")
+    val gotSet = got.map(t => (t._1, t._2)).toSet
+    val recall = exact.count(gotSet).toDouble / exact.size
+    // saturating probe (every cell) → any pair still past tau is
+    // compression, not routing
+    val gotAll = Sq.ivfSq8TopK(spark, dir01, k = 1 << 20,
+        nprobe = Embeddings.OracleCells).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    graft.ops.Caches.releaseAll(spark)
+    val (cents, _, _) = Sq.trainIvfSq8(spark, dir01)
+    graft.ops.Caches.releaseAll(spark)
+    val sorted = cents.sortBy(_.j)
+    // the engine's fused distance: exact-integer Σ(n·q−s)², ONE IEEE
+    // division by n² — replayed to derive home and probed cells
+    def dist(v: IndexedSeq[Long], c: Embeddings.Centroid): Double =
+      v.indices.map { i => val t = c.n * v(i) - c.s(i); t * t }.sum.toDouble /
+        (c.n.toDouble * c.n)
+    def home(id: Long): Long = sorted.minBy(c => (dist(raw(id), c), c.j)).j
+    def probedOf(q: Long): Set[Long] =
+      sorted.map(c => (dist(raw(q), c), c.j)).sorted.take(2).map(_._2).toSet
+    exact.filterNot(gotSet).foreach { case (q, n) =>
+      val routed = !probedOf(q).contains(home(n))
+      val compressed = gotAll.get((q, n)).forall(_ > tau)
+      assert(routed || compressed, s"unexplained range miss ($q, $n)")
+    }
+    info(f"range completeness vs exact radius: $recall%.3f over ${exact.size} exact pairs")
+    assert(recall >= 0.3, s"range completeness collapsed to $recall at nprobe=2")
+  }
+
+  test("ivfSq8DeleteTopK: protocol path ≡ pure filter serve; deleted ids vanish as neighbors yet still probe") {
+    val dir01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir01).isDirectory, "testdata not present")
+    // deleteRem = 0 puts EVERY probe id (multiples of 50) in the
+    // delete set: the probes' own vectors leave the index, and the
+    // external-query contract says they must still be answerable
+    val got = Sq.ivfSq8DeleteTopK(spark, dir01, deleteMod = 10, deleteRem = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.ops.Caches.releaseAll(spark)
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 % 10 != 0), "a deleted id surfaced as a neighbor")
+    assert(got.map(_._1).toSet.forall(_ % 10 == 0) && got.nonEmpty,
+      "fixture lost its deleted-probe property (probes are multiples of 50)")
+    // the graded claim: the snapshot lifecycle (publish v1 → tombstone
+    // upsert v2 → vacuum → resolve → serve) produces BIT-IDENTICAL
+    // rows to serving the filtered codes relation directly
+    val (cents, mins, maxs) = Sq.trainIvfSq8(spark, dir01)
+    val codes = Sq.ivfSq8Codes(spark, dir01, cents, mins, maxs)
+    val queries = Embeddings.quantized(spark, dir01)
+      .filter(col("vec_id") % 50 === 0 && col("vec_id") < Pq.ProbeCap)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    val twin = Sq.ivfSq8Serve(codes.filter(col("vec_id") % 10 =!= 0),
+        cents, mins, maxs, queries, k = 5, nprobe = 2, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.ops.Caches.releaseAll(spark)
+    assert(got.toSeq == twin.toSeq,
+      "the snapshot-protocol delete path diverged from the pure filter serve")
+    // non-vacuity: before deletion, some deleted id WAS a neighbor —
+    // the tombstones really changed answers
+    val undeleted = Sq.ivfSq8TopK(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    graft.ops.Caches.releaseAll(spark)
+    assert(undeleted.exists(_._2 % 10 == 0),
+      "fixture vacuous: no deleted id was ever a neighbor in the undeleted serve")
+  }
 }
