@@ -135,6 +135,7 @@ object SparkEntry {
     "q88_hybrid_rrf"        -> ((s, d) => Retrieval.hybridRrfDocs(s, d)),
     "q89_range_search"      -> ((s, d) => Sq.ivfSq8RangeSearch(s, d)),
     "q90_delete_serve"      -> ((s, d) => Sq.ivfSq8DeleteTopK(s, d)),
+    "q91_pq_balanced"       -> ((s, d) => Pq.pqTopKBalanced(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -1973,5 +1974,23 @@ object SparkEntry {
          $IvfResidualCtes,
          $SqResidualCtes,
          ${sqServeTail(extraWhere = " AND c.vec_id % 10 <> 3")}""",
+    // OPQ-lite: per-dim variance n·Σx²−(Σx)² (exact integer, no
+    // division), rank (variance DESC, d ASC), round-robin deal rank r
+    // → slot (r mod M)·SubDim + r div M, then the q77 trajectory
+    // verbatim over the PERMUTED source relation — training, codes,
+    // ADC tables, serve all replay through pqCtes("vp").
+    "q91_pq_balanced" ->
+      s"""WITH q AS (
+           SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         pdims AS (SELECT unnest(generate_series(1,64)) AS d),
+         pstat AS (SELECT d, CAST(count(*) AS BIGINT) AS n, CAST(sum(q.qv[d]) AS BIGINT) AS s1,
+               CAST(sum(q.qv[d]*q.qv[d]) AS BIGINT) AS s2 FROM q, pdims GROUP BY d),
+         pperm AS (SELECT d, row_number() OVER (ORDER BY (n*s2 - s1*s1) DESC, d) - 1 AS r FROM pstat),
+         vp AS MATERIALIZED (SELECT q.vec_id,
+               list(q.qv[p.d] ORDER BY (p.r % ${Pq.M})*${Pq.SubDim} + (p.r // ${Pq.M})) AS qv
+             FROM q, pperm p GROUP BY q.vec_id),
+         ${pqCtes("vp")}
+         SELECT q_id, rank, neighbor_id, est FROM pqtopk ORDER BY q_id, rank""",
   )
 }

@@ -322,14 +322,108 @@ object Pq {
   def pqTopK(spark: SparkSession, dir: String,
              k: Int = 5, queryMod: Int = 50,
              iters: Int = Embeddings.OracleIters,
-             nCodes: Int = K): DataFrame = {
-    val vecs = Caches.persist(Embeddings.quantized(spark, dir))
+             nCodes: Int = K): DataFrame =
+    pqTopKOn(Caches.persist(Embeddings.quantized(spark, dir)),
+      k, queryMod, iters, nCodes)
+
+  /** [[pqTopK]] over an EXPLICIT (vec_id, qv) relation — the seam
+    * that lets q91 run the identical train→encode→ADC-serve pipeline
+    * over the PERMUTED corpus: train, encode, probe (`vec_id %
+    * queryMod` under the cap), serve, all against `vecs`. */
+  private[graft] def pqTopKOn(vecs: DataFrame,
+                              k: Int = 5, queryMod: Int = 50,
+                              iters: Int = Embeddings.OracleIters,
+                              nCodes: Int = K): DataFrame = {
+    // callers arriving through quantized() already registered the
+    // codegen dot product; an explicit (vec_id, qv) relation has not
+    graft.functions.VecDot.register(vecs.sparkSession)
     val books = trainCodebooks(vecs, iters, nCodes)
     val codes = encode(vecs, books)
     val probes = vecs
       .filter(col("vec_id") % queryMod === 0 && col("vec_id") < ProbeCap)
       .select(col("vec_id").as("q_id"), col("qv"))
     adcServe(codes, books, probes, k, excludeSelf = true)
+  }
+
+  /** q91 — VARIANCE-BALANCED SUBSPACE ASSIGNMENT (the OPQ idea in
+    * its exact-integer form): plain PQ splits dims CONTIGUOUSLY into
+    * M subspaces, so when variance concentrates in a few dims one
+    * codebook models most of the signal and the others model noise —
+    * the imbalance OPQ (Ge et al. 2013, "Optimized Product
+    * Quantization") fixes with a learned rotation. A full rotation
+    * is a dense float matrix (not exactly replayable); the
+    * exact-integer transform that captures the dominant effect is a
+    * data-learned PERMUTATION — an orthogonal transform too — that
+    * BALANCES per-dim variance across subspaces: rank dims by
+    * corpus variance (exact integer: n·Σx² − (Σx)², no division) and
+    * DEAL them round-robin, rank r → subspace r mod M, position
+    * r div M — each subspace receives an equal share of the
+    * high-variance dims (the eigenvalue-allocation intuition of OPQ
+    * §4, applied to coordinates instead of eigenvectors).
+    *
+    * A permutation is an isometry, so EXACT distances are untouched
+    * (PqSpec property-pins it) — only the ADC estimate changes,
+    * through the subspace composition the codebooks train on. The
+    * recall effect is measured on both corpus geometries in PqSpec /
+    * GeometryRecall: near-zero on the near-isotropic synthetic table
+    * (per-dim variances are ~equal — nothing to balance), positive
+    * where variance concentrates (the clustered fixture).
+    *
+    * Everything downstream is [[pqTopKOn]] verbatim — training,
+    * encoding, the ADC serve all run over the permuted relation, and
+    * the q91 oracle replays ranking + permutation + the q77 chain
+    * over the permuted source CTE.
+    *
+    * Plan shape at 100 TB: the statistics pass is ONE 64-group
+    * aggregate (posexplode → groupBy pos, map-side partials — the
+    * gridBounds shape; the shuffle carries 64 rows); the permutation
+    * itself is a scan-riding projection of 64 `element_at`s (fixed
+    * by Dim, not by corpus); everything else is exactly q77's plan. */
+  def pqTopKBalanced(spark: SparkSession, dir: String,
+                     k: Int = 5, queryMod: Int = 50,
+                     iters: Int = Embeddings.OracleIters,
+                     nCodes: Int = K): DataFrame = {
+    val vecs = Caches.persist(Embeddings.quantized(spark, dir))
+    val perm = balancedPerm(vecs)
+    pqTopKOn(Caches.persist(
+        vecs.select(col("vec_id"), permuteCol(perm).as("qv"))),
+      k, queryMod, iters, nCodes)
+  }
+
+  /** The learned permutation: slot → source dim (0-based). Per-dim
+    * moments come off ONE distributed 64-group aggregate; the
+    * variance comparison n·Σx² − (Σx)² is done driver-side in BigInt
+    * (overflow-free at any corpus size — the Long sums themselves
+    * are safe to ~10¹² rows on the ×1000 grid). Ties rank by the
+    * smaller dim, so the permutation is deterministic and the q91
+    * oracle replays it with the same (variance DESC, d ASC) window. */
+  private[graft] def balancedPerm(vecs: DataFrame): IndexedSeq[Int] = {
+    val rows = vecs
+      .select(posexplode(col("qv")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .collect()
+    require(rows.length == Embeddings.Dim,
+      s"variance pass aggregated ${rows.length} dims (want ${Embeddings.Dim})")
+    val ranked = rows
+      .map(r => (r.getAs[Int]("pos"),
+        BigInt(r.getAs[Long]("n")) * BigInt(r.getAs[Long]("s2")) -
+          BigInt(r.getAs[Long]("s1")).pow(2)))
+      .sortWith { case ((d1, v1), (d2, v2)) => v1 > v2 || (v1 == v2 && d1 < d2) }
+    val perm = new Array[Int](Embeddings.Dim)
+    ranked.zipWithIndex.foreach { case ((d, _), r) =>
+      perm((r % M) * SubDim + r / M) = d
+    }
+    perm.toIndexedSeq
+  }
+
+  /** The permutation as a scan-riding projection: 64 `element_at`s
+    * over the qv array — fixed plan size, codegen, zero shuffle. */
+  private[graft] def permuteCol(perm: Seq[Int]): Column = {
+    require(perm.sorted == perm.indices, "not a permutation of the dims")
+    expr(perm.map(d => s"element_at(qv, ${d + 1})")
+      .mkString("array(", ",", ")"))
   }
 
   /** q80 — [[pqTopK]] with the CODEBOOK SIZE derived from the corpus

@@ -73,6 +73,7 @@ object GeometryRecall {
       measured("lsh_q27")(Embeddings.annTopK(spark, dir)),
       measured("ivf_q31")(Embeddings.ivfTopK(spark, dir)),
       measured("pq_q77")(Pq.pqTopK(spark, dir)),
+      measured("pq_balanced_q91")(Pq.pqTopKBalanced(spark, dir)),
       measured("pq_scaled_q80")(Pq.pqTopKScaled(spark, dir)),
       measured("ivfpq_q79")(Pq.ivfPqTopK(spark, dir)),
       measured("sq8_q81")(Sq.sq8TopK(spark, dir)),

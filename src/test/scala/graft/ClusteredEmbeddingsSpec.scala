@@ -50,7 +50,8 @@ class ClusteredEmbeddingsSpec extends SparkSpec {
     val line = GeometryRecall.report(spark, t)
     val vals = """"([a-z0-9_]+)":([0-9.]+)""".r.findAllMatchIn(line)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    val keys = Seq("lsh_q27", "ivf_q31", "pq_q77", "pq_scaled_q80",
+    val keys = Seq("lsh_q27", "ivf_q31", "pq_q77", "pq_balanced_q91",
+      "pq_scaled_q80",
       "ivfpq_q79", "sq8_q81", "ivfsq8_q82", "refine_q83", "ivfpqsq8refine_q85")
     keys.foreach { k =>
       assert(vals.contains(k), s"$k missing from $line")

@@ -25,10 +25,12 @@ class PlanAuditSpec extends SparkSpec {
   // shape (broadcast build side = the probe batch). q83's STAGE 1 is
   // the q77 ADC scan (allowed); its refine stage must stay equi (the
   // dedicated test below pins it).
+  // q91 is the q77 ADC serve over the permuted relation — the same
+  // definitional codes-scan-per-probe shape.
   private val BnljAllowed =
     Set("q16_owners_glob_join", "q45_brute_topk", "q48_source_mix",
       "q74_temperature_mix", "q77_pq_topk", "q78_knn_classify",
-      "q80_pq_scaled", "q81_sq8_topk", "q83_pq_refine")
+      "q80_pq_scaled", "q81_sq8_topk", "q83_pq_refine", "q91_pq_balanced")
 
   test("no CartesianProduct in any query plan; BNLJ only where all-pairs IS the operator") {
     assume(new java.io.File(dir).isDirectory, "testdata not present")

@@ -322,4 +322,132 @@ class PqSpec extends SparkSpec {
     // arithmetic, not the classifier quality.
     assert(want.toSeq.map(_._2).sum == pred.size.toLong)
   }
+
+  test("balancedPerm: a true permutation — variance-ranked (exact BigInt), dealt round-robin") {
+    val vecs = graft.ops.Embeddings.quantized(spark, dir)
+    val perm = Pq.balancedPerm(vecs)
+    graft.ops.Caches.releaseAll(spark)
+    assert(perm.sorted == perm.indices, "not a permutation of 0 until 64")
+    // plain-Scala replay of the ranking + deal
+    val qvs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(_.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toIndexedSeq)
+    val n = BigInt(qvs.length)
+    val ranked = (0 until graft.ops.Embeddings.Dim).map { d =>
+      val xs = qvs.map(_(d))
+      (d, n * xs.map(x => BigInt(x) * x).sum - xs.map(BigInt(_)).sum.pow(2))
+    }.sortWith { case ((d1, v1), (d2, v2)) => v1 > v2 || (v1 == v2 && d1 < d2) }
+    ranked.zipWithIndex.foreach { case ((d, _), r) =>
+      assert(perm((r % Pq.M) * Pq.SubDim + r / Pq.M) == d,
+        s"rank-$r dim $d not dealt to subspace ${r % Pq.M} position ${r / Pq.M}")
+    }
+    // the deal genuinely reorders (identity would make q91 vacuous)
+    assert(perm != perm.indices, "balanced permutation degenerated to identity")
+  }
+
+  test("permuteCol is an isometry: exact pairwise integer distances unchanged under the permutation") {
+    val vecs = graft.ops.Embeddings.quantized(spark, dir)
+    val perm = Pq.balancedPerm(vecs)
+    val orig = vecs.select("vec_id", "qv").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    val permd = vecs.select(col("vec_id"), Pq.permuteCol(perm).as("qv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    graft.ops.Caches.releaseAll(spark)
+    def d2(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      a.indices.map { i => val t = a(i) - b(i); t * t }.sum
+    val ids = orig.keySet.toSeq.sorted.take(20)
+    for (a <- ids; b <- ids if a < b)
+      assert(d2(orig(a), orig(b)) == d2(permd(a), permd(b)),
+        s"permutation changed the exact distance between $a and $b")
+    // and each permuted vector is the permutation of the original
+    ids.foreach(id => assert(permd(id) == perm.map(orig(id)(_)).toIndexedSeq))
+    intercept[IllegalArgumentException](Pq.permuteCol(Seq(0, 0) ++ (2 until 64)))
+  }
+
+  test("pqTopKBalanced: serve contract holds and recall does not collapse vs plain PQ on clustered geometry") {
+    // the geometry where balancing has something to balance: cluster
+    // centers spread per-dim variance unevenly (between-cluster
+    // variance differs per dim), unlike the near-isotropic testdata
+    val t = java.nio.file.Files.createTempDirectory("pqbal").toString
+    graft.tools.ClusteredEmbeddings.run(spark, t, n = 500, nClusters = 10)
+    def sets(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .map { case (q, g) => q -> g.map(_._2).toSet }
+    val brute = sets(graft.ops.Embeddings.bruteTopK(spark, t).collect())
+    graft.ops.Caches.releaseAll(spark)
+    def recall(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val g = sets(rows)
+      assert(g.keySet == brute.keySet, "probe sets diverged")
+      brute.keys.toSeq.map(q => (g(q) & brute(q)).size.toDouble / brute(q).size)
+        .sum / brute.size
+    }
+    val bal = Pq.pqTopKBalanced(spark, t).collect()
+    // contract: 5 rows per probe, self excluded, (q_id, rank) ordered
+    assert(bal.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      bal.map(_.getLong(0)).distinct.toSeq.flatMap(q => (1L to 5L).map(q -> _)))
+    assert(bal.forall(r => r.getLong(0) != r.getLong(2)), "self not excluded")
+    val rb = recall(bal)
+    graft.ops.Caches.releaseAll(spark)
+    val rp = recall(Pq.pqTopK(spark, t).collect())
+    graft.ops.Caches.releaseAll(spark)
+    info(f"clustered-geometry recall@5: balanced $rb%.3f vs contiguous $rp%.3f")
+    // balancing is a heuristic, not a theorem: allow one-neighbor
+    // slack (10 probes × k=5 → 0.02/neighbor) but catch a collapse —
+    // a broken permutation pipeline scores near zero
+    assert(rb >= rp - 0.06,
+      s"balanced PQ recall ($rb) collapsed vs contiguous ($rp) beyond slack")
+  }
+
+  test("the OPQ win is real: on an ANISOTROPIC corpus balanced subspaces beat the contiguous split") {
+    // The geometry balancing exists for (Ge 2013 §1): variance
+    // concentrated in few dims. Four high-amplitude dims 0..3 (the
+    // signal — distinct amplitudes so the variance ranking is strict)
+    // and 60 near-zero noise dims. The CONTIGUOUS split dumps all
+    // four signal dims into subspace 0 — 16 codes must grid a 4-D
+    // volume (2 levels/dim) while three codebooks quantize noise; the
+    // BALANCED deal sends one signal dim to each subspace — 16 codes
+    // each on ~1 effective dim. Deterministic splitmix64 fixture (the
+    // ClusteredEmbeddings discipline).
+    import spark.implicits._
+    val sm = graft.tools.ClusteredEmbeddings
+    val n = 400L
+    val amps = IndexedSeq(1000L, 950L, 900L, 850L)
+    def vec(id: Long): Seq[Long] = (0 until Embeddings.Dim).map { d =>
+      val u = sm.u01(sm.splitmix64(id * 64 + d))
+      if (d < 4) math.floor(amps(d) * (2 * u - 1)).toLong
+      else math.floor(20 * u - 10).toLong
+    }
+    val rows = (0L until n).map(id => (id, vec(id)))
+    val vecs = rows.toDF("vec_id", "qv")
+    val perm = Pq.balancedPerm(vecs)
+    // the balancing must separate the signal dims: exactly one of
+    // dims 0..3 per subspace (they hold ranks 0..3 by construction)
+    (0 until Pq.M).foreach { m =>
+      val sub = (0 until Pq.SubDim).map(p => perm(m * Pq.SubDim + p)).filter(_ < 4)
+      assert(sub.size == 1, s"subspace $m got signal dims $sub — deal broken")
+    }
+    // exact ranking in plain Scala
+    val byId = rows.toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.indices.map { i => val t = a(i) - b(i); t * t }.sum
+    val want = (0L until n by 50).map { q =>
+      q -> rows.collect { case (id, v) if id != q => (d2(byId(q), v), id) }
+        .sorted.take(5).map(_._2).toSet
+    }.toMap
+    def recall(rows2: Array[org.apache.spark.sql.Row]): Double = {
+      val g = rows2.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .map { case (q, g0) => q -> g0.map(_._2).toSet }
+      assert(g.keySet == want.keySet)
+      want.keys.toSeq.map(q => (g(q) & want(q)).size.toDouble / want(q).size)
+        .sum / want.size
+    }
+    val rp = recall(Pq.pqTopKOn(vecs).collect())
+    graft.ops.Caches.releaseAll(spark)
+    val rb = recall(Pq.pqTopKOn(
+      vecs.select(col("vec_id"), Pq.permuteCol(perm).as("qv"))).collect())
+    graft.ops.Caches.releaseAll(spark)
+    info(f"anisotropic recall@5: balanced $rb%.3f vs contiguous $rp%.3f")
+    assert(rb > rp,
+      s"balanced subspaces ($rb) must beat the contiguous split ($rp) where variance concentrates")
+  }
 }
