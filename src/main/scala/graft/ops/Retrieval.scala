@@ -234,10 +234,21 @@ object Retrieval {
       .filter(col("doc_id") % queryMod === 0 && col("doc_id") < Pq.ProbeCap)
       .select(col("doc_id").as("query_id"),
         concat_ws(" ", slice(termsOf(col("text")), 1, 8)).as("query"))
-    val lex = bm25TopK(ix, probes, perList, excludeSelf = true)
-      .select(col("query_id"), col("rank"), col("doc_id"))
-    val sem = Sq.ivfSq8TopK(spark, dir, k = perList, queryMod = queryMod, nprobe = nprobe)
-      .select(col("q_id").as("query_id"), col("rank"), col("neighbor_id").as("doc_id"))
+    // Each leg feeds rrfFuse TWICE (the candidate union and its
+    // rank-attach join), and each leg carries a full index build
+    // (postings + idf model; IVF training + bounds). Persist the leg
+    // TOP LISTS — ≤ nQueries·perList rows each, trivially memory-safe
+    // — so the builds run once per leg instead of twice (measured:
+    // q88 6.1 → ~3.4 s at sf0.1). Session-lived via the [[Caches]]
+    // contract; the streaming seam does NOT persist its per-batch
+    // legs (there the corpus-sized sides are already cached and the
+    // per-batch leg cost is probe-sized — a per-batch registry entry
+    // would leak until releaseAll instead).
+    val lex = Caches.persist(bm25TopK(ix, probes, perList, excludeSelf = true)
+      .select(col("query_id"), col("rank"), col("doc_id")))
+    val sem = Caches.persist(
+      Sq.ivfSq8TopK(spark, dir, k = perList, queryMod = queryMod, nprobe = nprobe)
+        .select(col("q_id").as("query_id"), col("rank"), col("neighbor_id").as("doc_id")))
     rrfFuse(lex, sem, k)
   }
 }
