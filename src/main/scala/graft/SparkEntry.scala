@@ -136,6 +136,7 @@ object SparkEntry {
     "q89_range_search"      -> ((s, d) => Sq.ivfSq8RangeSearch(s, d)),
     "q90_delete_serve"      -> ((s, d) => Sq.ivfSq8DeleteTopK(s, d)),
     "q91_pq_balanced"       -> ((s, d) => Pq.pqTopKBalanced(s, d)),
+    "q92_mmr_rerank"        -> ((s, d) => Mmr.mmrRerankTopK(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -600,6 +601,53 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
            FROM isqest) t
          WHERE rn <= 5 ORDER BY q_id, rank"""
+
+  /** q92's replay — MMR over routed candidates: the q82 chain cut at
+    * RefineR candidates per probe (mcand), candidates re-joined to the
+    * exact grid for rel = dist(q,d) and the pairwise distances
+    * (mrel/mpw), then [[graft.ops.Mmr.mmrSelect]]'s k = 5 greedy
+    * rounds UNROLLED as CTEs — round i attaches dv = min distance to
+    * the selected set s(i−1) (selected candidates excluded via NOT
+    * EXISTS, exactly the Spark side's anti-join) and picks the
+    * (rel − dv, neighbor_id) argmin per query. Every score is a
+    * BIGINT on the q45 grid, so the greedy trajectory replays
+    * bit-for-bit. */
+  private val MmrOracle: String = {
+    val rounds = (2 to 5).map { i =>
+      s"""mm$i AS (SELECT p.q_id, p.a AS neighbor_id, min(p.d_ab) AS dv
+           FROM mpw p JOIN ms${i - 1} s ON s.q_id = p.q_id AND s.neighbor_id = p.b
+           WHERE NOT EXISTS (SELECT 1 FROM ms${i - 1} z
+                             WHERE z.q_id = p.q_id AND z.neighbor_id = p.a)
+           GROUP BY p.q_id, p.a),
+         mp$i AS (SELECT q_id, neighbor_id, rel, CAST($i AS BIGINT) AS rank FROM (
+             SELECT r.q_id, r.neighbor_id, r.rel,
+               row_number() OVER (PARTITION BY r.q_id ORDER BY r.rel - m.dv, r.neighbor_id) AS rn
+             FROM mrel r JOIN mm$i m ON m.q_id = r.q_id AND m.neighbor_id = r.neighbor_id) t
+           WHERE rn = 1),
+         ms$i AS (SELECT * FROM ms${i - 1} UNION ALL SELECT * FROM mp$i)"""
+    }.mkString(",\n         ")
+    s"""WITH $IvfCtes,
+         $IvfResidualCtes,
+         $SqResidualCtes,
+         ${sqEstCte()},
+         mcand AS (SELECT q_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
+             FROM isqest) t WHERE rn <= ${Pq.RefineR}),
+         mrel AS MATERIALIZED (SELECT c.q_id, c.neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1,64),
+               i -> (pv.qv[i]-nv.qv[i])*(pv.qv[i]-nv.qv[i]))) AS BIGINT) AS rel
+           FROM mcand c JOIN v pv ON pv.vec_id = c.q_id JOIN v nv ON nv.vec_id = c.neighbor_id),
+         mpw AS MATERIALIZED (SELECT x.q_id, x.neighbor_id AS a, y.neighbor_id AS b,
+             CAST(list_sum(list_transform(generate_series(1,64),
+               i -> (xv.qv[i]-yv.qv[i])*(xv.qv[i]-yv.qv[i]))) AS BIGINT) AS d_ab
+           FROM mrel x JOIN mrel y ON y.q_id = x.q_id AND y.neighbor_id <> x.neighbor_id
+           JOIN v xv ON xv.vec_id = x.neighbor_id JOIN v yv ON yv.vec_id = y.neighbor_id),
+         ms1 AS (SELECT q_id, neighbor_id, rel, CAST(1 AS BIGINT) AS rank FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel, neighbor_id) AS rn
+             FROM mrel) t WHERE rn = 1),
+         $rounds
+         SELECT q_id, rank, neighbor_id, rel AS est FROM ms5 ORDER BY q_id, rank"""
+  }
 
   /** q79's replay — IVFADC: the [[IvfCtes]] coarse trajectory, the
     * [[IvfResidualCtes]] routing, the PQ trajectory trained over the
@@ -1992,5 +2040,9 @@ object SparkEntry {
              FROM q, pperm p GROUP BY q.vec_id),
          ${pqCtes("vp")}
          SELECT q_id, rank, neighbor_id, est FROM pqtopk ORDER BY q_id, rank""",
+    // MMR diversity re-rank over the q82 routed candidates: the k = 5
+    // greedy rounds unroll as CTEs (see [[MmrOracle]]); λ = 1/2 on
+    // the distance domain makes every objective an exact BIGINT
+    "q92_mmr_rerank" -> MmrOracle,
   )
 }
