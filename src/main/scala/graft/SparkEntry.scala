@@ -137,6 +137,7 @@ object SparkEntry {
     "q90_delete_serve"      -> ((s, d) => Sq.ivfSq8DeleteTopK(s, d)),
     "q91_pq_balanced"       -> ((s, d) => Pq.pqTopKBalanced(s, d)),
     "q92_mmr_rerank"        -> ((s, d) => Mmr.mmrRerankTopK(s, d)),
+    "q93_rm3_expansion"     -> ((s, d) => Retrieval.bm25Rm3TopK(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -2044,5 +2045,63 @@ object SparkEntry {
     // greedy rounds unroll as CTEs (see [[MmrOracle]]); λ = 1/2 on
     // the distance domain makes every objective an exact BIGINT
     "q92_mmr_rerank" -> MmrOracle,
+    // RM3 pseudo-relevance feedback: the q71 replay (pass 1, top-10
+    // feedback docs), expansion terms by exact-integer Σ (tf·10⁶)//dl
+    // over the feedback set (original terms excluded, ties w DESC /
+    // term ASC, top-10), then the weighted second pass — original
+    // terms at weight 2, expansion at 1, each term's DECIMAL(18,6)
+    // contribution scaled by its integer weight so the sum is exact
+    "q93_rm3_expansion" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> length(w) > 0) AS ws
+           FROM documents),
+         dl AS (SELECT doc_id, len(ws) AS dl, ws FROM toks),
+         tf AS (
+           SELECT doc_id, dl, term, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dl) t GROUP BY 1, 2, 3),
+         stats AS (
+           SELECT (SELECT count(*) FROM documents) AS n,
+                  CAST(sum(dl) AS DOUBLE)/(SELECT count(*) FROM documents) AS avgdl FROM dl),
+         idf AS (
+           SELECT term, ln(1 + (CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))/(df + CAST(0.5 AS DOUBLE))) AS idf
+           FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1) d, stats),
+         qterms AS (
+           SELECT DISTINCT doc_id AS query_id, term
+           FROM (SELECT doc_id, unnest(ws[1:8]) AS term FROM toks
+                 WHERE doc_id % 100 = 0 AND doc_id < 102400) t),
+         contrib1 AS (
+           SELECT q.query_id, t.doc_id,
+             CAST(i.idf * (t.tf*(CAST(1.2 AS DOUBLE) + 1)/(t.tf + CAST(1.2 AS DOUBLE)*(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)*t.dl/avgdl))) AS DECIMAL(18,6)) AS c
+           FROM qterms q JOIN tf t USING (term) JOIN idf i USING (term), stats),
+         fb AS (
+           SELECT query_id, doc_id FROM (
+             SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rnk
+             FROM (SELECT query_id, doc_id, sum(c) AS score_q FROM contrib1 GROUP BY 1, 2) s) t
+           WHERE rnk <= 10),
+         exp0 AS (
+           SELECT f.query_id, t.term, CAST(sum((t.tf * 1000000) // t.dl) AS BIGINT) AS w
+           FROM fb f JOIN tf t ON t.doc_id = f.doc_id GROUP BY 1, 2),
+         expt AS (
+           SELECT query_id, term FROM (
+             SELECT e.query_id, e.term,
+               row_number() OVER (PARTITION BY e.query_id ORDER BY e.w DESC, e.term) AS rn
+             FROM exp0 e
+             WHERE NOT EXISTS (SELECT 1 FROM qterms q
+                               WHERE q.query_id = e.query_id AND q.term = e.term)) t
+           WHERE rn <= 10),
+         wq AS (
+           SELECT query_id, term, 2 AS wt FROM qterms
+           UNION ALL SELECT query_id, term, 1 AS wt FROM expt),
+         contrib2 AS (
+           SELECT q.query_id, t.doc_id,
+             q.wt * CAST(i.idf * (t.tf*(CAST(1.2 AS DOUBLE) + 1)/(t.tf + CAST(1.2 AS DOUBLE)*(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)*t.dl/avgdl))) AS DECIMAL(18,6)) AS c
+           FROM wq q JOIN tf t USING (term) JOIN idf i USING (term), stats),
+         ranked2 AS (
+           SELECT query_id, doc_id, score_q,
+             row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
+           FROM (SELECT query_id, doc_id, sum(c) AS score_q FROM contrib2 GROUP BY 1, 2) s)
+         SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(score_q AS DOUBLE) AS score
+         FROM ranked2 WHERE rank <= 10 ORDER BY query_id, rank""",
   )
 }

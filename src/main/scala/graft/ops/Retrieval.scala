@@ -251,4 +251,94 @@ object Retrieval {
         .select(col("q_id").as("query_id"), col("rank"), col("neighbor_id").as("doc_id")))
     rrfFuse(lex, sem, k)
   }
+
+  /** Integer scale for the expansion-term weights: w(q,t) =
+    * Σ_{d ∈ feedback(q)} (tf(t,d)·10⁶) div dl_d — per-doc integer
+    * division THEN the sum, so the weight is an exact BIGINT both
+    * engines reproduce (Spark `div` ≡ DuckDB `//` on non-negative
+    * operands, the q88 RRF rule). 10⁶ distinguishes tf/dl ratios down
+    * to 1e-6 — far below any rank-relevant gap at retrieval doc
+    * lengths. */
+  val Rm3Scale = 1000000L
+
+  /** Interpolation as INTEGER term weights (λ = 2/3 in RM3 terms):
+    * an original query term scores 2× an expansion term's
+    * contribution — integer weights keep the weighted decimal sum
+    * exact (decimal × integer is exact; λ as a double would break
+    * the replay). */
+  val Rm3OrigWt = 2L
+  val Rm3ExpWt = 1L
+
+  /** q93 — PSEUDO-RELEVANCE FEEDBACK query expansion (the RM3 idea —
+    * Lavrenko & Croft 2001 relevance models, as deployed in
+    * Lucene/Anserini's RM3 reranker — on this engine's exact grids):
+    * lexical retrieval misses relevant docs that phrase the concept
+    * differently; PRF assumes the first-pass top docs ARE relevant,
+    * mines them for the terms that characterize them, and re-queries
+    * with the expanded term set. The production lexical-leg upgrade:
+    * no training, no vectors, one extra postings pass.
+    *
+    * Pipeline: (1) first-pass BM25 top-`fbDocs` per query (the q71
+    * serve); (2) expansion candidates = every term of every feedback
+    * doc, weighted by the exact-integer normalized term frequency
+    * [[Rm3Scale]]·tf div dl summed over the feedback set — tf/dl is
+    * P(t|d) in the relevance-model estimate, on the integer grid;
+    * (3) the top-`fbTerms` NEW terms per query (original terms
+    * excluded — they return at their own weight), ties (w DESC, term
+    * ASC); (4) second-pass BM25 over original ∪ expansion terms with
+    * integer weights [[Rm3OrigWt]]/[[Rm3ExpWt]] scaling each term's
+    * decimal-quantized contribution.
+    *
+    * Plan shape at 100 TB: three passes over the (cached) postings,
+    * each a broadcast equi-join against a bounded build side — the
+    * probe terms (pass 1), the nQueries·fbDocs feedback doc ids
+    * (expansion mining), and the ≤ nQueries·(8+fbTerms) weighted
+    * terms (pass 2). Nothing corpus × corpus; the expansion join is
+    * doc_id-keyed so it prunes like any index lookup. */
+  def bm25Rm3TopK(spark: SparkSession, dir: String,
+                  k: Int = 10, fbDocs: Int = 10, fbTerms: Int = 10,
+                  queryMod: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ix = bm25Build(docs)
+    // the q71 probe set verbatim (every queryMod-th doc's 8-token
+    // prefix, capped at doc_id < 102,400 → ≤1,024 probes at any SF)
+    val probes = docs
+      .filter(col("doc_id") % queryMod === 0 && col("doc_id") < 102400L)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(termsOf(col("text")), 1, 8)).as("query"))
+    val qterms = Caches.persist(probes
+      .select(col("query_id"), explode(termsOf(col("query"))).as("term"))
+      .distinct())
+    // pass 1: feedback docs (query_id, doc_id) — nQueries·fbDocs rows
+    val fb = bm25TopK(ix, probes, fbDocs)
+      .select(col("query_id"), col("doc_id"))
+    // expansion mining: the feedback doc ids broadcast onto the
+    // postings (doc_id-keyed lookup), exact-integer P(t|d) weights
+    val exp0 = ix.postings.join(broadcast(fb), Seq("doc_id"))
+      .groupBy(col("query_id"), col("term"))
+      .agg(sum(expr(s"(tf * ${Rm3Scale}L) div dl")).as("w"))
+    val wExp = Window.partitionBy(col("query_id"))
+      .orderBy(col("w").desc, col("term"))
+    val expTerms = exp0
+      .join(qterms, Seq("query_id", "term"), "left_anti")
+      .withColumn("rn", row_number().over(wExp))
+      .filter(col("rn") <= fbTerms)
+      .select(col("query_id"), col("term"))
+    // pass 2: the expanded weighted query
+    val wq = qterms.withColumn("wt", lit(Rm3OrigWt))
+      .unionByName(expTerms.withColumn("wt", lit(Rm3ExpWt)))
+    val norm = col("tf") * (ix.k1 + 1) /
+      (col("tf") + lit(ix.k1) * (lit(1.0 - ix.b) + lit(ix.b) * col("dl") / ix.avgdl))
+    val contrib = (col("idf") * norm).cast("decimal(18,6)") * col("wt")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("doc_id"))
+    ix.postings.join(broadcast(wq), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(contrib).as("score_q"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_q").cast("double").as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

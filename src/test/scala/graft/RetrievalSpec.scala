@@ -284,4 +284,70 @@ class RetrievalSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
       s"rrfFuse's leg attaches must broadcast:\n$plan")
   }
+
+  test("bm25Rm3TopK: expansion replays from parts, excludes original terms, and changes some ranking") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val got = Retrieval.bm25Rm3TopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    graft.ops.Caches.releaseAll(spark)
+    assert(got.nonEmpty)
+    // replay from the component operators: pass-1 feedback via
+    // bm25TopK, expansion weights via the postings, weighted pass 2
+    // via plain-Scala decimal sums over collected postings
+    val docs = graft.ops.Tables.documents(spark, dir)
+    val ix = Retrieval.bm25Build(docs)
+    val probes = spark.sql(
+      s"""SELECT doc_id AS query_id,
+            concat_ws(' ', slice(filter(split(lower(text), '\\\\s+'), t -> length(t) > 0), 1, 8)) AS query
+          FROM parquet.`$dir/documents.parquet`
+          WHERE doc_id % 100 = 0 AND doc_id < 102400""")
+    val qterms = probes.collect()
+      .map(r => r.getLong(0) -> terms(r.getString(1)).distinct.toSet).toMap
+    val fb = Retrieval.bm25TopK(ix, probes, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val post = ix.postings.collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("doc_id"),
+        r.getAs[Number]("tf").longValue, r.getAs[Number]("dl").longValue,
+        r.getAs[Double]("idf")))
+    graft.ops.Caches.releaseAll(spark)
+    val byDoc = post.groupBy(_._2)
+    // expansion: Σ (tf·10⁶ div dl) over each query's feedback docs,
+    // original terms excluded, top-10 by (w DESC, term ASC)
+    val expTerms = fb.groupBy(_._1).map { case (q, rows) =>
+      val w = rows.flatMap { case (_, d) => byDoc.getOrElse(d, Array.empty) }
+        .groupBy(_._1).view
+        .mapValues(_.map { case (_, _, tf, dl, _) => tf * Retrieval.Rm3Scale / dl }.sum)
+        .toSeq.filterNot { case (t, _) => qterms(q).contains(t) }
+      q -> w.sortBy { case (t, wt) => (-wt, t) }.take(10).map(_._1).toSet
+    }
+    // pass 2 from parts: weighted decimal contributions (build
+    // defaults k1 = 1.2, b = 0.75)
+    val k1 = 1.2
+    val want = expTerms.toSeq.flatMap { case (q, exp) =>
+      val wts = qterms(q).map(_ -> Retrieval.Rm3OrigWt).toMap ++
+        exp.map(_ -> Retrieval.Rm3ExpWt).toMap
+      post.filter(p => wts.contains(p._1)).groupBy(_._2).toSeq.map { case (d, rows) =>
+        val score = rows.map { case (t, _, tf, dl, idf) =>
+          java.math.BigDecimal.valueOf(
+            idf * (tf * (k1 + 1) / (tf + k1 * (1 - 0.75 + 0.75 * dl / ix.avgdl))))
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+            .multiply(java.math.BigDecimal.valueOf(wts(t)))
+        }.foldLeft(java.math.BigDecimal.ZERO)(_.add(_)).doubleValue
+        (q, d, score)
+      }.sortBy { case (_, d, s) => (-s, d) }.take(10)
+        .zipWithIndex.map { case ((_, d, s), i) => (q, i + 1, d, s) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq.sortBy(t => (t._1, t._2)) == want,
+      "RM3 diverged from the component replay")
+    // non-vacuity: expansion terms exist and are disjoint from the
+    // originals, and the expanded ranking differs from plain BM25
+    assert(expTerms.values.exists(_.nonEmpty), "no expansion terms mined")
+    expTerms.foreach { case (q, exp) => assert((exp & qterms(q)).isEmpty) }
+    val plain = Retrieval.bm25TopKDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    graft.ops.Caches.releaseAll(spark)
+    assert(got.map(t => (t._1, t._2, t._3)).toSet != plain,
+      "expansion changed nothing — fixture vacuous")
+  }
 }
