@@ -138,6 +138,7 @@ object SparkEntry {
     "q91_pq_balanced"       -> ((s, d) => Pq.pqTopKBalanced(s, d)),
     "q92_mmr_rerank"        -> ((s, d) => Mmr.mmrRerankTopK(s, d)),
     "q93_rm3_expansion"     -> ((s, d) => Retrieval.bm25Rm3TopK(s, d)),
+    "q94_fuzzy_dedup"       -> ((s, d) => LlmOps.fuzzyDupPairs(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -2103,5 +2104,24 @@ object SparkEntry {
            FROM (SELECT query_id, doc_id, sum(c) AS score_q FROM contrib2 GROUP BY 1, 2) s)
          SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(score_q AS DOUBLE) AS score
          FROM ranked2 WHERE rank <= 10 ORDER BY query_id, rank""",
+    // fuzzy dedup: 40-char whitespace-collapsed lowercase key,
+    // prefix+suffix 4-char blocking (UNION dedups a key whose two
+    // blocks coincide), 32-cap on hot blocks, Levenshtein ≤ 18 on
+    // colliding pairs only
+    "q94_fuzzy_dedup" ->
+      """WITH k AS (
+           SELECT doc_id, substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 40) AS key
+           FROM documents),
+         b AS (
+           SELECT doc_id, key, substr(key, 1, 4) AS blk FROM k
+           UNION
+           SELECT doc_id, key, right(key, 4) AS blk FROM k),
+         ok AS (SELECT blk FROM b GROUP BY blk HAVING count(*) <= 32),
+         bb AS (SELECT b.* FROM b JOIN ok USING (blk)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2, a.key AS k1, c.key AS k2
+           FROM bb a JOIN bb c ON c.blk = a.blk AND a.doc_id < c.doc_id)
+         SELECT d1, d2, CAST(levenshtein(k1, k2) AS BIGINT) AS dist
+         FROM cand WHERE levenshtein(k1, k2) <= 18 ORDER BY d1, d2""",
   )
 }

@@ -681,4 +681,86 @@ object LlmOps {
       .select(col("d1"), col("d2"), col("n_equal"), col("est_sim"))
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** Fuzzy-dedup key: the whitespace-collapsed lowercase prefix —
+    * CHARACTER-level matching wants a bounded key (edit distance is
+    * O(|a|·|b|) per pair; production fuzzy dedup runs on titles/URLs/
+    * prefixes, never whole documents). 40 chars ≈ the first 6-7
+    * words. */
+  val FuzzyKeyLen = 40
+
+  /** Block key length: candidates must share a 4-char prefix OR a
+    * 4-char suffix of the key (two independent blocking passes — the
+    * q21 banding idea at the character level: an edit at one end of
+    * the key still collides at the other). */
+  val FuzzyBlockLen = 4
+
+  /** Hot-block cap (the q20 maxDf rule at the block level): a block
+    * shared by more than this many keys is candidate-generation
+    * noise (a boilerplate prefix like "the "), and its |block|² pair
+    * cost is exactly the quadratic blowup blocking exists to avoid —
+    * drop the block, keep the bound. Binding at oracle SF (the
+    * 40-member top block is excluded; LlmOpsSpec pins it). */
+  val FuzzyMaxBlock = 32
+
+  /** Default edit-distance threshold, calibrated to the driver
+    * corpus: its word-level near-dups sit at distance 16-18 on the
+    * 40-char key (exact dups at 0; unrelated template pairs from 19
+    * up), so 18 keeps true near-dups and exercises non-trivial DP
+    * distances. Parametric — a title-dedup deployment would run τ of
+    * 2-3 on short keys. */
+  val FuzzyTau = 18
+
+  /** q94 — FUZZY near-dup pairs by bounded edit distance (the
+    * character-level member of the dedup family: q19 exact hash /
+    * q20 token Jaccard / q21 MinHash / q22 SimHash / q29 embedding
+    * cosine — this one catches typo-grade and OCR-grade variants
+    * token methods miss, the classic blocked record-linkage shape,
+    * Gravano 2001 approximate string joins): normalize each doc to
+    * its [[FuzzyKeyLen]]-char key, generate candidates through TWO
+    * block passes (key prefix and key suffix, [[FuzzyBlockLen]]
+    * chars), cap hot blocks at [[FuzzyMaxBlock]], then score ONLY
+    * colliding pairs with Levenshtein ≤ `tau`.
+    *
+    * Plan shape at 100 TB: block-key equi-self-join (shuffle on the
+    * 4-char block — collision-proportional like q20/q21), the cap
+    * killing boilerplate blocks BEFORE the quadratic pair expansion;
+    * the DP scoring uses Spark's threshold-bounded levenshtein
+    * (early-abandons rows past `tau` instead of filling the full
+    * matrix). Recall < 1 by design (a pair edited at BOTH ends of
+    * the key escapes both blocks) — the oracle replays the same
+    * blocking, and LlmOpsSpec measures the miss against the
+    * unblocked truth. */
+  def fuzzyDupPairs(spark: SparkSession, dir: String,
+                    tau: Int = FuzzyTau,
+                    maxBlock: Int = FuzzyMaxBlock): DataFrame =
+    fuzzyDupPairsOf(Tables.documents(spark, dir), tau, maxBlock)
+
+  /** [[fuzzyDupPairs]] over an explicit (doc_id, text) relation —
+    * the fixture seam. */
+  def fuzzyDupPairsOf(docs: DataFrame, tau: Int = FuzzyTau,
+                      maxBlock: Int = FuzzyMaxBlock): DataFrame = {
+    require(tau >= 0 && maxBlock >= 1, "tau and maxBlock must be non-negative/positive")
+    val keys = docs.select(col("doc_id"),
+      substring(regexp_replace(lower(col("text")), "\\s+", " "), 1, FuzzyKeyLen).as("key"))
+    // two blocking passes, deduped: a key whose prefix equals its
+    // suffix block must not self-collide twice
+    val blocks = Caches.persist(
+      keys.withColumn("blk", substring(col("key"), 1, FuzzyBlockLen))
+        .unionByName(keys.withColumn("blk", expr(s"right(key, $FuzzyBlockLen)")))
+        .distinct())
+    val ok = blocks.groupBy(col("blk")).agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBlock).select(col("blk"))
+    val bb = blocks.join(ok, Seq("blk"))
+    val cand = bb.select(col("blk"), col("doc_id").as("d1"), col("key").as("k1"))
+      .join(bb.select(col("blk"), col("doc_id").as("d2"), col("key").as("k2")), Seq("blk"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("k1"), col("k2"))
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("k1"), col("k2"), tau).cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("d1"), col("d2"), col("dist"))
+      .orderBy(col("d1"), col("d2"))
+  }
 }
