@@ -139,6 +139,7 @@ object SparkEntry {
     "q92_mmr_rerank"        -> ((s, d) => Mmr.mmrRerankTopK(s, d)),
     "q93_rm3_expansion"     -> ((s, d) => Retrieval.bm25Rm3TopK(s, d)),
     "q94_fuzzy_dedup"       -> ((s, d) => LlmOps.fuzzyDupPairs(s, d)),
+    "q95_bm25_frozen_ingest" -> ((s, d) => Retrieval.bm25FrozenIngestTopK(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -2123,5 +2124,39 @@ object SparkEntry {
            FROM bb a JOIN bb c ON c.blk = a.blk AND a.doc_id < c.doc_id)
          SELECT d1, d2, CAST(levenshtein(k1, k2) AS BIGINT) AS dist
          FROM cand WHERE levenshtein(k1, k2) <= 18 ORDER BY d1, d2""",
+    // frozen-stats BM25 ingest (the q87 train()/add() split on the
+    // lexical side): tf/dl over the FULL corpus, N/avgdl/df → idf
+    // over the base tranche (doc_id % 5 <> 4) only; the inner idf
+    // join drops terms unseen in base — Lucene's unseen-vocabulary
+    // behavior until the next rebuild
+    "q95_bm25_frozen_ingest" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '), w -> length(w) > 0) AS ws
+           FROM documents),
+         dl AS (SELECT doc_id, len(ws) AS dl, ws FROM toks),
+         tf AS (
+           SELECT doc_id, dl, term, count(*) AS tf
+           FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dl) t GROUP BY 1, 2, 3),
+         stats AS (
+           SELECT (SELECT count(*) FROM documents WHERE doc_id % 5 <> 4) AS n,
+                  CAST((SELECT sum(dl) FROM dl WHERE doc_id % 5 <> 4) AS DOUBLE)
+                    /(SELECT count(*) FROM documents WHERE doc_id % 5 <> 4) AS avgdl),
+         idf AS (
+           SELECT term, ln(1 + (CAST(n AS DOUBLE) - df + CAST(0.5 AS DOUBLE))/(df + CAST(0.5 AS DOUBLE))) AS idf
+           FROM (SELECT term, count(*) AS df FROM tf WHERE doc_id % 5 <> 4 GROUP BY 1) d, stats),
+         qterms AS (
+           SELECT DISTINCT doc_id AS query_id, term
+           FROM (SELECT doc_id, unnest(ws[1:8]) AS term FROM toks
+                 WHERE doc_id % 100 = 0 AND doc_id < 102400) t),
+         contrib AS (
+           SELECT q.query_id, t.doc_id,
+             CAST(i.idf * (t.tf*(CAST(1.2 AS DOUBLE) + 1)/(t.tf + CAST(1.2 AS DOUBLE)*(CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)*t.dl/avgdl))) AS DECIMAL(18,6)) AS c
+           FROM qterms q JOIN tf t USING (term) JOIN idf i USING (term), stats),
+         ranked AS (
+           SELECT query_id, doc_id, score_q,
+             row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, doc_id) AS rank
+           FROM (SELECT query_id, doc_id, sum(c) AS score_q FROM contrib GROUP BY 1, 2) s)
+         SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(score_q AS DOUBLE) AS score
+         FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
   )
 }

@@ -79,6 +79,58 @@ object Retrieval {
     Bm25Index(postings, nDocs, avgdl, k1, b)
   }
 
+  /** FROZEN-STATS index build (the q87 train()/add() split on the
+    * lexical side — how Lucene-family deployments actually roll: the
+    * corpus-wide statistics (N, avgdl, per-term df → idf) are
+    * expensive global aggregates recomputed only at REBUILD time,
+    * while newly ingested documents join the postings immediately
+    * with their own tf/dl): postings cover the FULL relation, but N,
+    * avgdl and idf read ONLY the rows where `isBase` holds. Delta
+    * semantics this pins: a delta doc is retrievable the moment it
+    * is ingested (its tf/dl rows exist); a term UNSEEN in the base
+    * tranche has no idf row and contributes NOTHING until the next
+    * rebuild (the inner idf join drops it — Lucene's
+    * unseen-vocabulary behavior, the exact lexical analog of q87's
+    * frozen-grid clamp). */
+  def bm25BuildFrozen(docs: DataFrame, isBase: org.apache.spark.sql.Column,
+                      k1: Double = 1.2, b: Double = 0.75): Bm25Index = {
+    require(k1 >= 0 && b >= 0 && b <= 1, "k1 must be >= 0 and b in [0,1]")
+    val toks = docs.select(col("doc_id"), isBase.as("is_base"),
+        termsOf(col("text")).as("terms"))
+      .select(col("doc_id"), col("is_base"), size(col("terms")).as("dl"), col("terms"))
+    val tf = Caches.persist(toks
+      .select(col("doc_id"), col("is_base"), col("dl"), explode(col("terms")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("is_base"), col("dl"))
+      .agg(count(lit(1)).as("tf")))
+    val nDocs = docs.filter(isBase).count()
+    val sumDl = tf.filter(col("is_base")).select(col("doc_id"), col("dl")).distinct()
+      .agg(coalesce(sum(col("dl")), lit(0L)).as("s")).collect()(0).getLong(0)
+    val avgdl = if (nDocs == 0) 0.0 else sumDl.toDouble / nDocs
+    val idf = tf.filter(col("is_base")).groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("term"),
+        log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)).as("idf"))
+    val postings = Caches.persist(tf.join(idf, Seq("term"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("idf")))
+    Bm25Index(postings, nDocs, avgdl, k1, b)
+  }
+
+  /** q95 — the frozen-stats ingest on the graded surface: base
+    * tranche = `doc_id % 5 ≠ 4` (the q87 split), the delta fifth
+    * ingested against the frozen statistics, served with the q71
+    * probe set (probes read the FULL corpus — a probe drawn from the
+    * delta tranche queries like any other). */
+  def bm25FrozenIngestTopK(spark: SparkSession, dir: String,
+                           k: Int = 10, queryMod: Int = 100): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ix = bm25BuildFrozen(docs, col("doc_id") % 5 =!= 4)
+    val probes = docs
+      .filter(col("doc_id") % queryMod === 0 && col("doc_id") < 102400L)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(termsOf(col("text")), 1, 8)).as("query"))
+    bm25TopK(ix, probes, k).orderBy(col("query_id"), col("rank"))
+  }
+
   /** Persist the index as a parquet artifact (the lmSave shape): the
     * postings distributed, the scalars as one meta row. A serving
     * job [[bm25Load]]s and never touches the corpus. */

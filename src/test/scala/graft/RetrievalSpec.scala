@@ -2,6 +2,7 @@ package graft
 
 import graft.ops.Retrieval
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
 
 /** BM25 retrieval against an independent driver-side implementation
   * of the documented formula (Lucene-form idf, unique query terms,
@@ -349,5 +350,53 @@ class RetrievalSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
     assert(got.map(t => (t._1, t._2, t._3)).toSet != plain,
       "expansion changed nothing — fixture vacuous")
+  }
+
+  test("bm25BuildFrozen laws: delta retrievable now, unseen vocab waits for rebuild, base-everything is the identity") {
+    val docs = Seq(
+      (1L, "spark shuffles the partitions"),
+      (2L, "spark broadcasts the small side"),
+      (3L, "partitions and shuffles again"),
+      (10L, "spark zyxnovel partitions")  // the delta doc; zyxnovel unseen in base
+    ).toDF("doc_id", "text")
+    val frozen = Retrieval.bm25BuildFrozen(docs, col("doc_id") < 10L)
+    // frozen stats read base only
+    assert(frozen.nDocs == 3L)
+    val qs = Seq((100L, "partitions"), (101L, "zyxnovel")).toDF("query_id", "query")
+    val got = Retrieval.bm25TopK(frozen, qs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // the delta doc is retrievable NOW through its base-vocab terms...
+    assert(got.contains((100L, 10L)), "delta doc not retrievable through frozen index")
+    // ...but its novel term contributes nothing until the next rebuild
+    assert(!got.exists(_._1 == 101L), "unseen-vocab term matched before rebuild")
+    val rebuilt = Retrieval.bm25Build(docs)
+    val after = Retrieval.bm25TopK(rebuilt, qs, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(after.contains((101L, 10L)), "rebuild did not pick up the novel term")
+    // identity law: base = everything ≡ the plain build, bit-exact
+    val all = Retrieval.bm25TopK(Retrieval.bm25BuildFrozen(docs, lit(true)), qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val plain = Retrieval.bm25TopK(rebuilt, qs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    graft.ops.Caches.releaseAll(spark)
+    assert(all == plain, "frozen(base=all) diverged from the plain build")
+  }
+
+  test("bm25FrozenIngestTopK at sf0.01: the freeze is non-vacuous and delta docs surface as results") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val frozen = Retrieval.bm25FrozenIngestTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    graft.ops.Caches.releaseAll(spark)
+    val full = Retrieval.bm25TopKDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    graft.ops.Caches.releaseAll(spark)
+    assert(frozen.nonEmpty)
+    // frozen stats genuinely differ from the full rebuild (scores
+    // shift: N, avgdl and df all read the 80% tranche)
+    assert(frozen.toSet != full.toSet, "frozen ≡ full — the freeze fixture is vacuous")
+    // delta-tranche docs (doc_id % 5 = 4) DO surface as neighbors —
+    // ingest made them retrievable
+    assert(frozen.exists(_._3 % 5 == 4), "no delta doc retrieved — ingest vacuous")
   }
 }
