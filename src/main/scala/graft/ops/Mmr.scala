@@ -90,13 +90,22 @@ object Mmr {
     * unreplicated, the right trade for a k-round candidate-sized
     * loop — see the connectedComponents scaladoc for the reliable
     * alternative). */
-  def mmrSelect(vecs: DataFrame, cands: DataFrame, k: Int): DataFrame = {
+  def mmrSelect(vecs: DataFrame, cands: DataFrame, k: Int): DataFrame =
+    mmrSelectWith(vecs.select(col("vec_id").as("q_id"), col("qv").as("q_v")),
+      vecs, cands, k)
+
+  /** [[mmrSelect]] with an EXPLICIT query relation (q_id, q_v) — the
+    * external-query seam ([[graft.stream.StreamingMmrServe]] feeds
+    * each micro-batch's own vectors here; the batch q92 derives the
+    * relation from the corpus because its probes ARE corpus rows). */
+  def mmrSelectWith(queries: DataFrame, vecs: DataFrame,
+                    cands: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be positive")
     val spark = vecs.sparkSession
     graft.functions.VecDot.register(spark)
     // candidates join back to the exact grid ONCE (broadcast: the
     // candidate list is top-list-bounded); rel = exact dist(q, d)
-    val qs = vecs.select(col("vec_id").as("q_id"), col("qv").as("q_v"))
+    val qs = queries.select(col("q_id"), col("q_v"))
     val nb = vecs.select(col("vec_id").as("neighbor_id"), col("qv").as("n_v"))
     val cand = Caches.persist(
       nb.join(broadcast(cands), Seq("neighbor_id"))
