@@ -140,6 +140,7 @@ object SparkEntry {
     "q93_rm3_expansion"     -> ((s, d) => Retrieval.bm25Rm3TopK(s, d)),
     "q94_fuzzy_dedup"       -> ((s, d) => LlmOps.fuzzyDupPairs(s, d)),
     "q95_bm25_frozen_ingest" -> ((s, d) => Retrieval.bm25FrozenIngestTopK(s, d)),
+    "q96_triplet_mine"      -> ((s, d) => Sq.ivfSq8TripletMine(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -2158,5 +2159,28 @@ object SparkEntry {
            FROM (SELECT query_id, doc_id, sum(c) AS score_q FROM contrib GROUP BY 1, 2) s)
          SELECT query_id, CAST(rank AS INT) AS rank, doc_id, CAST(score_q AS DOUBLE) AS score
          FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""",
+    // semi-hard triplet mining: the q82 chain cut at RefineR
+    // candidates per anchor, labels joined on, positive = nearest
+    // same-label candidate, negatives = different-label candidates
+    // in the FaceNet band d_pos ≤ d_neg < d_pos + 200000
+    "q96_triplet_mine" ->
+      s"""WITH $IvfCtes,
+         $IvfResidualCtes,
+         $SqResidualCtes,
+         ${sqEstCte()},
+         tcand AS (SELECT q_id, neighbor_id, est FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
+             FROM isqest) t WHERE rn <= ${Pq.RefineR}),
+         tl AS (SELECT c.q_id, c.neighbor_id, c.est, eq.label AS ql, en.label AS nl
+           FROM tcand c
+           JOIN embeddings eq ON eq.vec_id = c.q_id
+           JOIN embeddings en ON en.vec_id = c.neighbor_id),
+         tpos AS (SELECT q_id, neighbor_id AS pos_id, est AS d_pos FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
+             FROM tl WHERE nl = ql) t WHERE rn = 1)
+         SELECT t.q_id, p.pos_id, t.neighbor_id AS neg_id, p.d_pos, t.est AS d_neg
+         FROM tl t JOIN tpos p USING (q_id)
+         WHERE t.nl <> t.ql AND t.est >= p.d_pos AND t.est < p.d_pos + ${Sq.TripletMargin}
+         ORDER BY q_id, neg_id""",
   )
 }

@@ -220,6 +220,69 @@ object Sq {
     ivfSq8Serve(codes, cents, mins, maxs, probes, k, nprobe, excludeSelf = true)
   }
 
+  /** Semi-hard margin on the integer distance grid: qv = x·1000, so
+    * squared distances carry a 10⁶ scale — 200,000 ≈ 0.2 in original
+    * float² units, calibrated so the band is non-empty on the
+    * near-isotropic driver corpus (per-probe d_pos ≈ 1.2-1.5M with
+    * different-label candidates spread across ±0.3M). Parametric —
+    * a real embedding-training pipeline tunes this to its loss
+    * margin. */
+  val TripletMargin = 200000L
+
+  /** q96 — SEMI-HARD TRIPLET MINING over routed candidates (the
+    * embedding-model training-data operator: triplet/contrastive
+    * losses need (anchor, positive, negative) examples where the
+    * negative is CLOSE enough to carry gradient — FaceNet's semi-hard
+    * rule, Schroff 2015: d_pos ≤ d_neg < d_pos + margin — and at
+    * corpus scale the miner is an ANN serve, exactly how FAISS-based
+    * miners run): candidates = the q82 routed IVF+SQ8 serve at
+    * k = `r` per anchor (probed-cell pruning and all); labels attach
+    * by candidate-sized broadcast equi-joins against the corpus scan;
+    * positive = the nearest same-label candidate (ties neighbor_id);
+    * negatives = different-label candidates inside the semi-hard
+    * band. Anchors with no same-label candidate in the pool emit
+    * nothing (raise `r` — the q83 dial); anchors with no negative in
+    * the band emit nothing (the margin dial). All distances are the
+    * SQ8-estimate BIGINTs of the q82 chain, so the mined triplets
+    * replay bit-for-bit in DuckDB.
+    *
+    * Output (q_id, pos_id, neg_id, d_pos, d_neg), ordered. */
+  def ivfSq8TripletMine(spark: SparkSession, dir: String,
+                        r: Int = Pq.RefineR, queryMod: Int = 50,
+                        nprobe: Int = 2,
+                        nCells: Int = Embeddings.OracleCells,
+                        iters: Int = Embeddings.OracleIters,
+                        margin: Long = TripletMargin): DataFrame = {
+    require(margin >= 0, "margin must be non-negative")
+    val vecs = Caches.persist(Embeddings.quantized(spark, dir))
+    val cents = Embeddings.trainQuantizer(spark, dir, nCells, iters).sortBy(_.j)
+    val residuals = Caches.persist(Pq.residualsOf(spark, dir, cents))
+    val (mins, maxs) = gridBounds(residuals)
+    val codes = encode(residuals, mins, maxs, keep = Seq("cell"))
+    val probes = vecs
+      .filter(col("vec_id") % queryMod === 0 && col("vec_id") < Pq.ProbeCap)
+      .select(col("vec_id").as("q_id"), col("qv"))
+    val cands = ivfSq8Serve(codes, cents, mins, maxs, probes,
+        k = r, nprobe = nprobe, excludeSelf = true)
+      .select(col("q_id"), col("neighbor_id"), col("est"))
+    // labels attach candidate-sized: the candidate list broadcasts
+    // into the corpus scan twice (neighbor label, then anchor label)
+    val nl = vecs.select(col("vec_id").as("neighbor_id"), col("label").as("nl"))
+    val ql = vecs.select(col("vec_id").as("q_id"), col("label").as("ql"))
+    val labeled = ql.join(broadcast(nl.join(broadcast(cands), Seq("neighbor_id"))),
+      Seq("q_id"))
+    val wPos = Window.partitionBy(col("q_id")).orderBy(col("est"), col("neighbor_id"))
+    val pos = labeled.filter(col("nl") === col("ql"))
+      .withColumn("rn", row_number().over(wPos)).filter(col("rn") === 1)
+      .select(col("q_id"), col("neighbor_id").as("pos_id"), col("est").as("d_pos"))
+    labeled.filter(col("nl") =!= col("ql"))
+      .join(broadcast(pos), Seq("q_id"))
+      .filter(col("est") >= col("d_pos") && col("est") < col("d_pos") + lit(margin))
+      .select(col("q_id"), col("pos_id"), col("neighbor_id").as("neg_id"),
+        col("d_pos"), col("est").as("d_neg"))
+      .orderBy(col("q_id"), col("neg_id"))
+  }
+
   /** The q82 BUILD stage alone: coarse quantizer + residual bounds —
     * the artifact pair a deployment persists ([[Embeddings
     * .saveQuantizer]] + [[saveBounds]]) so serving jobs never re-pay

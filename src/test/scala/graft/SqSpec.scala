@@ -408,4 +408,44 @@ class SqSpec extends SparkSpec {
     assert(undeleted.exists(_._2 % 10 == 0),
       "fixture vacuous: no deleted id was ever a neighbor in the undeleted serve")
   }
+
+  test("ivfSq8TripletMine: triplets replay from the candidate serve + labels, laws hold") {
+    val dir01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir01).isDirectory, "testdata not present")
+    val got = Sq.ivfSq8TripletMine(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    graft.ops.Caches.releaseAll(spark)
+    assert(got.nonEmpty, "no triplets mined — margin fixture vacuous")
+    // replay from the public candidate serve + the labels
+    val cands = Sq.ivfSq8TopK(spark, dir01, k = graft.ops.Pq.RefineR).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getAs[Long]("est")))
+    graft.ops.Caches.releaseAll(spark)
+    val labels = spark.read.parquet(s"$dir01/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val want = cands.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      val same = rows.filter(c => labels(c._2) == labels(q))
+      if (same.isEmpty) Seq.empty
+      else {
+        val (_, posId, dPos) = same.minBy(c => (c._3, c._2))
+        rows.filter(c => labels(c._2) != labels(q) &&
+            c._3 >= dPos && c._3 < dPos + Sq.TripletMargin)
+          .map(c => (q, posId, c._2, dPos, c._3))
+      }
+    }.sortBy(t => (t._1, t._3))
+    assert(got.toSeq == want, "triplet mining diverged from the component replay")
+    // laws on every emitted triplet
+    got.foreach { case (q, p, n, dp, dn) =>
+      assert(labels(p) == labels(q), s"positive $p has a different label than anchor $q")
+      assert(labels(n) != labels(q), s"negative $n shares the anchor's label")
+      assert(dp <= dn && dn < dp + Sq.TripletMargin, s"($dp, $dn) outside the semi-hard band")
+    }
+    // margin dials: zero margin mines nothing; a huge margin admits
+    // every different-label candidate at or past d_pos
+    assert(Sq.ivfSq8TripletMine(spark, dir01, margin = 0L).count() == 0L)
+    graft.ops.Caches.releaseAll(spark)
+    val all = Sq.ivfSq8TripletMine(spark, dir01, margin = Long.MaxValue / 4).collect()
+    graft.ops.Caches.releaseAll(spark)
+    assert(all.length >= got.length)
+  }
 }
