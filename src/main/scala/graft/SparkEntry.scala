@@ -141,6 +141,7 @@ object SparkEntry {
     "q94_fuzzy_dedup"       -> ((s, d) => LlmOps.fuzzyDupPairs(s, d)),
     "q95_bm25_frozen_ingest" -> ((s, d) => Retrieval.bm25FrozenIngestTopK(s, d)),
     "q96_triplet_mine"      -> ((s, d) => Sq.ivfSq8TripletMine(s, d)),
+    "q97_leakage_split"     -> ((s, d) => Sampling.leakageSafeSplit(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -2182,5 +2183,18 @@ object SparkEntry {
          FROM tl t JOIN tpos p USING (q_id)
          WHERE t.nl <> t.ql AND t.est >= p.d_pos AND t.est < p.d_pos + ${Sq.TripletMargin}
          ORDER BY q_id, neg_id""",
+    // leakage-safe split: the q36 hash rule keyed on the q32 near-dup
+    // component id (singletons group as themselves, so they replay
+    // q36's assignment bit-for-bit under the shared salt)
+    "q97_leakage_split" ->
+      s"""WITH RECURSIVE $ShingleCtes,
+         $PairCtes,
+         $ComponentCtes
+         SELECT doc_id, group_id,
+           CASE WHEN h < 800 THEN 'train' WHEN h < 900 THEN 'val' ELSE 'test' END AS split
+         FROM (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_id,
+                 CAST(('0x' || substr(md5('split-v1:' || coalesce(c.cluster_id, d.doc_id)), 1, 15)) AS BIGINT) % 1000 AS h
+               FROM documents d LEFT JOIN comp c USING (doc_id)) t
+         ORDER BY doc_id""",
   )
 }

@@ -69,6 +69,57 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** q97 — leakage-safe train/val/test split: the q36 hash split keyed
+    * by NEAR-DUP GROUP instead of by document. A per-doc split leaks
+    * evaluation data whenever a near-duplicate pair straddles the
+    * train/test boundary — the standard contamination pitfall a
+    * deduplicated-eval pipeline exists to prevent (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * §on train/test overlap). Here every document is first assigned
+    * its q32 near-dup component ([[LlmOps.connectedComponents]] over
+    * the q20 thresholded-Jaccard pair stream; singletons group as
+    * themselves), and the [[bucket1000]] split hash is taken on the
+    * GROUP id — so a whole duplicate cluster lands in one split by
+    * construction.
+    *
+    * Two documented properties make it auditable:
+    *  - singletons (the vast majority of a deduplicated corpus) get
+    *    BIT-IDENTICALLY their q36 assignment (same salt, and a
+    *    singleton's group id IS its doc_id) — adopting the
+    *    leakage-safe split only ever moves documents that have a
+    *    near-duplicate;
+    *  - cluster members share a split by construction, not by test.
+    *
+    * Scale shape: the component table is O(docs-in-pairs) — collision-
+    * proportional, never corpus-sized — so the enrichment left-join
+    * has a tiny right side (AQE broadcasts it at low duplication,
+    * shuffles when a pathological corpus makes it big: the same
+    * planner freedom as [[LlmOps.dropList]]); the split itself stays a
+    * per-row projection. The assignment is a pure function of
+    * (group id, salt), so it is stable across runs, engines, and
+    * re-partitions like every operator in this file. */
+  def leakageSafeSplit(spark: SparkSession, dir: String,
+                       salt: String = DefaultSplitSalt,
+                       trainPermille: Int = DefaultTrainPermille,
+                       valPermille: Int = DefaultValPermille,
+                       n: Int = 3, threshold: Double = 0.2,
+                       maxDf: Int = 50): DataFrame = {
+    require(trainPermille + valPermille <= 1000, "split fractions exceed 1")
+    val comp = LlmOps.connectedComponents(
+      LlmOps.jaccardPairsRaw(spark, dir, n, threshold, maxDf)
+        .select(col("d1"), col("d2")))
+    val b = bucket1000(col("group_id"), lit(salt))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("split",
+        when(b < trainPermille, "train")
+          .when(b < trainPermille + valPermille, "val")
+          .otherwise("test"))
+      .select(col("doc_id"), col("group_id"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q37 — per-stratum deterministic sample: keep `permille`/1000 of
     * each `source` stratum (a per-stratum salt decorrelates strata so
     * a hot doc_id range cannot starve one stratum). Emits the kept

@@ -301,4 +301,32 @@ class SamplingSpec extends SparkSpec {
     assert(cur.values.exists(_._2 == "exact_dup") || cur.values.exists(_._2 == "near_dup"))
     graft.ops.Caches.releaseAll(spark)
   }
+
+  test("leakageSafeSplit: clusters share a split, singletons replay q36, total coverage") {
+    assume(available, "testdata not present")
+    val nDocs = Tables.documents(spark, dir).count()
+    val rows = Sampling.leakageSafeSplit(spark, dir).collect()
+    graft.ops.Caches.releaseAll(spark)
+    // one row per document (coverage + disjointness)
+    assert(rows.length == nDocs && rows.map(_.getLong(0)).distinct.length == nDocs)
+    val byDoc = rows.map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // every cluster member carries the SAME split — the defining
+    // property, checked via the group ids the operator itself emits
+    byDoc.values.groupBy(_._1).foreach { case (g, members) =>
+      assert(members.map(_._2).toSet.size == 1, s"group $g straddles splits")
+    }
+    // the q32 components ARE the groups: every q32-clustered doc maps
+    // to its cluster_id, so near-dup pairs can never straddle splits
+    val comp = LlmOps.nearDupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ops.Caches.releaseAll(spark)
+    byDoc.foreach { case (d, (g, _)) => assert(g == comp(d)) }
+    // a nontrivial cluster exists at this SF (otherwise the test is
+    // vacuous) and its members indeed share one split
+    assert(comp.groupBy(_._2).exists(_._2.size > 1), "fixture has no near-dup cluster")
+    // singletons (group == self) get bit-identically the q36 split
+    val q36 = Sampling.hashSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    byDoc.foreach { case (d, (g, s)) => if (g == d) assert(s == q36(d)) }
+  }
 }
