@@ -332,6 +332,51 @@ object Storage {
   def readSnapshot(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(graft.stream.StreamingNearDedup.resolveSnapshot(spark, root))
 
+  /** Versioned ARTIFACT lifecycle — the snapshot protocol applied to
+    * the broadcast-sized serving artifacts (the coarse quantizer, SQ8
+    * bounds, PQ codebooks: [[graft.ops.Embeddings.saveQuantizer]] /
+    * [[graft.ops.Sq.saveBounds]] / [[graft.ops.Pq.saveCodebooks]]).
+    * Those writers publish with a bare parquet `overwrite` today:
+    * atomic per FILE but not per ARTIFACT — a serving job that loads
+    * mid-overwrite sees a half-deleted directory, and a RETRAIN has no
+    * way to swap the index under live consumers. Publishing through
+    * [[stageAndPublish]] closes both:
+    * {{{
+    *   val v1 = Storage.publishArtifact(spark, root)(dir =>
+    *     Embeddings.saveQuantizer(spark, cents, dir))
+    *   // ... corpus drifts; retrain and swap atomically:
+    *   val v2 = Storage.publishArtifact(spark, root)(dir =>
+    *     Embeddings.saveQuantizer(spark, retrained, dir))
+    *   // every NEW serving job picks up the newest committed version:
+    *   val cents = Embeddings.loadQuantizer(spark,
+    *     Storage.resolveArtifact(spark, root))
+    * }}}
+    * The staged write is invisible until its atomic rename to `v<n>`;
+    * in-flight consumers keep reading the version dir they resolved
+    * (the [[vacuumSnapshots]] grace window governs cleanup — size
+    * `keepLast` so (keepLast × retrain interval) exceeds the longest
+    * serving session, same contract as the data snapshots). This is
+    * the missing half of the q87/q95 frozen-ingest story: frozen
+    * serving ADDS rows under a fixed index; when drift demands the
+    * rebuild those operators defer, the rebuild lands HERE as v(n+1).
+    *
+    * Returns the published version dir. */
+  def publishArtifact(spark: SparkSession, root: String)(write: String => Unit): String =
+    stageAndPublish(spark, root)(write).getOrElse(throw new IllegalStateException(
+      s"unreachable: artifact publish has no supersession guard under $root"))
+
+  /** The newest committed artifact version under `root` — the dir to
+    * hand to the load* readers. Throws when nothing is committed yet
+    * (a serving job cannot start without an index; the flat-layout
+    * back-compat [[graft.stream.StreamingNearDedup.resolveSnapshot]]
+    * extends to data snapshots does NOT apply to artifacts, which have
+    * always been written to their own dir). */
+  def resolveArtifact(spark: SparkSession, root: String): String = {
+    val resolved = graft.stream.StreamingNearDedup.resolveSnapshot(spark, root)
+    require(resolved != root, s"no committed artifact version under $root")
+    resolved
+  }
+
   /** VACUUM — the storage-lifecycle closer of the snapshot protocol:
     * [[upsertSnapshot]]/[[compactSnapshot]] only ever ADD versions,
     * so a nightly upsert+compact loop leaks a full corpus copy per

@@ -742,4 +742,46 @@ class StorageSpec extends SparkSpec {
       assert(seen.distinct.size >= 2, "the race window was never exercised")
     } finally q.stop()
   }
+
+  test("artifact lifecycle: publish, retrain-swap, pinned reader, vacuum — on a real quantizer") {
+    // the index-rebuild story the frozen-ingest operators (q87/q95)
+    // defer: a retrain publishes the NEXT artifact version atomically,
+    // new serving jobs resolve it, in-flight jobs keep their pinned
+    // version until the vacuum grace expires
+    import graft.ops.Embeddings
+    import graft.ops.Embeddings.Centroid
+    val root = java.nio.file.Files.createTempDirectory("graftart").toString + "/quantizer"
+    def cents(seed: Long): Seq[Centroid] =
+      (0L until 4L).map(j => Centroid(j, Seq.tabulate(64)(d => seed + j * 64 + d), j + 1))
+    val v1Cents = cents(1000)
+    val v2Cents = cents(9000)
+
+    // nothing committed yet: a serving job must fail loudly, not serve garbage
+    intercept[IllegalArgumentException] {
+      Storage.resolveArtifact(spark, root)
+    }
+
+    val v1 = Storage.publishArtifact(spark, root)(dir =>
+      Embeddings.saveQuantizer(spark, v1Cents, dir))
+    assert(Storage.resolveArtifact(spark, root) == v1)
+    assert(Embeddings.loadQuantizer(spark, v1).map(c => (c.j, c.s, c.n)) ==
+      v1Cents.map(c => (c.j, c.s, c.n)))
+
+    // retrain-swap: the new version becomes newest atomically...
+    val v2 = Storage.publishArtifact(spark, root)(dir =>
+      Embeddings.saveQuantizer(spark, v2Cents, dir))
+    assert(v2 != v1 && Storage.resolveArtifact(spark, root) == v2)
+    assert(Embeddings.loadQuantizer(spark, Storage.resolveArtifact(spark, root))
+      .map(_.s) == v2Cents.map(_.s))
+    // ...while a consumer pinned to v1 is untouched
+    assert(Embeddings.loadQuantizer(spark, v1).map(_.s) == v1Cents.map(_.s))
+
+    // vacuum with keepLast=1 retires v1; the newest survives and loads
+    val deleted = Storage.vacuumSnapshots(spark, root, keepLast = 1)
+    // vacuum reports fs-qualified URIs (file:/...); compare on the path
+    assert(deleted.map(_.stripPrefix("file:")) == Seq(v1),
+      s"vacuum removed $deleted, expected exactly $v1")
+    assert(Storage.resolveArtifact(spark, root) == v2)
+    assert(Embeddings.loadQuantizer(spark, v2).map(_.s) == v2Cents.map(_.s))
+  }
 }
