@@ -39,11 +39,15 @@ object LeakageReport {
 
   def report(spark: SparkSession, dir: String): String = {
     // the q20/q32 pair stream at the shared family defaults — the
-    // SAME candidate set q97 groups by
+    // SAME candidate set q97 groups by. NO Caches.releaseAll between
+    // this and leakageSafeSplit below: both build the identical
+    // cappedShingles pipeline, and keeping the cache alive lets the
+    // split reuse the shingle table instead of re-paying the
+    // dominant stage (review r11 — at sf10 that stage is ~2/3 of the
+    // tool's cost)
     val pairs = LlmOps.jaccardPairsRaw(spark, dir, n = 3, threshold = 0.2, maxDf = 50)
       .select(col("d1"), col("d2")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    graft.ops.Caches.releaseAll(spark)
     val q36 = Sampling.hashSplit(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     val q97 = Sampling.leakageSafeSplit(spark, dir).collect()
