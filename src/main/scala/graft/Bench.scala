@@ -42,6 +42,23 @@ object Bench {
     graft.ops.Caches.releaseAll(spark)
     spark.catalog.clearCache()
     val warmup = (System.nanoTime() - w0) / 1e9
+    // Measurement-SF settling pass (VERDICT r11 #6): the sf0.001 warm
+    // loop JITs the code paths but not the ALLOCATION REGIME — at
+    // sf1/sf10 the first timed query still absorbed heap growth + GC
+    // settling at the measurement working-set size (q01 read 19-70 s
+    // at sf10 vs 3.5 s steady, adjudicated manually every round). Run
+    // the FIRST timed query once at the measurement SF, untimed,
+    // reported as warmup_sf in the detail file — so decade tables stop
+    // needing a first-query box-noise footnote. One query only: it
+    // settles the JVM for all; warming the whole surface at sf10 would
+    // double the bench.
+    val ws0 = System.nanoTime()
+    SparkEntry.queries.toSeq.sortBy(_._1).headOption.foreach { case (_, fn) =>
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+    }
+    graft.ops.Caches.releaseAll(spark)
+    spark.catalog.clearCache()
+    val warmupSf = (System.nanoTime() - ws0) / 1e9
     // Timed runs in sorted name order (stable round-over-round diffs).
     // noop sink: full evaluation of every column and the final sort
     // (count() would let EliminateSorts/pruning skip most of the work);
@@ -128,7 +145,7 @@ object Bench {
     // "adjudicated" lists the raw third samples, so a reader can
     // reconstruct both semantics
     val detail =
-      s"""{"protocol":"min-of-two-v3-adj","warmup":${num(warmup, 3)},"queries_min":${jmap(results.map(r => r._1 -> r._2), 3)},"queries_first_run":${jmap(results.map(r => r._1 -> r._3), 3)},"queries_second_run":${jmap(results.map(r => r._1 -> r._4), 3)},"adjudicated":${jmap(results.collect { case (n, _, _, _, Some(t)) => n -> t }, 3)},"sf":${BenchFormat.jstr(sfDir)}}"""
+      s"""{"protocol":"min-of-two-v3-adj","warmup":${num(warmup, 3)},"warmup_sf":${num(warmupSf, 3)},"queries_min":${jmap(results.map(r => r._1 -> r._2), 3)},"queries_first_run":${jmap(results.map(r => r._1 -> r._3), 3)},"queries_second_run":${jmap(results.map(r => r._1 -> r._4), 3)},"adjudicated":${jmap(results.collect { case (n, _, _, _, Some(t)) => n -> t }, 3)},"sf":${BenchFormat.jstr(sfDir)}}"""
     // best-effort side file: an unwritable cwd must not discard the
     // graded line below after a full timed run
     scala.util.Try {

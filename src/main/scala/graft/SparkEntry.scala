@@ -142,6 +142,7 @@ object SparkEntry {
     "q95_bm25_frozen_ingest" -> ((s, d) => Retrieval.bm25FrozenIngestTopK(s, d)),
     "q96_triplet_mine"      -> ((s, d) => Sq.ivfSq8TripletMine(s, d)),
     "q97_leakage_split"     -> ((s, d) => Sampling.leakageSafeSplit(s, d)),
+    "q98_refine_scaled"     -> ((s, d) => Pq.pqRefineScaled(s, d)),
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -522,6 +523,15 @@ object SparkEntry {
     s"""SELECT coalesce((SELECT max(1 << p) FROM generate_series(5, 8) t(p)
           WHERE (CAST(${Pq.TrainPerCode} AS BIGINT) << p) <= (SELECT count(*) FROM embeddings)),
           ${Pq.K})"""
+
+  /** q98's r-parametric replay: the SAME exact-integer [[graft.ops
+    * .Pq.rFor]] rule — r = max{2^p : p ∈ [5,7], RefinePerCand·2^p ≤ n}
+    * else 16 — as one scalar subquery (shift-compares only), the
+    * [[KForSql]] pattern applied to the refine budget. */
+  private val RForSql: String =
+    s"""SELECT coalesce((SELECT max(1 << p) FROM generate_series(5, 7) t(p)
+          WHERE (CAST(${Pq.RefinePerCand} AS BIGINT) << p) <= (SELECT count(*) FROM embeddings)),
+          16)"""
 
   /** q80's instantiation: the q77 trajectory with the codebook size
     * derived from the corpus — the q70/q34 oracle-parametric pattern
@@ -1930,6 +1940,28 @@ object SparkEntry {
          SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, est FROM (
            SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
            FROM rex) t
+         WHERE rn <= 5 ORDER BY q_id, rank""",
+    // q83's two-stage refine at PRODUCTION SIZING (VERDICT r11 #1):
+    // codebooks sized by kFor (the q80 scaled CTEs) and the stage-1
+    // candidate budget by rFor — BOTH derived from count(*) via the
+    // same integer rules as the Scala side, so the gate is
+    // non-vacuous at the oracle SF (K = 32 ≠ 16, r = 64 ≠ 20). The
+    // tail is q83's verbatim with the literal RefineR replaced by
+    // the RForSql scalar subquery.
+    "q98_refine_scaled" ->
+      s"""WITH $PqCtesScaled,
+         rscands AS (SELECT q_id, neighbor_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
+             FROM pqest) t WHERE rn <= ($RForSql)),
+         rsex AS (SELECT c.q_id, c.neighbor_id,
+             CAST(list_sum(list_transform(generate_series(1,64),
+               i -> (pq.qv[i]-nq.qv[i])*(pq.qv[i]-nq.qv[i]))) AS BIGINT) AS est
+           FROM rscands c
+           JOIN q pq ON pq.vec_id = c.q_id
+           JOIN q nq ON nq.vec_id = c.neighbor_id)
+         SELECT q_id, CAST(rn AS BIGINT) AS rank, neighbor_id, est FROM (
+           SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY est, neighbor_id) AS rn
+           FROM rsex) t
          WHERE rn <= 5 ORDER BY q_id, rank""",
     // routed serve ≡ exact serve at saturating nSuperProbe (the
     // pinned probeGrouped property) → the q31 replay IS the twin

@@ -386,11 +386,16 @@ object LlmOps {
     * full-corpus drop-list: (doc_id, cluster_id, n_tokens, keep).
     *
     * Plan shape at 100 TB: token counts are per-row codegen on the
-    * scan ([[graft.functions.TextStats]]); the argmax window runs over
-    * COMPONENT MEMBERS ONLY (the connected-components output, sized
-    * by docs-in-pairs, not the corpus), so the window shuffle never
-    * sees the singleton majority; both enrichment joins have a
-    * component-sized small side that AQE broadcasts. */
+    * scan ([[graft.functions.TextStats]]); the per-cluster argmax is
+    * a struct-max HASH AGGREGATE over component members (max over
+    * (n_tokens, −doc_id) ≡ the (n_tokens DESC, doc_id ASC) winner)
+    * joined back to the members — map-side partials collapse each
+    * cluster to one row before the exchange, and NO sort-window state
+    * ever materializes (the previous row_number window buffered whole
+    * clusters per task; at the sf10 federation's 1M docs that state
+    * was what forced the 64 GB driver heap — VERDICT r11 #2). Both
+    * enrichment joins have a component-sized small side that AQE
+    * broadcasts. */
   def clusterKeepBest(spark: SparkSession, dir: String,
                       n: Int = 3, threshold: Double = 0.2, maxDf: Int = 50,
                       checkpointDir: Option[String] = None): DataFrame = {
@@ -398,19 +403,28 @@ object LlmOps {
     val comp = connectedComponents(
       jaccardPairsRaw(spark, dir, n, threshold, maxDf).select(col("d1"), col("d2")),
       checkpointDir = checkpointDir)
-    // persisted: feeds the ranked join AND the final enrichment join —
+    // persisted: feeds the member join AND the final enrichment join —
     // uncached, the documents scan + text_stats pass would run twice
     val toks = Caches.persist(Tables.documents(spark, dir)
       .select(col("doc_id"), expr("text_stats(text)").getField("n_tokens").as("n_tokens")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id")).orderBy(col("n_tokens").desc, col("doc_id"))
-    val ranked = comp.join(toks, Seq("doc_id"))
-      .withColumn("rn", row_number().over(w))
-    toks.join(ranked.select(col("doc_id"), col("cluster_id"), col("rn")), Seq("doc_id"), "left")
+    // members persisted: feeds the best-aggregate and the keep-verdict
+    // join; both are cluster-keyed so the exchange is reused
+    val members = Caches.persist(comp.join(toks, Seq("doc_id")))
+    // struct max orders lexicographically: most tokens first, then
+    // max(−doc_id) = the LOWEST doc_id — exactly the old window's
+    // (n_tokens DESC, doc_id ASC) rank-1 row (q42's oracle +
+    // LlmOpsSpec pin the tie-break)
+    val best = members.groupBy(col("cluster_id"))
+      .agg(max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("cluster_id"), (-col("b.neg_id")).as("best_doc"))
+    val verdict = members.join(best, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("best_doc")).as("keep_m"))
+    toks.join(verdict, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         col("n_tokens"),
-        coalesce(col("rn") === 1, lit(true)).as("keep"))
+        coalesce(col("keep_m"), lit(true)).as("keep"))
       .orderBy(col("doc_id"))
   }
 

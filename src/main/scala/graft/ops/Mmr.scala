@@ -49,7 +49,9 @@ object Mmr {
     * (nprobe/nCells of the 4 B+64 B tiers); stage 2 costs k rounds of
     * joins over ≤ nProbes·r rows. Diversity quality is bounded by the
     * candidate pool — raise `r` when the corpus is duplicate-heavy
-    * (the q83 recall-vs-r dial, applied to coverage). */
+    * (the q83 recall-vs-r dial, applied to coverage; MEASURED by
+    * [[graft.tools.DiversityReport.coverageVsR]] — coverage-vs-r
+    * tables per geometry in bench/SCALING_r12.md). */
   def mmrRerankTopK(spark: SparkSession, dir: String,
                     k: Int = 5, r: Int = Pq.RefineR, queryMod: Int = 50,
                     nprobe: Int = 2,

@@ -441,6 +441,53 @@ object Pq {
     pqTopK(spark, dir, k, queryMod, iters, kFor(n))
   }
 
+  /** Refine-candidates-per-k floor for [[rFor]]: the budget doubles
+    * with the corpus while ≥ this many corpus vectors back each
+    * candidate slot — small enough that the rule is NON-VACUOUS at
+    * the oracle SF (500 vectors derive r = 64 ≠ the pinned
+    * [[RefineR]] = 20, the kFor/cellsFor pattern), large enough that
+    * r stays ≪ n (the refine join must remain candidate-sized). */
+  val RefinePerCand = 4
+
+  /** Refine-budget ceiling: r = 128 — the r ≥ 100 regime the
+    * clustered-geometry campaign (bench/SCALING_r11.md) measured as
+    * the recall remedy for PQ-class compression on realistic corpora;
+    * any corpus past RefinePerCand·128 = 512 vectors serves there. */
+  val RMax = 128
+
+  /** Refine-budget-vs-N rule — [[kFor]]'s counterpart for the
+    * two-stage serves (VERDICT r11 #1): r = max{2^p : p ∈ [5, 7],
+    * RefinePerCand·2^p ≤ n}, else 16 — exact-integer (shift-compares
+    * only, no log2 doubles), replayed verbatim by the q98 oracle's
+    * scalar subquery. Doubles with the corpus until the [[RMax]]
+    * production ceiling: at the oracle SF (n = 500) it derives 64;
+    * any production corpus (n ≥ 512) derives 128, the measured
+    * clustered-geometry remedy regime. */
+  def rFor(n: Long): Int = {
+    require(n > 0, "need a positive corpus size")
+    var p = 4
+    while (p < 7 && (RefinePerCand.toLong << (p + 1)) <= n) p += 1
+    1 << p
+  }
+
+  /** q98 — [[pqRefineTopK]] at PRODUCTION SIZING: codebooks sized by
+    * [[kFor]] AND the refine budget sized by [[rFor]] — the gated
+    * composition of the clustered-geometry campaign's remedy
+    * (SCALING_r11.md: PQ-class serves collapse on clustered corpora
+    * at the pinned K = 16 / r = 20; kFor-K codebooks + refine at
+    * r ≥ 100 restore recall). Oracle-parametric on BOTH dials (the
+    * q70/q34/q80 pattern): the DuckDB twin derives the same K and the
+    * same r from `count(*)` with the same integer rules, so the gate
+    * is non-vacuous at the oracle SF (K = 32 ≠ 16, r = 64 ≠ 20).
+    * The clustered-recall consequence at this sizing is measured by
+    * [[graft.tools.GeometryRecall]] (refine_scaled_q98). */
+  def pqRefineScaled(spark: SparkSession, dir: String,
+                     k: Int = 5, queryMod: Int = 50,
+                     iters: Int = Embeddings.OracleIters): DataFrame = {
+    val n = Tables.embeddings(spark, dir).count()
+    pqRefineTopK(spark, dir, k, rFor(n), queryMod, iters, kFor(n))
+  }
+
   /** q83 — ADC + EXACT RE-RANK (the standard two-stage production
     * serve, FAISS's refine/`IndexRefineFlat` shape): PQ's 64×
     * compression costs recall (the measured q77 recall@5 floor), and

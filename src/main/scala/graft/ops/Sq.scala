@@ -242,7 +242,11 @@ object Sq {
     * negatives = different-label candidates inside the semi-hard
     * band. Anchors with no same-label candidate in the pool emit
     * nothing (raise `r` — the q83 dial); anchors with no negative in
-    * the band emit nothing (the margin dial). All distances are the
+    * the band emit nothing (the margin dial — MEASURED by
+    * [[graft.tools.DiversityReport.tripletYieldVsMargin]]: yield and
+    * anchor coverage are monotone in the margin by construction,
+    * spec-pinned; tables per geometry in bench/SCALING_r12.md). All
+    * distances are the
     * SQ8-estimate BIGINTs of the q82 chain, so the mined triplets
     * replay bit-for-bit in DuckDB.
     *

@@ -358,12 +358,62 @@ object Storage {
     * serving session, same contract as the data snapshots). This is
     * the missing half of the q87/q95 frozen-ingest story: frozen
     * serving ADDS rows under a fixed index; when drift demands the
-    * rebuild those operators defer, the rebuild lands HERE as v(n+1).
+    * rebuild those operators defer, the rebuild lands HERE as v(n+1)
+    * (the lexical side routes through [[graft.ops.Retrieval
+    * .bm25Publish]]).
+    *
+    * Marker guarantee (ADVICE r11): commit visibility rides the
+    * top-level `_SUCCESS` marker, and an artifact writer — unlike the
+    * data-snapshot writers, whose single parquet write emits one —
+    * may write NESTED layouts (bm25Save: postings.parquet/ +
+    * meta.parquet/, each with its own marker but none at the root) or
+    * non-Spark files with no marker at all. So this publisher STAMPS
+    * the top-level marker itself after `write` returns (the callback
+    * returning IS success; any failure throws past the stamp and the
+    * staging dir is removed). A publishArtifact version can therefore
+    * never be committed-looking-but-unresolvable debris.
+    *
+    * Ordering under CONCURRENT retrains: this is the merging-publisher
+    * path (the loser of a rename race retries at the next free slot),
+    * so of two racing retrains whichever lands LAST becomes newest —
+    * regardless of which trained on fresher data. Retrains are
+    * normally singleton-scheduled; where they are not, use
+    * [[publishArtifactSuperseding]], which pins the publish onto the
+    * exact version the retrain trained against and ABORTS if anything
+    * landed in between.
     *
     * Returns the published version dir. */
   def publishArtifact(spark: SparkSession, root: String)(write: String => Unit): String =
-    stageAndPublish(spark, root)(write).getOrElse(throw new IllegalStateException(
-      s"unreachable: artifact publish has no supersession guard under $root"))
+    stageAndPublish(spark, root)(stampedWrite(spark, write))
+      .getOrElse(throw new IllegalStateException(
+        s"unreachable: artifact publish has no supersession guard under $root"))
+
+  /** [[publishArtifact]] PINNED to supersede exactly `source` (the
+    * version dir the retrain resolved and trained against — a
+    * [[resolveArtifact]] result): the rename target is v(source+1)
+    * and the publish ABORTS (returns None, staging removed) when any
+    * other publish landed first — the rewrite-publisher guard
+    * ([[stageAndPublish]]'s abortIfSupersededFrom, ADVICE r11) applied
+    * to retrains, closing the ordering inversion two racing retrains
+    * would otherwise produce: an aborted retrain re-resolves, retrains
+    * on the newer artifact (or decides the winner's is fresh enough),
+    * and retries — it never publishes stale training on top of a
+    * newer one. */
+  def publishArtifactSuperseding(spark: SparkSession, root: String, source: String)
+                                (write: String => Unit): Option[String] =
+    stageAndPublish(spark, root, abortIfSupersededFrom = Some(source))(
+      stampedWrite(spark, write))
+
+  /** Run the artifact write callback, then guarantee the top-level
+    * `_SUCCESS` marker the snapshot protocol's committed-ness rides
+    * on (idempotent when the write already emitted one). */
+  private def stampedWrite(spark: SparkSession, write: String => Unit)
+                          (dir: String): Unit = {
+    write(dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) fs.create(marker).close()
+  }
 
   /** The newest committed artifact version under `root` — the dir to
     * hand to the load* readers. Throws when nothing is committed yet

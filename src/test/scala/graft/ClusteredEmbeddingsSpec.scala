@@ -52,13 +52,21 @@ class ClusteredEmbeddingsSpec extends SparkSpec {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
     val keys = Seq("lsh_q27", "ivf_q31", "pq_q77", "pq_balanced_q91",
       "pq_scaled_q80",
-      "ivfpq_q79", "sq8_q81", "ivfsq8_q82", "refine_q83", "ivfpqsq8refine_q85")
+      "ivfpq_q79", "sq8_q81", "ivfsq8_q82", "refine_q83", "refine_scaled_q98",
+      "ivfpqsq8refine_q85")
     keys.foreach { k =>
       assert(vals.contains(k), s"$k missing from $line")
       assert(vals(k) >= 0.0 && vals(k) <= 1.0, s"$k recall out of range in $line")
     }
     assert(vals("refine_q83") >= vals("pq_q77"),
       s"refine must not lose to the plain ADC ranking it refines: $line")
+    // the q98 production sizing (kFor-K codebooks + rFor-r budget) is
+    // the clustered-geometry REMEDY row (VERDICT r11 #1): on this
+    // geometry it must beat the pinned-dial refine decisively, not
+    // merely tie it — the whole campaign finding is that K=16/r=20
+    // collapses here while the sized dials recover
+    assert(vals("refine_scaled_q98") >= vals("refine_q83"),
+      s"production sizing lost to the pinned dials on clustered geometry: $line")
     // q83's EXACT re-rank provably never loses; the q85 SQ8 re-score
     // is approximate (reconstruction error ~range/255 per dim), so
     // allow one-neighbor slack (10 probes × k=5 → 0.02/neighbor)
@@ -68,5 +76,35 @@ class ClusteredEmbeddingsSpec extends SparkSpec {
     // SQ8 spends 16x PQ's bytes — its recall floor must hold on this
     // geometry too
     assert(vals("sq8_q81") >= vals("pq_q77"), line)
+  }
+
+  test("DiversityReport dial tables are deterministic; triplet yield is monotone in the margin") {
+    // VERDICT r11 #7: the q92/q96 dial guidance carries measured
+    // tables — this pins (a) both tables are bit-stable across runs
+    // (every serve in the chain is exact-integer) and (b) the
+    // semi-hard band law: widening the margin can only ADD triplets
+    // and anchors (the band [d_pos, d_pos+margin) is inclusion-
+    // monotone), so the yield table reads as a budget curve.
+    import graft.tools.DiversityReport
+    val t = java.nio.file.Files.createTempDirectory("divrep").toString
+    ClusteredEmbeddings.run(spark, t, n = 500, nClusters = 10)
+
+    val cov1 = DiversityReport.coverageVsR(spark, t, rs = Seq(10, 20))
+    val cov2 = DiversityReport.coverageVsR(spark, t, rs = Seq(10, 20))
+    assert(cov1 == cov2, s"coverage-vs-r diverged across runs:\n$cov1\n$cov2")
+
+    val margins = Seq(100000L, 200000L, 400000L)
+    val y1 = DiversityReport.tripletYieldVsMargin(spark, t, margins)
+    val y2 = DiversityReport.tripletYieldVsMargin(spark, t, margins)
+    assert(y1 == y2, s"triplet yield diverged across runs:\n$y1\n$y2")
+    val parsed = """"(\d+)":\{"triplets":(\d+),"anchors":(\d+)\}""".r
+      .findAllMatchIn(y1).map(m => (m.group(1).toLong, m.group(2).toInt, m.group(3).toInt))
+      .toSeq.sortBy(_._1)
+    assert(parsed.map(_._1) == margins, s"margins missing from $y1")
+    parsed.sliding(2).foreach { case Seq((m1, t1c, a1), (m2, t2c, a2)) =>
+      assert(t2c >= t1c, s"triplets fell from $t1c (margin $m1) to $t2c (margin $m2)")
+      assert(a2 >= a1, s"anchors fell from $a1 (margin $m1) to $a2 (margin $m2)")
+    }
+    graft.ops.Caches.releaseAll(spark)
   }
 }

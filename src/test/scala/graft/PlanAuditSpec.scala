@@ -27,10 +27,13 @@ class PlanAuditSpec extends SparkSpec {
   // dedicated test below pins it).
   // q91 is the q77 ADC serve over the permuted relation — the same
   // definitional codes-scan-per-probe shape.
+  // q98 is q83 at the kFor/rFor production sizing — the same one
+  // stage-1 ADC scan (the dedicated q98 test pins the count).
   private val BnljAllowed =
     Set("q16_owners_glob_join", "q45_brute_topk", "q48_source_mix",
       "q74_temperature_mix", "q77_pq_topk", "q78_knn_classify",
-      "q80_pq_scaled", "q81_sq8_topk", "q83_pq_refine", "q91_pq_balanced")
+      "q80_pq_scaled", "q81_sq8_topk", "q83_pq_refine", "q91_pq_balanced",
+      "q98_refine_scaled")
 
   test("no CartesianProduct in any query plan; BNLJ only where all-pairs IS the operator") {
     assume(new java.io.File(dir).isDirectory, "testdata not present")
@@ -57,6 +60,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(bnlj == 1, s"q83 must have exactly the stage-1 ADC BNLJ, found $bnlj:\n$plan")
     assert(plan.contains("BroadcastHashJoin"),
       s"q83's refine joins must be broadcast equi-joins:\n$plan")
+    graft.ops.Caches.releaseAll(spark)
+  }
+
+  test("q98 production-sized refine keeps q83's plan shape: one ADC scan, equi-joined refine") {
+    // the kFor/rFor sizing must change DIALS, not the plan: larger
+    // codebooks ride the O(1)-plan-size fused expressions, the larger
+    // candidate budget only widens the broadcast build side
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    val plan = graft.ops.Pq.pqRefineScaled(spark, dir)
+      .queryExecution.executedPlan.toString
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj == 1, s"q98 must have exactly the stage-1 ADC BNLJ, found $bnlj:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q98's refine joins must be broadcast equi-joins:\n$plan")
     graft.ops.Caches.releaseAll(spark)
   }
 

@@ -288,6 +288,40 @@ class PqSpec extends SparkSpec {
     assert(Pq.kFor(Long.MaxValue) == Pq.KMax)
   }
 
+  test("rFor: exact-integer power-of-2 rule, non-vacuous at oracle SF, RMax-capped") {
+    assert(Pq.rFor(1) == 16)             // tiny corpora: below every slot
+    assert(Pq.rFor(127) == 16)           // 4·2^5 = 128 > 127
+    assert(Pq.rFor(128) == 32)           // exact boundary
+    assert(Pq.rFor(500) == 64)           // the oracle SF: NON-vacuous (≠ RefineR = 20)
+    assert(Pq.rFor(511) == 64)
+    assert(Pq.rFor(512) == Pq.RMax)      // the r ≥ 100 production regime from here on
+    assert(Pq.rFor(2000) == Pq.RMax)     // bench sf0.1
+    assert(Pq.rFor(Long.MaxValue) == Pq.RMax)
+    assert(Pq.rFor(500) != Pq.RefineR, "the sizing rule went vacuous at oracle SF")
+  }
+
+  test("pqRefineScaled equals pqRefineTopK at the derived (K, r) (the q98 surface)") {
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(Pq.kFor(n) != Pq.K && Pq.rFor(n) != Pq.RefineR,
+      "oracle-SF corpus no longer derives non-vacuous sizing")
+    val want = Pq.pqRefineTopK(spark, dir, k = 5, r = Pq.rFor(n), nCodes = Pq.kFor(n))
+      .collect().map(_.toSeq).toSeq
+    graft.ops.Caches.releaseAll(spark)
+    val got = Pq.pqRefineScaled(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got == want)
+    // the production-sizing refine must not lose to the pinned-dial
+    // q83 on the exact ranking (larger candidate budget + finer
+    // codebooks can only help a refine whose stage 2 is exact)
+    val exact = Embeddings.bruteTopK(spark, dir).collect()
+    val q83 = recallAgainst(exact, Pq.pqRefineTopK(spark, dir).collect())
+    graft.ops.Caches.releaseAll(spark)
+    val q98 = recallAgainst(exact,
+      got.map(s => org.apache.spark.sql.Row.fromSeq(s)).toArray)
+    info(s"recall@5: q83 (K=16, r=20) = $q83, q98 (K=${Pq.kFor(n)}, r=${Pq.rFor(n)}) = $q98")
+    assert(q98 >= q83, s"production sizing ($q98) lost to the pinned dials ($q83)")
+    graft.ops.Caches.releaseAll(spark)
+  }
+
   test("pqTopKScaled equals pqTopK at the derived K (the q80 surface)") {
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val want = Pq.pqTopK(spark, dir, nCodes = Pq.kFor(n)).collect().map(_.toSeq).toSeq

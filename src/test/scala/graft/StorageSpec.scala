@@ -784,4 +784,48 @@ class StorageSpec extends SparkSpec {
     assert(Storage.resolveArtifact(spark, root) == v2)
     assert(Embeddings.loadQuantizer(spark, v2).map(_.s) == v2Cents.map(_.s))
   }
+
+  test("publishArtifactSuperseding: racing retrains cannot invert ordering; marker always stamped") {
+    // ADVICE r11: two concurrent retrains through the merging
+    // publishArtifact would commit in rename order, not training
+    // order — the superseding variant pins the publish onto the
+    // version it trained against and ABORTS when anything landed in
+    // between, so stale training can never shadow fresher training.
+    import graft.ops.Embeddings
+    import graft.ops.Embeddings.Centroid
+    val root = java.nio.file.Files.createTempDirectory("graftart2").toString + "/quantizer"
+    def cents(seed: Long): Seq[Centroid] =
+      (0L until 4L).map(j => Centroid(j, Seq.tabulate(64)(d => seed + j * 64 + d), j + 1))
+
+    val v1 = Storage.publishArtifact(spark, root)(dir =>
+      Embeddings.saveQuantizer(spark, cents(1), dir))
+
+    // retrain A resolves v1 and trains; retrain B resolves v1 too but
+    // PUBLISHES FIRST — A must then abort, not land as a newer version
+    val source = Storage.resolveArtifact(spark, root)
+    assert(source == v1)
+    val winB = Storage.publishArtifactSuperseding(spark, root, source)(dir =>
+      Embeddings.saveQuantizer(spark, cents(2000), dir))
+    assert(winB.nonEmpty, "the first superseding publish must land")
+    val loseA = Storage.publishArtifactSuperseding(spark, root, source)(dir =>
+      Embeddings.saveQuantizer(spark, cents(9999), dir))
+    assert(loseA.isEmpty,
+      "a retrain publishing over a superseded source must abort")
+    // the winner's training is what serves; the loser's staging is gone
+    assert(Storage.resolveArtifact(spark, root) == winB.get)
+    assert(Embeddings.loadQuantizer(spark, winB.get).map(_.s) == cents(2000).map(_.s))
+    val leftover = new java.io.File(root.stripPrefix("file:")).listFiles()
+      .map(_.getName).filter(_.startsWith("."))
+    assert(leftover.isEmpty, s"aborted publish leaked staging dirs: ${leftover.toSeq}")
+
+    // a writer with NO top-level marker of its own (plain files, no
+    // parquet _SUCCESS) still commits — publishArtifact stamps it
+    val v3 = Storage.publishArtifact(spark, root) { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir, "model.bin")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(p); out.write(42); out.close()
+    }
+    assert(Storage.resolveArtifact(spark, root) == v3,
+      "a marker-less artifact write must still resolve after publish")
+  }
 }
