@@ -143,6 +143,7 @@ object SparkEntry {
     "q96_triplet_mine"      -> ((s, d) => Sq.ivfSq8TripletMine(s, d)),
     "q97_leakage_split"     -> ((s, d) => Sampling.leakageSafeSplit(s, d)),
     "q98_refine_scaled"     -> ((s, d) => Pq.pqRefineScaled(s, d)),
+    "q99_pii_redact"        -> Pii.piiRedact _,
   )
 
   /** Shared DuckDB CTE fragments for the n-gram shingle family — ONE
@@ -2228,5 +2229,35 @@ object SparkEntry {
                  CAST(('0x' || substr(md5('split-v1:' || coalesce(c.cluster_id, d.doc_id)), 1, 15)) AS BIGINT) % 1000 AS h
                FROM documents d LEFT JOIN comp c USING (doc_id)) t
          ORDER BY doc_id""",
+    // PII detect + redact over the PLANTED corpus (the synthetic text
+    // carries no digits, so the gate plants deterministic PII derived
+    // from doc_id — Pii.plantPii — and what it then certifies is the
+    // cross-engine parity of the pattern set and the masking order:
+    // Java regex on the Spark side, RE2 here, same patterns by
+    // construction). Counts via regexp_extract_all BEFORE masking;
+    // masking = the pinned email → IP → SSN → phone chain with 'g'.
+    "q99_pii_redact" ->
+      s"""WITH planted AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '${Pii.EmailRe}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '${Pii.Ipv4Re}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '${Pii.SsnRe}')) AS BIGINT) AS n_ssns,
+           CAST(len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(t, '${Pii.EmailRe}'))
+             + len(regexp_extract_all(t, '${Pii.Ipv4Re}'))
+             + len(regexp_extract_all(t, '${Pii.SsnRe}'))
+             + len(regexp_extract_all(t, '${Pii.PhoneRe}')) AS BIGINT) AS n_pii,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             '${Pii.EmailRe}', '<EMAIL>', 'g'),
+             '${Pii.Ipv4Re}', '<IP>', 'g'),
+             '${Pii.SsnRe}', '<SSN>', 'g'),
+             '${Pii.PhoneRe}', '<PHONE>', 'g') AS text_masked
+         FROM planted ORDER BY doc_id""",
   )
 }

@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ops.{LlmOps, Sampling, Tables}
+import graft.ops.{LlmOps, Sampling}
 
 /** Measured consequence of the q97 leakage-safe split (the
   * DiversityReport pattern: a tool that quantifies WHY an operator
@@ -19,16 +19,14 @@ import graft.ops.{LlmOps, Sampling, Tables}
   * GeometryRecall; run with
   * `runMain graft.tools.LeakageReport <sfDir>`.
   *
-  * SCALE BOUND (the tool's contract, ADVICE r11 — like loadQuantizer's
-  * collect contract): the straddle counts and the moved/clustered sets
-  * are computed DRIVER-SIDE over the collected pair stream plus two
-  * full doc_id→split maps — O(corpus) driver memory ×3. That is the
-  * right trade for a diagnostic run at validation SFs (measured
-  * through sf1; the leak rate is scale-stable, so larger runs add
-  * cost, not information). Past roughly sf1 at the default heap the
-  * collects are the limit; a production-scale audit would compute the
-  * straddle counts as a distributed pairs⋈split join — the graded q97
-  * operator itself never collects anything. */
+  * Fully DISTRIBUTED since round 12 (ADVICE r11 flagged the previous
+  * O(corpus)-driver-memory collects as an undocumented scale bound;
+  * this removes the bound instead): the straddle counts are
+  * pairs⋈split joins, the moved/clustered/fraction numbers are
+  * aggregates, and the only rows reaching the driver are the report's
+  * own scalars — so the tool audits at any SF the q32 pipeline itself
+  * handles (the sf10 row in SCALING_r12.md ran this form at the
+  * default heap). */
 object LeakageReport {
 
   def main(args: Array[String]): Unit = {
@@ -55,38 +53,58 @@ object LeakageReport {
     // cappedShingles pipeline, and keeping the cache alive lets the
     // split reuse the shingle table instead of re-paying the
     // dominant stage (review r11 — at sf10 that stage is ~2/3 of the
-    // tool's cost)
-    val pairs = LlmOps.jaccardPairsRaw(spark, dir, n = 3, threshold = 0.2, maxDf = 50)
-      .select(col("d1"), col("d2")).collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val q36 = Sampling.hashSplit(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getString(2)).toMap
-    val q97 = Sampling.leakageSafeSplit(spark, dir).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
-    graft.ops.Caches.releaseAll(spark)
-    val nDocs = Tables.documents(spark, dir).count()
+    // tool's cost). The pair stream and both split tables are
+    // persisted here because each feeds two aggregations below.
+    val pairs = graft.ops.Caches.persist(
+      LlmOps.jaccardPairsRaw(spark, dir, n = 3, threshold = 0.2, maxDf = 50)
+        .select(col("d1"), col("d2")))
+    val q36 = graft.ops.Caches.persist(
+      Sampling.hashSplit(spark, dir).select(col("doc_id"), col("split").as("s36")))
+    val q97 = graft.ops.Caches.persist(
+      Sampling.leakageSafeSplit(spark, dir)
+        .select(col("doc_id"), col("group_id"), col("split").as("s97")))
 
-    def straddles(split: Long => String) =
-      pairs.count { case (a, b) => split(a) != split(b) }
-    val cross36 = straddles(q36)
-    val cross97 = straddles(d => q97(d)._2)
-    // doc-level adoption cost: who moved, and are they all clustered?
-    val moved = q97.collect { case (d, (_, s)) if q36(d) != s => d }.toSet
-    val clustered = q97.collect { case (d, (g, _)) if g != d => d }.toSet
-    def fracs(split: Map[Long, String]): String = {
-      val by = split.values.groupBy(identity).view.mapValues(_.size).toMap
-      f"train ${by.getOrElse("train", 0) * 100.0 / split.size}%.1f%% / " +
-        f"val ${by.getOrElse("val", 0) * 100.0 / split.size}%.1f%% / " +
-        f"test ${by.getOrElse("test", 0) * 100.0 / split.size}%.1f%%"
+    val nPairs = pairs.count()
+    val nDocs = q36.count()
+    // straddle counts: one pairs⋈split join per endpoint per split —
+    // the splits are corpus-sized so no broadcast hint (AQE decides),
+    // the result is ONE row
+    def straddles(split: org.apache.spark.sql.DataFrame, c: String): Long =
+      pairs
+        .join(split.select(col("doc_id").as("d1"), col(c).as("sa")), Seq("d1"))
+        .join(split.select(col("doc_id").as("d2"), col(c).as("sb")), Seq("d2"))
+        .filter(col("sa") =!= col("sb")).count()
+    val cross36 = straddles(q36, "s36")
+    val cross97 = straddles(q97.select(col("doc_id"), col("s97")), "s97")
+    // doc-level adoption cost as ONE aggregate over the joined splits:
+    // who moved, are they all clustered, and the fraction drift
+    val joined = q36.join(q97, Seq("doc_id"))
+    val row = joined.agg(
+      sum(when(col("s36") =!= col("s97"), 1L).otherwise(0L)).as("moved"),
+      sum(when(col("s36") =!= col("s97") && col("group_id") === col("doc_id"), 1L)
+        .otherwise(0L)).as("moved_unclustered"),
+      sum(when(col("group_id") =!= col("doc_id"), 1L).otherwise(0L)).as("clustered"))
+      .collect()(0)
+    val (moved, movedUnclustered, clustered) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    def fracs(split: org.apache.spark.sql.DataFrame, c: String): String = {
+      val by = split.groupBy(col(c)).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      f"train ${by.getOrElse("train", 0L) * 100.0 / nDocs}%.1f%% / " +
+        f"val ${by.getOrElse("val", 0L) * 100.0 / nDocs}%.1f%% / " +
+        f"test ${by.getOrElse("test", 0L) * 100.0 / nDocs}%.1f%%"
     }
+    val f36 = fracs(q36, "s36")
+    val f97 = fracs(q97, "s97")
+    graft.ops.Caches.releaseAll(spark)
 
-    s"""leakage report @ $dir ($nDocs docs, ${pairs.length} near-dup pairs)
+    s"""leakage report @ $dir ($nDocs docs, $nPairs near-dup pairs)
        |  cross-split near-dup pairs, q36 per-doc split : $cross36
        |  cross-split near-dup pairs, q97 group split   : $cross97
-       |  docs whose split moved adopting q97           : ${moved.size}
-       |  ... all of them near-dup-clustered            : ${moved.subsetOf(clustered)} (${clustered.size} clustered docs total)
-       |  split fractions, q36                          : ${fracs(q36)}
-       |  split fractions, q97                          : ${fracs(q97.view.mapValues(_._2).toMap)}
+       |  docs whose split moved adopting q97           : $moved
+       |  ... all of them near-dup-clustered            : ${movedUnclustered == 0L} ($clustered clustered docs total)
+       |  split fractions, q36                          : $f36
+       |  split fractions, q97                          : $f97
        |""".stripMargin
   }
 }
