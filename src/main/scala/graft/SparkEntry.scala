@@ -527,12 +527,16 @@ object SparkEntry {
 
   /** q98's r-parametric replay: the SAME exact-integer [[graft.ops
     * .Pq.rFor]] rule — r = max{2^p : p ∈ [5,7], RefinePerCand·2^p ≤ n}
-    * else 16 — as one scalar subquery (shift-compares only), the
-    * [[KForSql]] pattern applied to the refine budget. */
+    * floored at RefineR — as one scalar subquery (shift-compares
+    * only), the [[KForSql]] pattern applied to the refine budget.
+    * The subquery's smallest non-NULL value is 32 > RefineR, so the
+    * floor only ever binds through the coalesce fallback — exactly
+    * the Scala max(RefineR, 1 << p) with p ≥ 5 reachable only when
+    * the subquery is non-empty. */
   private val RForSql: String =
     s"""SELECT coalesce((SELECT max(1 << p) FROM generate_series(5, 7) t(p)
           WHERE (CAST(${Pq.RefinePerCand} AS BIGINT) << p) <= (SELECT count(*) FROM embeddings)),
-          16)"""
+          ${Pq.RefineR})"""
 
   /** q80's instantiation: the q77 trajectory with the codebook size
     * derived from the corpus — the q70/q34 oracle-parametric pattern

@@ -457,17 +457,21 @@ object Pq {
 
   /** Refine-budget-vs-N rule — [[kFor]]'s counterpart for the
     * two-stage serves (VERDICT r11 #1): r = max{2^p : p ∈ [5, 7],
-    * RefinePerCand·2^p ≤ n}, else 16 — exact-integer (shift-compares
-    * only, no log2 doubles), replayed verbatim by the q98 oracle's
-    * scalar subquery. Doubles with the corpus until the [[RMax]]
-    * production ceiling: at the oracle SF (n = 500) it derives 64;
-    * any production corpus (n ≥ 512) derives 128, the measured
-    * clustered-geometry remedy regime. */
+    * RefinePerCand·2^p ≤ n}, FLOORED at [[RefineR]] — exact-integer
+    * (shift-compares only, no log2 doubles), replayed verbatim by the
+    * q98 oracle's scalar subquery. Doubles with the corpus until the
+    * [[RMax]] production ceiling: at the oracle SF (n = 500) it
+    * derives 64; any production corpus (n ≥ 512) derives 128, the
+    * measured clustered-geometry remedy regime. The floor keeps the
+    * sizing-rule dominance honest on tiny corpora too: below
+    * RefinePerCand·32 = 128 vectors the rule yields exactly the
+    * pinned q83 budget, never LESS (review r12 — the raw 2^4 = 16
+    * fallback undercut the q98 ≥ q83 invariant on n < 128). */
   def rFor(n: Long): Int = {
     require(n > 0, "need a positive corpus size")
     var p = 4
     while (p < 7 && (RefinePerCand.toLong << (p + 1)) <= n) p += 1
-    1 << p
+    math.max(RefineR, 1 << p)
   }
 
   /** q98 — [[pqRefineTopK]] at PRODUCTION SIZING: codebooks sized by

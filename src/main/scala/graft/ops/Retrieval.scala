@@ -157,8 +157,8 @@ object Retrieval {
     * index: a running [[graft.stream.StreamingBm25Serve]] keeps its
     * pinned version (the [[Storage.vacuumSnapshots]] grace contract)
     * while every job started after the swap [[bm25Resolve]]s the
-    * rebuilt one (RetrievalSpec proves the swap under a live stream).
-    * Returns the published version dir. */
+    * rebuilt one (StreamingServeSpec proves the swap under a live
+    * stream). Returns the published version dir. */
   def bm25Publish(ix: Bm25Index, root: String): String =
     Storage.publishArtifact(ix.postings.sparkSession, root)(dir => bm25Save(ix, dir))
 

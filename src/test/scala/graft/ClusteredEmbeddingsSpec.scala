@@ -62,11 +62,14 @@ class ClusteredEmbeddingsSpec extends SparkSpec {
       s"refine must not lose to the plain ADC ranking it refines: $line")
     // the q98 production sizing (kFor-K codebooks + rFor-r budget) is
     // the clustered-geometry REMEDY row (VERDICT r11 #1): on this
-    // geometry it must beat the pinned-dial refine decisively, not
+    // geometry it must beat the pinned-dial refine DECISIVELY, not
     // merely tie it — the whole campaign finding is that K=16/r=20
-    // collapses here while the sized dials recover
-    assert(vals("refine_scaled_q98") >= vals("refine_q83"),
-      s"production sizing lost to the pinned dials on clustered geometry: $line")
+    // collapses here while the sized dials recover. The fixture is
+    // seed-pinned (deterministic), measured q83 = 0.56 / q98 = 0.82;
+    // the +0.1 margin keeps the assert meaningful (an exact tie would
+    // mean the sizing degenerated — review r12) with 2.6× headroom.
+    assert(vals("refine_scaled_q98") >= vals("refine_q83") + 0.1,
+      s"production sizing no longer decisively beats the pinned dials on clustered geometry: $line")
     // q83's EXACT re-rank provably never loses; the q85 SQ8 re-score
     // is approximate (reconstruction error ~range/255 per dim), so
     // allow one-neighbor slack (10 probes × k=5 → 0.02/neighbor)

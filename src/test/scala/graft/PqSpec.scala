@@ -288,9 +288,9 @@ class PqSpec extends SparkSpec {
     assert(Pq.kFor(Long.MaxValue) == Pq.KMax)
   }
 
-  test("rFor: exact-integer power-of-2 rule, non-vacuous at oracle SF, RMax-capped") {
-    assert(Pq.rFor(1) == 16)             // tiny corpora: below every slot
-    assert(Pq.rFor(127) == 16)           // 4·2^5 = 128 > 127
+  test("rFor: exact-integer power-of-2 rule, non-vacuous at oracle SF, RefineR-floored, RMax-capped") {
+    assert(Pq.rFor(1) == Pq.RefineR)     // tiny corpora: the pinned q83 budget, never less
+    assert(Pq.rFor(127) == Pq.RefineR)   // 4·2^5 = 128 > 127
     assert(Pq.rFor(128) == 32)           // exact boundary
     assert(Pq.rFor(500) == 64)           // the oracle SF: NON-vacuous (≠ RefineR = 20)
     assert(Pq.rFor(511) == 64)
@@ -298,6 +298,10 @@ class PqSpec extends SparkSpec {
     assert(Pq.rFor(2000) == Pq.RMax)     // bench sf0.1
     assert(Pq.rFor(Long.MaxValue) == Pq.RMax)
     assert(Pq.rFor(500) != Pq.RefineR, "the sizing rule went vacuous at oracle SF")
+    // the dominance floor: at NO corpus size does the production rule
+    // serve fewer candidates than the pinned dial (review r12)
+    Seq(1L, 50L, 127L, 128L, 500L, 5000L).foreach(n =>
+      assert(Pq.rFor(n) >= Pq.RefineR, s"rFor($n) undercuts RefineR"))
   }
 
   test("pqRefineScaled equals pqRefineTopK at the derived (K, r) (the q98 surface)") {
