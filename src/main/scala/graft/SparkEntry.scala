@@ -92,10 +92,10 @@ object SparkEntry {
     "q62_label_centroids"   -> Embeddings.labelCentroids _,
     "q63_engaged_purchasers" -> Relational.engagedPurchasers _,
     "q64_event_navigation"  -> Temporal.eventNavigation _,
-    // q65 has NO oracleSql entry BY DESIGN (driver contract: omitted →
-    // rows-only check): HLL/t-digest estimates are engine-specific and
-    // DuckDB cannot replay them; the accuracy bound vs the exact twins
-    // is certified by RelationalOpsSpec instead.
+    // q65 grades accuracy-band BOOLEANS vs in-query exact twins
+    // (VERDICT r12 #1): the sketch VALUES stay un-oracled (engine-
+    // specific internals), but the bands are engine-invariant, so the
+    // row is hash-oracle-able — DuckDB replays with its own sketches.
     "q65_approx_profile"    -> Relational.approxProfile _,
     "q66_price_stats"       -> Relational.priceStats _,
     "q67_order_marginals"   -> Relational.orderMarginals _,
@@ -1573,6 +1573,33 @@ object SparkEntry {
          FROM e
          WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
          ORDER BY user_id, event_id""",
+    // sketch accuracy bands, NOT sketch values: each engine runs its
+    // OWN approx_count_distinct / approx_quantile and asserts the same
+    // deterministic bands vs the same exact twins (count-distinct,
+    // quantile_cont) — booleans are engine-invariant where HLL/t-digest
+    // register values never are, so the row hash-matches without
+    // pinning either engine's sketch internals
+    "q65_approx_profile" ->
+      """WITH toks AS (
+           SELECT source, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS token
+           FROM documents),
+         v AS (
+           SELECT source, count(DISTINCT token) AS exact_vocab,
+             approx_count_distinct(token) AS av
+           FROM toks GROUP BY source),
+         l AS (
+           SELECT source, count(*) AS n_docs,
+             quantile_cont(n_chars, 0.5) AS exact_median,
+             quantile_cont(n_chars, 0.9) AS exact_p90,
+             approx_quantile(n_chars, 0.5) AS ap50,
+             approx_quantile(n_chars, 0.9) AS ap90
+           FROM documents GROUP BY source)
+         SELECT l.source, l.n_docs, v.exact_vocab, l.exact_median, l.exact_p90,
+           (abs(v.av - v.exact_vocab) <= 0.10 * v.exact_vocab) AS vocab_in_band,
+           (abs(ap50 - exact_median) <= 0.15 * exact_median + 8) AS p50_in_band,
+           (abs(ap90 - exact_p90) <= 0.15 * exact_p90 + 8) AS p90_in_band
+         FROM l JOIN v USING (source)
+         ORDER BY source""",
     // moments from EXACT decimal co-moment sums (order-independent),
     // derived by the identical IEEE double formula tree on both
     // engines — never the engines' own streaming stddev/corr, whose

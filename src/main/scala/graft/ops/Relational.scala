@@ -412,24 +412,62 @@ object Relational {
     * are what a recurring data-quality monitor actually runs — same
     * plan shape, partial-aggregatable all the way down.
     *
-    * NO SQL oracle by design: sketch internals (register layouts,
-    * compression constants) are engine-specific, so DuckDB cannot
-    * replay Spark's estimates bit-for-bit. The driver records a
-    * rows-only check; the accuracy contract (relative error vs the
-    * exact twins) is spec-certified in RelationalOpsSpec instead. */
-  def approxProfile(spark: SparkSession, dir: String): DataFrame = {
+    * Raw form: carries BOTH the sketch estimates and their exact
+    * twins (the q43 count-distinct, the q49 interpolated percentiles)
+    * per source. The sketch VALUES can never be SQL-oracled — register
+    * layouts and compression constants are engine-specific, so DuckDB
+    * cannot replay Spark's estimates bit-for-bit — which is why the
+    * graded [[approxProfile]] reduces them to accuracy-band BOOLEANS
+    * (engine-invariant: any correct sketch lands inside the band)
+    * and this raw form stays the spec/debugging surface. */
+  def approxProfileRaw(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val vocab = docs
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .filter(length(col("token")) > 0)
       .groupBy(col("source"))
-      .agg(approx_count_distinct(col("token"), rsd = 0.02).as("approx_vocab"))
+      .agg(approx_count_distinct(col("token"), rsd = 0.02).as("approx_vocab"),
+        countDistinct(col("token")).as("exact_vocab"))
     val lengths = docs.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("approx_median"),
-        percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("approx_p90"))
+        percentile_approx(col("n_chars"), lit(0.9), lit(10000)).as("approx_p90"),
+        percentile(col("n_chars"), lit(0.5)).as("exact_median"),
+        percentile(col("n_chars"), lit(0.9)).as("exact_p90"))
     lengths.join(vocab, Seq("source")).orderBy(col("source"))
   }
+
+  /** The GRADED q65 (VERDICT r12 #1): the sketch estimates reduced to
+    * deterministic accuracy-band booleans against the exact twins
+    * computed in the same query —
+    * `|approx_vocab − exact_vocab| ≤ 0.10·exact` (the HLL runs at
+    * rsd 0.02, so the band is 5σ) and
+    * `|approx_pXX − exact_pXX| ≤ 0.15·exact + 8`. The percentile band
+    * is sized by the ORACLE side, not Spark's: both engines'
+    * estimators return an ELEMENT while the exact twin interpolates,
+    * and on the oracle SF's 25-doc strata DuckDB's t-digest lands up
+    * to ~7% of exact from the interpolated p90 (measured max 32.4
+    * chars; this band keeps ≥2.4× margin). Spark's accuracy-10000
+    * percentile_approx sits far inside it (RelationalOpsSpec pins
+    * 0.05·exact + 2 on the raw form). Booleans are
+    * engine-invariant — the DuckDB oracle replays the exact side with
+    * ITS OWN sketches (approx_count_distinct / approx_quantile) and
+    * asserts the same bands — so the row is hash-oracle-able without
+    * pinning any engine's sketch internals, and a wiring break on
+    * either side (wrong column, wrong rsd, band inverted) flips a
+    * boolean and fails the gate. The exact twins ride along as the
+    * engine-invariant payload a monitor would alert on. */
+  def approxProfile(spark: SparkSession, dir: String): DataFrame =
+    approxProfileRaw(spark, dir).select(
+      col("source"), col("n_docs"), col("exact_vocab"),
+      col("exact_median"), col("exact_p90"),
+      (abs(col("approx_vocab") - col("exact_vocab")) <=
+        col("exact_vocab") * 0.10).as("vocab_in_band"),
+      (abs(col("approx_median") - col("exact_median")) <=
+        col("exact_median") * 0.15 + 8.0).as("p50_in_band"),
+      (abs(col("approx_p90") - col("exact_p90")) <=
+        col("exact_p90") * 0.15 + 8.0).as("p90_in_band"))
+      .orderBy(col("source"))
 
   /** q66 — statistical aggregates (§2.4 completeness: second moments):
     * per-returnflag mean / population stddev / Pearson correlation of

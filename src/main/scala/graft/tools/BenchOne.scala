@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-query bench probe: times ONE SparkEntry query under the
+  * exact session config graft.Bench uses (master/local[N], shuffle
+  * partitions, AQE coalesce settings, noop sink, sf0.001 warm pass),
+  * so a steady-state estimate for a guard re-record can be measured
+  * without paying the full 99-query surface (~90 s quiet, ~40 min at
+  * sf10). Not a graded artifact — BASELINE.md records which samples
+  * came from here when a guard cites one.
+  *
+  * Usage: runMain graft.tools.BenchOne <query_name> [sfDir] [runs]
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse(
+      sys.error("usage: BenchOne <query_name> [sfDir] [runs]"))
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query: $name (known: ${graft.SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})"))
+    fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    graft.ops.Caches.releaseAll(spark)
+    val times = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    graft.ops.Caches.releaseAll(spark)
+    println(f"BENCHONE $name sf=$sfDir runs=${times.map(t => f"$t%.3f").mkString(",")} min=${times.min}%.3f")
+    spark.stop()
+  }
+}

@@ -7,10 +7,12 @@ package graft
   * exclusion must be explicit here with its documented reason. */
 class DriverContractSpec extends SparkSpec {
 
-  /** Queries deliberately without a DuckDB twin. q65: HLL/t-digest
-    * estimates are engine-specific (accuracy band spec'd in
-    * RelationalOpsSpec; the driver records rows-only by design). */
-  private val RowsOnly = Set("q65_approx_profile")
+  /** Queries deliberately without a DuckDB twin. EMPTY since round 13:
+    * q65 (the last entry — HLL/t-digest values are engine-specific)
+    * now grades accuracy-band booleans vs in-query exact twins, which
+    * ARE oracle-able (VERDICT r12 #1). The mechanism stays: any future
+    * query must either carry an oracle or land here with a reason. */
+  private val RowsOnly = Set.empty[String]
 
   test("every query has an oracle or a documented rows-only exclusion") {
     val queries = SparkEntry.queries.keySet

