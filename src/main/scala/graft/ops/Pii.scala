@@ -28,7 +28,20 @@ import org.apache.spark.sql.functions._
   * disjoint) with digit-free tokens `<EMAIL> <IP> <SSN> <PHONE>`, so
   * masking is IDEMPOTENT (PiiSpec property-pins it: a masked text
   * re-masks to itself, because no token re-triggers any detector).
-  * Counts are taken BEFORE masking.
+  * Counts are taken BEFORE masking, each class independently on the
+  * RAW text — so on overlapping-class text the counts and the masked
+  * spans can diverge (ADVICE r12): in `a@b.co10.0.0.1` the email
+  * match consumes `a@b.co10.0.0.1`'s head and no standalone IP exists
+  * in the raw text (`\b` sits mid-digits), yet after the email
+  * substitution the chain masks `<EMAIL>` + an IP-shaped remainder —
+  * n_pii then UNDERCOUNTS the spans actually redacted. The divergence
+  * is one-sided by construction: replacement tokens are digit-free,
+  * so the chain only ever reveals boundaries, never un-masks —
+  * redaction stays conservative and both engines run the identical
+  * chain, so the gate holds. Counting on the progressively-masked
+  * chain would close the gap at the cost of four extra regex passes
+  * per class per row; the raw-text count is the documented trade
+  * (counts are a monitoring signal; the masked text is the product).
   *
   * Plan shape at 100 TB: pure scan-riding codegen projections —
   * four `regexp_count`s and four chained `regexp_replace`s per row,

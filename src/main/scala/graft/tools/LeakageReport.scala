@@ -68,12 +68,26 @@ object LeakageReport {
     val nDocs = q36.count()
     // straddle counts: one pairs⋈split join per endpoint per split —
     // the splits are corpus-sized so no broadcast hint (AQE decides),
-    // the result is ONE row
-    def straddles(split: org.apache.spark.sql.DataFrame, c: String): Long =
-      pairs
+    // the result is ONE row. Coverage is ASSERTED, not assumed
+    // (ADVICE r12): the inner joins would silently DROP a pair whose
+    // endpoint is missing from a split table, and a split-coverage
+    // regression would then read as FEWER cross-split pairs — the
+    // leakage metric improving is exactly the failure that must not
+    // pass silently. One aggregate counts matched and crossing rows
+    // together, and matched ≠ nPairs aborts the report loudly.
+    def straddles(split: org.apache.spark.sql.DataFrame, c: String): Long = {
+      val r = pairs
         .join(split.select(col("doc_id").as("d1"), col(c).as("sa")), Seq("d1"))
         .join(split.select(col("doc_id").as("d2"), col(c).as("sb")), Seq("d2"))
-        .filter(col("sa") =!= col("sb")).count()
+        .agg(count(lit(1)).as("matched"),
+          sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)).as("cross"))
+        .collect()(0)
+      require(r.getLong(0) == nPairs,
+        s"$c split covers ${r.getLong(0)} of $nPairs near-dup pairs — " +
+          "an endpoint is missing from the split table; the straddle " +
+          "count would be a silent undercount")
+      if (nPairs == 0) 0L else r.getLong(1)
+    }
     val cross36 = straddles(q36, "s36")
     val cross97 = straddles(q97.select(col("doc_id"), col("s97")), "s97")
     // doc-level adoption cost as ONE aggregate over the joined splits:

@@ -314,8 +314,15 @@ class PqSpec extends SparkSpec {
     val got = Pq.pqRefineScaled(spark, dir).collect().map(_.toSeq).toSeq
     assert(got == want)
     // the production-sizing refine must not lose to the pinned-dial
-    // q83 on the exact ranking (larger candidate budget + finer
-    // codebooks can only help a refine whose stage 2 is exact)
+    // q83 on the exact ranking. FIXTURE-MEASURED, not a structural
+    // invariant (ADVICE r12): q98's stage-1 candidates come from a
+    // DIFFERENT (finer-codebook) ADC estimator, so q83's candidate
+    // set is not provably a subset of q98's — a finer estimator can
+    // in principle rank a true neighbor below the larger cut that a
+    // coarser one kept. It holds with margin on the seed-pinned
+    // corpus (like ClusteredEmbeddingsSpec's margin note); if a
+    // future fixture change flips it, re-measure before assuming a
+    // regression.
     val exact = Embeddings.bruteTopK(spark, dir).collect()
     val q83 = recallAgainst(exact, Pq.pqRefineTopK(spark, dir).collect())
     graft.ops.Caches.releaseAll(spark)
