@@ -172,9 +172,18 @@ object StreamingNearDedup {
     * re-arriving in a later batch re-reports its matches, which is
     * what a rebuilt index semantically requires anyway. `onBatch`
     * receives the batch's match rows (ts, doc_id, match_id, hamming)
-    * — the side-effect boundary, same role as the label sink. */
+    * — the side-effect boundary, same role as the label sink.
+    *
+    * `checkpointDir` (VERDICT r12 #3) makes the intake restartable:
+    * committed batches are not re-run after a stop (their matches are
+    * not re-reported to `onBatch`), and the first post-restart batch
+    * resolves the NEWEST complete snapshot — index rebuilds that land
+    * while the intake is down take effect on restart, not silently
+    * never (StreamRestartSpec pins both). Omitted = the pre-r13
+    * ephemeral behavior (Spark picks a temp checkpoint). */
   def nearDupMatchesRefreshing(docs: DataFrame, indexPath: String,
-                               maxHamming: Int = 3)
+                               maxHamming: Int = 3,
+                               checkpointDir: Option[String] = None)
                               (onBatch: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     require(maxHamming < Bands,
       s"maxHamming must be ≤ ${Bands - 1}: the $Bands-band index only guarantees " +
@@ -188,7 +197,7 @@ object StreamingNearDedup {
       .withColumn("bk", explodeBands(col("simhash")))
       .select(col("ts"), col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.band_val").as("band_val"))
-    sketched.writeStream
+    val writer = sketched.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // fresh resolution per batch: newest complete snapshot wins
@@ -201,6 +210,6 @@ object StreamingNearDedup {
           .select(col("ts"), col("doc_id"), col("idx_doc_id").as("match_id"), col("hamming"))
         onBatch(matches)
       }
-      .start()
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
 }
