@@ -828,4 +828,64 @@ class StorageSpec extends SparkSpec {
     assert(Storage.resolveArtifact(spark, root) == v3,
       "a marker-less artifact write must still resolve after publish")
   }
+
+  test("publishArtifactSuperseding under a REAL race: two live retrains, exactly one lands per round") {
+    // VERDICT r12 #4: the sequential test above proves the abort
+    // SEMANTICS; this one proves them under genuine concurrency — two
+    // retrains against the SAME resolved source, held in-flight
+    // together by a barrier INSIDE their write callbacks (both staged,
+    // neither renamed), then racing the pinned v(source+1) slot. Per
+    // round: exactly one publishes, the loser aborts with its staging
+    // removed, the version chain grows by exactly one, and
+    // resolveArtifact serves the winner's bytes — stale training is
+    // never observed over fresher (the loser re-resolves next round,
+    // which is the documented retry protocol).
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graftartrace").toString + "/quantizer"
+    def model(dir: String, trainer: String): Unit =
+      Seq(trainer).toDF("trainer").coalesce(1).write.parquet(dir + "/model.parquet")
+    Storage.publishArtifact(spark, root)(model(_, "base"))
+
+    def versionDirs(): Seq[String] = new java.io.File(root.stripPrefix("file:"))
+      .listFiles().map(_.getName).filter(_.matches("v[0-9]+")).sorted.toSeq
+
+    for (round <- 1 to 3) {
+      val source = Storage.resolveArtifact(spark, root)
+      assert(source.endsWith(s"/v$round"))
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      val results = Array.fill[Option[String]](2)(None)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 2).map { i =>
+        new Thread(() => {
+          try {
+            results(i) = Storage.publishArtifactSuperseding(spark, root, source) { dir =>
+              // both retrains are verifiably mid-write together before
+              // either can attempt the rename
+              barrier.await(60, java.util.concurrent.TimeUnit.SECONDS)
+              model(dir, s"trainer$i")
+            }
+          } catch { case t: Throwable => errs.add(t); () }
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(errs.isEmpty, s"round $round: a racer threw ${errs.peek()}")
+      val winners = results.zipWithIndex.collect { case (Some(v), i) => (v, i) }
+      assert(winners.length == 1,
+        s"round $round: ${results.toSeq} — exactly one racer must publish")
+      val (winDir, winIdx) = winners.head
+      // the chain grew by exactly one and the winner is what resolves
+      assert(versionDirs() == (1 to round + 1).map(v => s"v$v"),
+        s"round $round: version chain ${versionDirs()}")
+      assert(Storage.resolveArtifact(spark, root) == winDir)
+      assert(spark.read.parquet(winDir + "/model.parquet")
+        .collect().map(_.getString(0)).toSeq == Seq(s"trainer$winIdx"),
+        s"round $round: resolved artifact does not carry the winner's training")
+      // the loser's staging is gone
+      val leftover = new java.io.File(root.stripPrefix("file:")).listFiles()
+        .map(_.getName).filter(_.startsWith("."))
+      assert(leftover.isEmpty, s"round $round: staging residue ${leftover.toSeq}")
+    }
+  }
 }
