@@ -60,9 +60,11 @@ class BenchFormatSpec extends AnyFunSuite {
     // BENCH_DETAIL.json where no window applies
     val names = SparkEntry.queries.keys.toSeq.sorted
     // worst-case adj flag: the cap full (at 2-digit ratios) AND the
-    // "+N" overflow tail
+    // "+N" overflow tail; "warm" at a 4-digit-seconds worst case
+    // (quiet sessions read ~98)
     val line =
-      s"""{"metric":"total","value":${BenchFormat.num(9999.99)},"unit":"sec","queries":${
+      s"""{"metric":"total","value":${BenchFormat.num(9999.99)},"unit":"sec","warm":${
+        BenchFormat.num(9999.9, 1)},"queries":${
         BenchFormat.jmap(names.map(_.take(3) -> 9.99))},"adj":${
         BenchFormat.adjList(names.map(_ -> 99.9))},"sf":${
         BenchFormat.sfJson("/root/testdata/sf0.1")}}"""
