@@ -27,6 +27,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Peak-memory canary (VERDICT r12 #7 — prove the 8 GB-heap claim
+    // is a floor with a number, not the absence of an OOM): the max
+    // single-task peak EXECUTION memory across the whole run, from the
+    // public listener API. Together with the JVM heap-pool peak read
+    // at the end, it gives SCALING_r{N}.md a per-SF memory column so
+    // the next q42-class regression (a plan that buffers a group) is
+    // caught as a growing number across decades, not as a crash at
+    // sf10.
+    val peakTaskExec = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) peakTaskExec.accumulateAndGet(m.peakExecutionMemory, math.max(_, _))
+      }
+    })
     // Representative untimed warm-up: run EVERY query once at the smallest
     // scale factor. Scheduler/codegen-framework bring-up, the interpreted
     // higher-order-function paths (zip_with/aggregate lambdas), the custom
@@ -155,8 +170,15 @@ object Bench {
     // line; timing/grading semantics are UNCHANGED from v3-adj —
     // "adjudicated" still lists every raw third sample, so a reader
     // reconstructs the v3 adj list as its keys when comparing rounds.
+    // Memory peaks for the scaling tables: JVM heap-pool peak-used
+    // (since JVM start — the whole bench) and the max single-task
+    // execution-memory peak from the listener. MB resolution.
+    import scala.jdk.CollectionConverters._
+    val peakHeapMb = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(_.getPeakUsage.getUsed).sum >> 20
     val detail =
-      s"""{"protocol":"min-of-two-v4-adj","warmup":${num(warmup, 3)},"warmup_sf":${num(warmupSf, 3)},"queries_min":${jmap(results.map(r => r._1 -> r._2), 3)},"queries_first_run":${jmap(results.map(r => r._1 -> r._3), 3)},"queries_second_run":${jmap(results.map(r => r._1 -> r._4), 3)},"adjudicated":${jmap(results.collect { case (n, _, _, _, Some(t)) => n -> t }, 3)},"sf":${BenchFormat.jstr(sfDir)}}"""
+      s"""{"protocol":"min-of-two-v4-adj","warmup":${num(warmup, 3)},"warmup_sf":${num(warmupSf, 3)},"peak_heap_mb":$peakHeapMb,"peak_task_exec_mb":${peakTaskExec.get() >> 20},"queries_min":${jmap(results.map(r => r._1 -> r._2), 3)},"queries_first_run":${jmap(results.map(r => r._1 -> r._3), 3)},"queries_second_run":${jmap(results.map(r => r._1 -> r._4), 3)},"adjudicated":${jmap(results.collect { case (n, _, _, _, Some(t)) => n -> t }, 3)},"sf":${BenchFormat.jstr(sfDir)}}"""
     // best-effort side file: an unwritable cwd must not discard the
     // graded line below after a full timed run
     scala.util.Try {

@@ -744,25 +744,52 @@ object LlmOps {
     * matrix). Recall < 1 by design (a pair edited at BOTH ends of
     * the key escapes both blocks) — the oracle replays the same
     * blocking, and LlmOpsSpec measures the miss against the
-    * unblocked truth. */
+    * unblocked truth.
+    *
+    * `midBlock` (VERDICT r12 #6) adds the THIRD pass — the middle
+    * [[FuzzyBlockLen]]-gram of the key (chars 19-22 of 40) — which
+    * rescues exactly the documented miss class: a pair edited at
+    * BOTH ends whose middle survives. Cost is one more shuffle of
+    * the key relation plus the extra collisions (the dial table in
+    * bench/SCALING_r13.md quantifies recall bought per candidate
+    * generated). OFF by default: the q94 oracle replays 2-pass
+    * blocking, and the default must stay oracle-stable. Keys shorter
+    * than the middle window contribute a short-or-empty mid block;
+    * boilerplate-heavy short corpora are exactly what the hot-block
+    * cap already bounds. */
   def fuzzyDupPairs(spark: SparkSession, dir: String,
                     tau: Int = FuzzyTau,
-                    maxBlock: Int = FuzzyMaxBlock): DataFrame =
-    fuzzyDupPairsOf(Tables.documents(spark, dir), tau, maxBlock)
+                    maxBlock: Int = FuzzyMaxBlock,
+                    midBlock: Boolean = false): DataFrame =
+    fuzzyDupPairsOf(Tables.documents(spark, dir), tau, maxBlock, midBlock)
 
   /** [[fuzzyDupPairs]] over an explicit (doc_id, text) relation —
     * the fixture seam. */
   def fuzzyDupPairsOf(docs: DataFrame, tau: Int = FuzzyTau,
-                      maxBlock: Int = FuzzyMaxBlock): DataFrame = {
+                      maxBlock: Int = FuzzyMaxBlock,
+                      midBlock: Boolean = false): DataFrame = {
     require(tau >= 0 && maxBlock >= 1, "tau and maxBlock must be non-negative/positive")
     val keys = docs.select(col("doc_id"),
       substring(regexp_replace(lower(col("text")), "\\s+", " "), 1, FuzzyKeyLen).as("key"))
-    // two blocking passes, deduped: a key whose prefix equals its
-    // suffix block must not self-collide twice
-    val blocks = Caches.persist(
-      keys.withColumn("blk", substring(col("key"), 1, FuzzyBlockLen))
-        .unionByName(keys.withColumn("blk", expr(s"right(key, $FuzzyBlockLen)")))
-        .distinct())
+    // two blocking passes (three with midBlock), deduped: a key whose
+    // prefix equals its suffix block must not self-collide twice
+    val twoPass = keys.withColumn("blk", substring(col("key"), 1, FuzzyBlockLen))
+      .unionByName(keys.withColumn("blk", expr(s"right(key, $FuzzyBlockLen)")))
+    // the mid pass lives in its OWN block namespace (the "m|" tag —
+    // 6 chars, so it can never equal a 4-char prefix/suffix gram):
+    // untagged, mid grams would inflate the SHARED block populations
+    // past the hot cap and silently DROP prefix/suffix collisions the
+    // 2-pass default had found — measured at sf0.1 before the tag,
+    // the "extra" pass cost 23% of the 2-pass pairs. Tagged, the pass
+    // is monotone by construction: it only ever adds mid-to-mid
+    // candidates (FuzzyDial verifies candidates(3-pass) ⊇ 2-pass's
+    // count); the incidental cross-pass collisions (one key's mid
+    // equal to another's prefix) are deliberately not candidates.
+    val allPass = if (!midBlock) twoPass
+    else twoPass.unionByName(keys.withColumn("blk",
+      concat(lit("m|"), substring(col("key"),
+        (FuzzyKeyLen - FuzzyBlockLen) / 2 + 1, FuzzyBlockLen))))
+    val blocks = Caches.persist(allPass.distinct())
     val ok = blocks.groupBy(col("blk")).agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxBlock).select(col("blk"))
     val bb = blocks.join(ok, Seq("blk"))

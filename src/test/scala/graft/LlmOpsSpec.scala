@@ -357,6 +357,27 @@ class LlmOpsSpec extends SparkSpec {
     assert(!got.exists(p => p._1 >= 100L))
   }
 
+  test("fuzzyDupPairsOf midBlock: a both-ends edit with a surviving middle is rescued by the third pass") {
+    // VERDICT r12 #6: the documented 2-pass miss class is an edit at
+    // BOTH ends of the key; the middle 4-gram pass catches exactly the
+    // members of that class whose middle window survives. Keys built
+    // to the letter: chars 1-4 and 37-40 differ (prefix AND suffix
+    // blocks miss), chars 19-22 identical (mid block collides),
+    // distance 8 ≤ τ.
+    val k1 = "aaaa" + "c" * 32 + "xxxx"
+    val k2 = "bbbb" + "c" * 32 + "yyyy"
+    assert(k1.length == LlmOps.FuzzyKeyLen && lev(k1, k2) == 8)
+    val docs = Seq((1L, k1), (2L, k2)).toDF("doc_id", "text")
+    val twoPass = LlmOps.fuzzyDupPairsOf(docs, tau = 18).collect()
+    graft.ops.Caches.releaseAll(spark)
+    assert(twoPass.isEmpty, "fixture drifted: the pair no longer escapes 2-pass blocking")
+    val threePass = LlmOps.fuzzyDupPairsOf(docs, tau = 18, midBlock = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.ops.Caches.releaseAll(spark)
+    assert(threePass.toSeq == Seq((1L, 2L, 8L)),
+      s"mid-block pass must rescue the pair with its exact distance: ${threePass.toSeq}")
+  }
+
   test("fuzzyDupPairs at sf0.01: perfect precision vs the unblocked truth, recall measured") {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(dir).isDirectory, "testdata not present")
