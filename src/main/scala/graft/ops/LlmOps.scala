@@ -781,10 +781,11 @@ object LlmOps {
     // past the hot cap and silently DROP prefix/suffix collisions the
     // 2-pass default had found — measured at sf0.1 before the tag,
     // the "extra" pass cost 23% of the 2-pass pairs. Tagged, the pass
-    // is monotone by construction: it only ever adds mid-to-mid
-    // candidates (FuzzyDial verifies candidates(3-pass) ⊇ 2-pass's
-    // count); the incidental cross-pass collisions (one key's mid
-    // equal to another's prefix) are deliberately not candidates.
+    // is monotone: it only ever adds mid-to-mid candidates
+    // (LlmOpsSpec asserts pairs(2-pass) ⊆ pairs(3-pass) on the
+    // hot-block fixture AND at sf0.01); the incidental cross-pass
+    // collisions (one key's mid equal to another's prefix) are
+    // deliberately not candidates.
     val allPass = if (!midBlock) twoPass
     else twoPass.unionByName(keys.withColumn("blk",
       concat(lit("m|"), substring(col("key"),

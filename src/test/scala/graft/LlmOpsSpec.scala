@@ -376,6 +376,36 @@ class LlmOpsSpec extends SparkSpec {
     graft.ops.Caches.releaseAll(spark)
     assert(threePass.toSeq == Seq((1L, 2L, 8L)),
       s"mid-block pass must rescue the pair with its exact distance: ${threePass.toSeq}")
+
+    // MONOTONE under the hot cap (the namespace law): the mid pass
+    // runs in its own block namespace, so its grams can never push a
+    // shared prefix/suffix block over maxBlock and LOSE 2-pass pairs —
+    // the untagged-namespace regression this fixture reproduces: a
+    // found pair (5,6) rides a prefix block at exactly the cap, and
+    // the hot docs' mid grams all COLLIDE with it.
+    val capKey = "zzzz" + "q" * 32 + "wwww" // prefix zzzz, mid qqqq
+    val nearCap = (0 until LlmOps.FuzzyMaxBlock - 2).map(i =>
+      // same zzzz prefix (fills the block to exactly maxBlock with
+      // 5/6), distinct suffixes/mids, far beyond tau of everything
+      (10L + i, f"zzzz unrelated filler $i%02d ${"uvw" * 8}$i%02d"))
+    val capDocs = (Seq((5L, capKey), (6L, capKey)) ++ nearCap ++
+      // the pressure population: 32 docs whose MID gram is "zzzz" —
+      // in a SHARED namespace their mid entries would join the zzzz
+      // prefix block (32 + 32 = 64 > cap) and kill the (5,6) pair;
+      // tagged, they populate "m|zzzz" instead and 2-pass results
+      // are untouchable by construction
+      (0 until LlmOps.FuzzyMaxBlock).map(i =>
+        (100L + i, f"mm$i%02d aaaaaaaaaaaa zzzz ffffffffffff $i%02d end")))
+      .toDF("doc_id", "text")
+    val two = LlmOps.fuzzyDupPairsOf(capDocs, tau = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.Caches.releaseAll(spark)
+    val three = LlmOps.fuzzyDupPairsOf(capDocs, tau = 2, midBlock = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.ops.Caches.releaseAll(spark)
+    assert(two.contains((5L, 6L)), s"fixture drifted: 2-pass lost the cap-edge pair ($two)")
+    assert(two.subsetOf(three),
+      s"midBlock LOST pairs the default found — namespace leak: ${two -- three}")
   }
 
   test("fuzzyDupPairs at sf0.01: perfect precision vs the unblocked truth, recall measured") {
@@ -410,5 +440,13 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall (${got.size}/${truth.size}) below the measured floor")
     // nonzero distances are exercised (the word-level near-dups)
     assert(got.values.exists(_ > 0L), "only exact-prefix dups matched — tau fixture vacuous")
+    // the mid pass is MONOTONE on the real corpus too (the namespace
+    // law at data scale): 3-pass finds a superset, with distances intact
+    val got3 = LlmOps.fuzzyDupPairs(spark, dir, midBlock = true).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    graft.ops.Caches.releaseAll(spark)
+    assert(got.forall { case (p, d) => got3.get(p).contains(d) },
+      s"midBlock lost sf0.01 pairs the default found: ${got.keySet -- got3.keySet}")
+    got3.foreach { case (p, d) => assert(truth.get(p).contains(d), s"false positive $p") }
   }
 }
