@@ -24,7 +24,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * df-count/self-join shuffle that genuinely needs the network.
   *
   * Semantics are bit-identical to the replaced plan (pinned by
-  * ShingleSetSpec): words = `split(text, " ")` — single-space split
+  * ShingleSetProperties): words = `split(text, " ")` — single-space split
   * KEEPING empty strings (consecutive/leading/trailing spaces), Spark
   * split semantics with limit -1; shingle i = words i..i+n-1 joined
   * with single spaces; fewer than n words → empty array. Because

@@ -53,7 +53,7 @@ object LlmOps {
     * shuffled every shingle OCCURRENCE (~n_tokens rows per document)
     * just to dedup within documents, a full-corpus exchange paid by
     * all seven n-gram-family queries before any real work started
-    * (ShingleSetSpec pins bit-identical semantics). */
+    * (ShingleSetProperties pins bit-identical semantics). */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     graft.functions.ShingleSet.register(docs.sparkSession)
     docs.select(col("doc_id"), explode(expr(s"shingle_set(text, $n)")).as("shingle"))

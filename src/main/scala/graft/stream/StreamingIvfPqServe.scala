@@ -15,7 +15,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Shape: stream-static via foreachBatch, the [[StreamingAnnServe]]
   * rationale; each micro-batch runs the SAME [[graft.ops.Pq
   * .ivfPqServe]] the q79 oracle certifies, so batch/stream agreement
-  * is an identity (StreamingIvfPqServeSpec).
+  * is an identity (StreamingPqServeSpec, the IVFADC e2e + restart tests).
   *
   * At 100 TB: the codes relation never moves and is both compressed
   * (4 B/vector of code + the cell id) and ROUTED — each micro-batch
