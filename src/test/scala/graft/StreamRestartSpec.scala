@@ -88,6 +88,22 @@ class StreamRestartSpec extends SparkSpec {
       assert(req2.current == Set((1L, "facilitators")),
         s"reviewer requests after restart: ${req2.current}")
     } finally q2.stop()
+
+    // ---- run 3, SAME checkpoint, SAME store (the label store is the
+    // external system — GitHub — and persists across machine restarts):
+    // alice ROLLS BACK. The restored state must still hold both
+    // approvals for the shrink to mean anything; the rollback drops
+    // team_a's coverage, so the label added in run 2 must be REMOVED —
+    // the reference's documented "labels are not restored on review
+    // rollback" gap, here exercised ACROSS two restarts.
+    writeJson(srcDir, "f3.json", Seq(
+      """{"pr":1,"user":"alice","state":"CHANGES_REQUESTED","seq":4}"""))
+    val q3 = start(store2, req2)
+    try {
+      q3.processAllAvailable()
+      assert(store2.current.isEmpty,
+        s"rollback across restart failed to remove the stale label: ${store2.current}")
+    } finally q3.stop()
   }
 
   test("EventWindows restart: an open window finalizes once, combining pre- and post-restart events") {
