@@ -28,6 +28,19 @@ class DriverContractSpec extends SparkSpec {
       "RowsOnly query also has an oracle — drop one")
   }
 
+  test("SURVEY §8.2 maps every graded query (regenerate via scripts/gen_survey_map.py)") {
+    // the round-13 restructure replaced the append-only §8 prose with a
+    // generated query→implementation→gate table; this keeps it from
+    // rotting — a new/renamed query must re-run the generator
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val missing = SparkEntry.queries.keySet.filterNot(n => survey.contains(s"| $n |"))
+    assert(missing.isEmpty,
+      s"queries absent from SURVEY §8.2: ${missing.toSeq.sorted} — run " +
+        "python3 scripts/gen_survey_map.py bench/BENCH_DETAIL_sf1_r<N>.json " +
+        "bench/BENCH_DETAIL_sf10_r<N>.json")
+  }
+
   test("query names follow the qNN_snake convention with unique numbers") {
     val names = SparkEntry.queries.keySet.toSeq.sorted
     names.foreach(n => assert(n.matches("q[0-9]{2}_[a-z0-9_]+"), s"bad name: $n"))
