@@ -167,6 +167,64 @@ class StreamRestartSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("EventWindows sessions restart: an open session extends across the stop and finalizes once") {
+    // the MERGING window shape (session_window), stateful in a way
+    // tumbling windows are not: the restored state must MERGE with a
+    // post-restart event that falls within the inactivity gap, so the
+    // finalized session spans the stop — count, sum and end-time all
+    // prove the pre-stop events survived in the merged window.
+    val root = tmp("sess-restart")
+    val srcDir = root.resolve("in").toString
+    val ckpt = root.resolve("ckpt").toString
+    new java.io.File(srcDir).mkdirs()
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType)))
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    def row(m: Int, v: Double) = s"""{"user_id":1,"ts_ms":${base + m * 60000L},"value":$v}"""
+
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]()
+    def start() =
+      EventWindows.sessionStatsStreaming(
+          spark.readStream.schema(sch).json(srcDir)
+            .withColumn("ts", timestamp_millis(col("ts_ms")))
+            .select("user_id", "ts", "value"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach(r => emitted.add((r.getLong(0), r.getTimestamp(1),
+            r.getTimestamp(2), r.getLong(3), r.getDouble(4))))
+        }
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // ---- run 1: two events 10 minutes apart — one open session;
+    // watermark (2 h lateness) is far behind, nothing finalizes
+    writeJson(srcDir, "f1.json", Seq(row(0, 1.0), row(10, 2.0)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(emitted.isEmpty, s"run 1 finalized an open session: $emitted")
+
+    // ---- run 2: an event 20 min after the last (inside the 30-min
+    // gap → must MERGE into the restored session), then watermark
+    // advances past the session end and the next batch finalizes it
+    writeJson(srcDir, "f2.json", Seq(row(30, 4.0), row(300, 100.0)))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      writeJson(srcDir, "f3.json", Seq(row(330, 100.0)))
+      q2.processAllAvailable()
+      val sessions = emitted.toArray(Array.empty[
+        (Long, java.sql.Timestamp, java.sql.Timestamp, Long, Double)]).toSeq
+        .filter(_._5 < 100.0) // the watermark-advancer events finalize later
+      assert(sessions == Seq((1L,
+        java.sql.Timestamp.valueOf("2026-01-01 10:00:00"),
+        java.sql.Timestamp.valueOf("2026-01-01 11:00:00"), // 10:30 + 30 min gap
+        3L, 7.0)),
+        s"restored session did not merge across the restart: $sessions")
+    } finally q2.stop()
+  }
+
   test("StreamingNearDedup refreshing intake restart: no match re-report; down-time rebuild resolves") {
     val s = spark
     import s.implicits._
