@@ -225,6 +225,61 @@ class StreamRestartSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("IntervalJoin restart: a buffered click joins a post-restart view; no match re-emission") {
+    // the stream-stream join's state is the BUFFERED SIDES: a click
+    // waiting for its conversion window must survive the stop and
+    // join a view that arrives only after the restart — and the match
+    // already emitted before the stop must not re-emit.
+    val root = tmp("ivj-restart")
+    val clickDir = root.resolve("clicks").toString
+    val viewDir = root.resolve("views").toString
+    val ckpt = root.resolve("ckpt").toString
+    new java.io.File(clickDir).mkdirs()
+    new java.io.File(viewDir).mkdirs()
+    import org.apache.spark.sql.types._
+    val cSch = StructType(Seq(StructField("user_id", LongType),
+      StructField("click_id", LongType), StructField("ts_ms", LongType)))
+    val vSch = StructType(Seq(StructField("user_id", LongType),
+      StructField("view_id", LongType), StructField("ts_ms", LongType)))
+    val base = java.sql.Timestamp.valueOf("2026-01-01 10:00:00").getTime
+    def at(m: Int): Long = base + m * 60000L
+
+    def start(seen: scala.collection.concurrent.TrieMap[(Long, Long), Int]) =
+      graft.stream.IntervalJoin.clickViewConversions(
+          spark.readStream.schema(cSch).json(clickDir)
+            .withColumn("click_ts", timestamp_millis(col("ts_ms")))
+            .select("user_id", "click_id", "click_ts"),
+          spark.readStream.schema(vSch).json(viewDir)
+            .withColumn("view_ts", timestamp_millis(col("ts_ms")))
+            .select("user_id", "view_id", "view_ts"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach(r =>
+            seen.put((r.getAs[Long]("click_id"), r.getAs[Long]("view_id")), 1))
+        }
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+
+    // ---- run 1: click 1 at 10:00; view 10 at 10:05 matches it
+    writeJson(clickDir, "f1.json", Seq(s"""{"user_id":1,"click_id":1,"ts_ms":${at(0)}}"""))
+    writeJson(viewDir, "f1.json", Seq(s"""{"user_id":1,"view_id":10,"ts_ms":${at(5)}}"""))
+    val run1 = scala.collection.concurrent.TrieMap.empty[(Long, Long), Int]
+    val q1 = start(run1)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(run1.keySet == Set((1L, 10L)), s"run 1 matches: ${run1.keySet}")
+
+    // ---- run 2, SAME checkpoint, FRESH collector: a second view at
+    // 10:08 — still inside click 1's 10-minute window — must join the
+    // RESTORED buffered click; (1,10) must not re-emit
+    writeJson(viewDir, "f2.json", Seq(s"""{"user_id":1,"view_id":11,"ts_ms":${at(8)}}"""))
+    val run2 = scala.collection.concurrent.TrieMap.empty[(Long, Long), Int]
+    val q2 = start(run2)
+    try {
+      q2.processAllAvailable()
+      assert(run2.keySet == Set((1L, 11L)),
+        s"restart lost the buffered click or re-emitted batch-1 matches: ${run2.keySet}")
+    } finally q2.stop()
+  }
+
   test("StreamingNearDedup refreshing intake restart: no match re-report; down-time rebuild resolves") {
     val s = spark
     import s.implicits._
