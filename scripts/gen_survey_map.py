@@ -144,7 +144,11 @@ def main():
     marker = "<!-- GENERATED-QUERY-TABLE -->"
     start = txt.index(marker)
     end_heading = "\n### 8.3"
-    end = txt.index(end_heading)
+    # search FROM the marker (ADVICE r13): an end-heading occurrence
+    # earlier in the file would otherwise slice backwards and silently
+    # corrupt SURVEY.md
+    end = txt.index(end_heading, start)
+    assert end > start, "generated-table end heading precedes its marker"
     open(survey, "w").write(
         txt[:start] + marker + "\n\n" + block + "\n" + txt[end:])
     print("wrote %d table rows" % (len(rows) - 2))

@@ -503,6 +503,104 @@ object Multimodal {
       .select(col("media_id"), col("frame_no"),
         substring(col("content"), col("frame_no") * stride + 1, lit(frameBytes)).as("frame"))
 
+  /** dHash-64 over a decoded raster (VERDICT r13 #5 — the PIXEL-level
+    * member of the dedup family; until now image near-dup required
+    * embeddings): average-downsample the luminance to a 9×8 grid and
+    * set bit r*8+c iff grid(r,c) > grid(r,c+1) — the standard
+    * difference hash. Gradient-based, so it is invariant to global
+    * brightness/contrast shifts and robust to resizing/recompression,
+    * which byte-level hashes (q19 md5) and text sketches can't see.
+    * Area-averaged downsample (every pixel contributes), not
+    * point-sampled — two JPEG encodes of one photo land within a few
+    * bits. */
+  def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    // 9 columns × 8 rows of mean luminance; cell (r,c) covers the
+    // half-open pixel box [r*h/8,(r+1)*h/8) × [c*w/9,(c+1)*w/9),
+    // widened to at least one pixel for rasters narrower than the grid
+    val grid = Array.tabulate(8, 9) { (r, c) =>
+      val (r0, c0) = (r * h / 8, c * w / 9)
+      val (r1, c1) = (math.max(r0 + 1, (r + 1) * h / 8), math.max(c0 + 1, (c + 1) * w / 9))
+      var sum = 0.0
+      var cnt = 0
+      var y = r0
+      while (y < r1 && y < h) {
+        var x = c0
+        while (x < c1 && x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 255) * 0.299 + ((rgb >> 8) & 255) * 0.587 + (rgb & 255) * 0.114
+          cnt += 1
+          x += 1
+        }
+        y += 1
+      }
+      sum / cnt
+    }
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (grid(r)(c) > grid(r)(c + 1)) bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** Per-image perceptual hashes on the q28 decode seam: decode with
+    * ImageIO (same batch-shaped `mapPartitions` as [[extractFeatures]])
+    * and emit (media_id, phash). Undecodable payloads and non-image
+    * kinds are DROPPED, not stubbed — a hash derived from raw bytes
+    * would pair arbitrary non-images at random Hamming distances,
+    * polluting the near-dup output the operator exists for (the q28
+    * metadata projection remains the total operator). */
+  def perceptualHashes(media: Dataset[MediaRecord], batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { m =>
+        if (m.kind != "image") None
+        else {
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
+            catch { case scala.util.control.NonFatal(_) => None }
+          img.map(i => (m.media_id, dHash64(i)))
+        }
+      })
+    }.toDF("media_id", "phash")
+  }
+
+  /** Pixel-level near-duplicate pairs from dHash-64 fingerprints:
+    * banded Hamming blocking (the q22 SimHash / StreamingNearDedup
+    * pattern at the image hash's width). The 64 bits split into 8
+    * bands of 8; by pigeonhole any pair within Hamming distance 7
+    * agrees on at least one full band, so `maxHamming ≤ 7` (default 6
+    * — the conventional dHash near-dup threshold is ~6-10 of 64) has
+    * NO false negatives; the exact `bit_count` check after the join
+    * removes band-collision false positives. Candidate generation is
+    * an EQUI-join on (band, band_bits) — never all-pairs: at 100 TB
+    * the cost is bounded by per-bucket population exactly like q21's
+    * MinHash bands, and a skewed bucket (e.g. the all-zero band of
+    * flat images) is an AQE skew-join case, not a plan change. */
+  def phashNearDup(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val bands = 8
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"maxHamming must be ≤ ${bands - 1}: the $bands-band index only guarantees " +
+        s"recall for Hamming < $bands (got $maxHamming)")
+    val banded = hashes.select(col("media_id"), col("phash"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        shiftright(col("phash"), b * 8).bitwiseAND(lit(255L)).as("bits"))): _*)).as("bk"))
+      .select(col("media_id"), col("phash"), col("bk.band"), col("bk.bits"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id1"), col("y.media_id").as("id2"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** q28 — typed-metadata projection over the binary column, fully
     * expression-based (no UDF): byte length, a content key from md5,
     * and the stub decoder's hash-derived dimensions, so the DuckDB

@@ -66,6 +66,18 @@ object LeakageReport {
 
     val nPairs = pairs.count()
     val nDocs = q36.count()
+    // split doc_id uniqueness, asserted BEFORE the coverage check uses
+    // it (ADVICE r13): `matched == nPairs` below can be satisfied by
+    // CANCELATION — a duplicated doc_id (2 join matches for one pair)
+    // masking a missing endpoint (0 matches for another). Unique keys
+    // make the joined row count a faithful pair count.
+    Seq(("q36", q36), ("q97", q97)).foreach { case (label, split) =>
+      val d = split.agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("nd")).collect()(0)
+      require(d.getLong(0) == d.getLong(1),
+        s"$label split has ${d.getLong(0)} rows but ${d.getLong(1)} distinct doc_ids — " +
+          "duplicate keys would let the pair-coverage assertion pass by cancelation")
+    }
     // straddle counts: one pairs⋈split join per endpoint per split —
     // the splits are corpus-sized so no broadcast hint (AQE decides),
     // the result is ONE row. Coverage is ASSERTED, not assumed

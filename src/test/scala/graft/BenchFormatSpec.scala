@@ -61,12 +61,14 @@ class BenchFormatSpec extends AnyFunSuite {
     val names = SparkEntry.queries.keys.toSeq.sorted
     // worst-case adj flag: the cap full (at 2-digit ratios) AND the
     // "+N" overflow tail; "warm" at a 4-digit-seconds worst case
-    // (quiet sessions read ~98)
+    // (quiet sessions read ~98); "post" (v5) at its cap with 2-digit
+    // seconds — every pre-settle survivor re-ran, none cleared
     val line =
       s"""{"metric":"total","value":${BenchFormat.num(9999.99)},"unit":"sec","warm":${
         BenchFormat.num(9999.9, 1)},"queries":${
         BenchFormat.jmap(names.map(_.take(3) -> 9.99))},"adj":${
-        BenchFormat.adjList(names.map(_ -> 99.9))},"sf":${
+        BenchFormat.adjList(names.map(_ -> 99.9))},"post":${
+        BenchFormat.postMap(names.map(_ -> 99.99))},"sf":${
         BenchFormat.sfJson("/root/testdata/sf0.1")}}"""
     assert(line.length <= 1900,
       s"graded line would be ${line.length} chars at ${names.length} queries — " +
@@ -86,5 +88,16 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(full == """["q01:2","q02:2","q03:2","q04:2","q05:2","q06:2","q07:2","q08:2","+4"]""")
     // the worst case is bounded regardless of surface size
     assert(BenchFormat.adjList((1 to 500).map(i => f"q$i%03d" -> 99.9)).length <= 110)
+  }
+
+  test("postMap: qNN-prefixed re-run seconds, sorted, capped, empty when no survivors") {
+    assert(BenchFormat.postMap(Nil) == "{}")
+    assert(BenchFormat.postMap(Seq("q98_refine_prod" -> 2.63, "q87_x" -> 1.8)) ==
+      """{"q87":1.8,"q98":2.63}""")
+    // cap pins the line budget regardless of how many guards tripped;
+    // the full map rides in BENCH_DETAIL.json
+    val many = BenchFormat.postMap((1 to 20).map(i => f"q$i%02d_name" -> 9.99))
+    assert(many == """{"q01":9.99,"q02":9.99,"q03":9.99,"q04":9.99,"q05":9.99,"q06":9.99,"q07":9.99,"q08":9.99}""")
+    assert(BenchFormat.postMap((1 to 500).map(i => f"q$i%03d" -> 99.99)).length <= 115)
   }
 }
