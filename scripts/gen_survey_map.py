@@ -59,7 +59,7 @@ NOTES = {
     "q89": "radius cut on routed serve (no rank window)",
     "q90": "copy-on-write tombstone + vacuum + resolve",
     "q91": "OPQ-style variance-balanced permutation",
-    "q92": "k=5 greedy over <= nprobe*r rows; O(1) plan depth",
+    "q92": "one grouped exchange; k=5 greedy in-group over <= r cands",
     "q93": "3 passes over cached postings; integer grid",
     "q94": "prefix+suffix blocks, cap 32; midBlock dial (r13)",
     "q95": "frozen-stats lexical ingest (q87's BM25 twin)",

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein,
@@ -18,8 +17,9 @@ import org.apache.spark.sql.functions._
   * generates `r` ≫ k candidates per probe through the ROUTED IVF+SQ8
   * serve (q82 — the 64 B/vec tier, probed-cell pruning and all);
   * stage 2 is CANDIDATE-SIZED — candidates join back to the exact
-  * integer grid once, and the greedy selection runs k rounds of
-  * candidate-bounded joins. The corpus is touched only by stage 1.
+  * integer grid once, and the greedy selection runs inside one
+  * grouped exchange, k rounds imperative over each query's ≤ r
+  * buffered candidates. The corpus is touched only by stage 1.
   *
   * Exactness: with the conventional λ = 1/2 the MMR objective
   * argmax_d [λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)] is, on the
@@ -46,8 +46,9 @@ object Mmr {
     * the SQ8 estimate), so downstream consumers read true distances.
     *
     * At 100 TB: stage 1's cost is the audited q82 serve
-    * (nprobe/nCells of the 4 B+64 B tiers); stage 2 costs k rounds of
-    * joins over ≤ nProbes·r rows. Diversity quality is bounded by the
+    * (nprobe/nCells of the 4 B+64 B tiers); stage 2 costs ONE
+    * shuffle of ≤ nProbes·r candidate rows plus O(k·r·dim) in-group
+    * work per query. Diversity quality is bounded by the
     * candidate pool — raise `r` when the corpus is duplicate-heavy
     * (the q83 recall-vs-r dial, applied to coverage; MEASURED by
     * [[graft.tools.DiversityReport.coverageVsR]] — coverage-vs-r
@@ -71,6 +72,27 @@ object Mmr {
     expr(s"vec_dot($a, $a)") - lit(2L) * expr(s"vec_dot($a, $b)") +
       expr(s"vec_dot($b, $b)")
 
+  /** One candidate row inside a query's MMR group: the exact grid
+    * vector rides along so the pairwise diversity distances never
+    * leave the group. */
+  private[ops] final case class MmrCand(q_id: Long, neighbor_id: Long,
+                                   n_v: Seq[Long], rel: Long)
+
+  /** One emitted selection row; `est` is the EXACT squared L2 to the
+    * query (rel of the pick), not an SQ8 estimate. */
+  private[ops] final case class MmrPick(q_id: Long, rank: Long,
+                                   neighbor_id: Long, est: Long)
+
+  /** Exact squared L2 between two grid vectors — the in-group twin of
+    * [[sqDist]]; Long arithmetic on the q45 grid, so the value is the
+    * same exact BIGINT the codegen vec_dot path produces. */
+  private def sqd(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
   /** The greedy MMR selection: `vecs` is the exact grid relation
     * (vec_id, qv) the candidates re-score against (the SAME relation
     * stage 1 encoded from — the q83 refine contract); `cands` carries
@@ -79,19 +101,30 @@ object Mmr {
     * query — fewer when a query has fewer candidates (the selection
     * never invents candidates stage 1 didn't produce).
     *
-    * Round structure: pick 1 is the relevance argmin; each later
-    * round anti-joins the selected set off the pool, attaches
-    * div(d) = min_{s∈S} dist(d,s) via one candidate-sized
-    * join+min-aggregate against the (persisted) pairwise-distance
-    * relation, and takes the (rel − div, neighbor_id) argmin per
-    * query. The growing selected set is localCheckpoint'ed (lazy)
-    * each round — the [[LlmOps.connectedComponents]] discipline — so
-    * the logical plan stays O(1) deep per round instead of nesting
-    * 3^k candidate subtrees; the checkpointed rows are ≤ nProbes·k,
-    * trivially executor-resident at any corpus size (the blocks are
-    * unreplicated, the right trade for a k-round candidate-sized
-    * loop — see the connectedComponents scaladoc for the reliable
-    * alternative). */
+    * Execution shape (round 14): ONE shuffle. The candidates join
+    * back to the exact grid broadcast-style and rel = dist(q, d) is
+    * computed by the codegen vec_dot BEFORE the shuffle; then a
+    * single groupByKey(q_id) collects each query's ≤ r candidates
+    * and the k greedy rounds run imperatively inside the group —
+    * argmin (rel, id) first, then argmin (rel − min-div, id) with
+    * div updated incrementally against each new pick. Per-group state
+    * is ≤ r vectors (r·64 longs), so memory is bounded by the stage-1
+    * top-list contract at ANY corpus size, and the per-group work is
+    * O(k·r·dim) — microseconds against the shuffle it replaced.
+    *
+    * Why imperative-in-group instead of k joined rounds (the pre-r14
+    * shape): greedy MMR is inherently sequential in k, so a dataflow
+    * formulation costs k cluster-wide barrier rounds (join + window +
+    * checkpoint each) over a candidate relation that already fits in
+    * one group buffer. On a 1000-executor cluster the k rounds are
+    * k× the scheduling floor and k× the shuffle of the SAME rows;
+    * the grouped form is one exchange keyed by q_id, embarrassingly
+    * parallel across queries, and replays the identical exact-integer
+    * trajectory (MmrSpec pins it against a plain-Scala model; the q92
+    * DuckDB oracle unrolls the same rounds as CTEs). flatMapGroups is
+    * the documented Dataset seam for bounded sequential per-key
+    * logic — the same judgment call as the Multimodal decode seam,
+    * not a UDF replacing a built-in. */
   def mmrSelect(vecs: DataFrame, cands: DataFrame, k: Int): DataFrame =
     mmrSelectWith(vecs.select(col("vec_id").as("q_id"), col("qv").as("q_v")),
       vecs, cands, k)
@@ -105,45 +138,60 @@ object Mmr {
     require(k >= 1, "k must be positive")
     val spark = vecs.sparkSession
     graft.functions.VecDot.register(spark)
+    import spark.implicits._
     // candidates join back to the exact grid ONCE (broadcast: the
     // candidate list is top-list-bounded); rel = exact dist(q, d)
+    // in codegen, before the one shuffle
     val qs = queries.select(col("q_id"), col("q_v"))
     val nb = vecs.select(col("vec_id").as("neighbor_id"), col("qv").as("n_v"))
-    val cand = Caches.persist(
-      nb.join(broadcast(cands), Seq("neighbor_id"))
-        .join(broadcast(qs), Seq("q_id"))
-        .withColumn("rel", sqDist("q_v", "n_v"))
-        .select(col("q_id"), col("neighbor_id"), col("n_v"), col("rel")))
-    // pairwise candidate-candidate distances per query: ≤ r² rows per
-    // query, computed once, read by every round
-    val pair = Caches.persist(
-      cand.select(col("q_id"), col("neighbor_id").as("a"), col("n_v").as("va"))
-        .join(cand.select(col("q_id"), col("neighbor_id").as("b"), col("n_v").as("vb")),
-          Seq("q_id"))
-        .filter(col("a") =!= col("b"))
-        .withColumn("d_ab", sqDist("va", "vb"))
-        .select(col("q_id"), col("a"), col("b"), col("d_ab")))
-    val w1 = Window.partitionBy(col("q_id")).orderBy(col("rel"), col("neighbor_id"))
-    var sel = cand
-      .withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
-      .select(col("q_id"), col("neighbor_id"), col("rel"), lit(1L).as("rank"))
-      .localCheckpoint(eager = false)
-    for (i <- 2 to k) {
-      val selected = sel.select(col("q_id"), col("neighbor_id"))
-      val div = pair
-        .join(selected.withColumnRenamed("neighbor_id", "b"), Seq("q_id", "b"))
-        .groupBy(col("q_id"), col("a").as("neighbor_id"))
-        .agg(min(col("d_ab")).as("div"))
-      val wi = Window.partitionBy(col("q_id"))
-        .orderBy((col("rel") - col("div")).as("obj"), col("neighbor_id"))
-      val pick = cand
-        .join(selected, Seq("q_id", "neighbor_id"), "left_anti")
-        .join(div, Seq("q_id", "neighbor_id"))
-        .withColumn("rn", row_number().over(wi)).filter(col("rn") === 1)
-        .select(col("q_id"), col("neighbor_id"), col("rel"), lit(i.toLong).as("rank"))
-      sel = sel.unionByName(pick).localCheckpoint(eager = false)
-    }
-    sel.select(col("q_id"), col("rank"), col("neighbor_id"), col("rel").as("est"))
+    val cand = nb.join(broadcast(cands), Seq("neighbor_id"))
+      .join(broadcast(qs), Seq("q_id"))
+      .withColumn("rel", sqDist("q_v", "n_v"))
+      .select(col("q_id"), col("neighbor_id"), col("n_v"), col("rel"))
+    cand.as[MmrCand]
+      .groupByKey(_.q_id)
+      .flatMapGroups { (q: Long, it: Iterator[MmrCand]) =>
+        val cs = it.toArray
+        val n = cs.length
+        val vs = cs.map(_.n_v.toArray)
+        val taken = new Array[Boolean](n)
+        val div = Array.fill(n)(Long.MaxValue)
+        val out = Seq.newBuilder[MmrPick]
+        val kk = math.min(k, n)
+        var r = 1
+        while (r <= kk) {
+          var best = -1
+          var i = 0
+          while (i < n) {
+            if (!taken(i)) {
+              if (best < 0) best = i
+              else {
+                // round 1 objective = rel; later rounds rel − min-div
+                val oi = if (r == 1) cs(i).rel else cs(i).rel - div(i)
+                val ob = if (r == 1) cs(best).rel else cs(best).rel - div(best)
+                if (oi < ob ||
+                    (oi == ob && cs(i).neighbor_id < cs(best).neighbor_id))
+                  best = i
+              }
+            }
+            i += 1
+          }
+          taken(best) = true
+          out += MmrPick(q, r.toLong, cs(best).neighbor_id, cs(best).rel)
+          var j = 0
+          while (j < n) {
+            if (!taken(j)) {
+              val d = sqd(vs(j), vs(best))
+              if (d < div(j)) div(j) = d
+            }
+            j += 1
+          }
+          r += 1
+        }
+        out.result().iterator
+      }
+      .toDF()
+      .select(col("q_id"), col("rank"), col("neighbor_id"), col("est"))
       .orderBy(col("q_id"), col("rank"))
   }
 }

@@ -24,11 +24,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * At 100 TB: the codes and the exact tier stay persisted across
   * batches; per batch the candidate stage equi-joins only the probed
-  * cells and the MMR stage is candidate-sized (k rounds over
-  * ≤ nQueries·r rows). The per-round selected-set localCheckpoints
-  * are ≤ nQueries·k rows per batch; superseded rounds' blocks are
-  * dropped by the driver's ContextCleaner once each batch's plan is
-  * released (the [[graft.ops.Mmr.mmrSelect]] scaladoc). */
+  * cells and the MMR stage is ONE grouped exchange of ≤ nQueries·r
+  * candidate rows, the k greedy rounds running inside each query's
+  * group buffer (the [[graft.ops.Mmr.mmrSelect]] scaladoc) — no
+  * per-batch checkpoint blocks, no per-round barriers, so micro-batch
+  * latency is the serve join plus a single shuffle. */
 object StreamingMmrServe {
 
   /** Start the serving loop: load the q82 artifact pair, build and
