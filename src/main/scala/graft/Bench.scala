@@ -175,8 +175,23 @@ object Bench {
     // the graded line as "post", and adj keeps only queries still over
     // 2× after the post run: a burst self-clears inside the artifact,
     // a true regression reproduces under a measured-quiet(er) box.
-    val preSurvivors = results.filter(r =>
+    val allSurvivors = results.filter(r =>
       r.third.isDefined && guards.get(r.name).exists(g => r.preMin > 2 * g))
+    // Guard-SF mismatch rule (round 14, from the first v5 decade
+    // campaign): guards are recorded at the GRADED SF (sf0.1), so a
+    // decade run trips most of the surface by construction — the r14
+    // sf1 line ran 50 adjudication thirds plus a 37-query post pass,
+    // and the sf10 line OOM'd ~40 minutes in re-running its heaviest
+    // queries a 4th time for alarms bench/INDEX.md already documents
+    // as "expected, not alarming". Contention bursts hit a FEW
+    // queries; a guard file recorded at a different SF trips the
+    // MAJORITY. So the settle+post pass runs only when survivors are
+    // a minority (< 1/4 of the surface); above that the alarms are a
+    // measurement-SF mismatch, adj rides as-is (decade reports read
+    // it against the SF ratio), and the pass is skipped — recorded in
+    // BENCH_DETAIL as post_skipped.
+    val mismatch = BenchFormat.guardSfMismatch(allSurvivors.size, results.size)
+    val preSurvivors = if (mismatch) Seq.empty else allSurvivors
     val (warmupEnd, post) = if (preSurvivors.isEmpty) (None, Map.empty[String, Double]) else {
       val we0 = System.nanoTime()
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
@@ -260,7 +275,8 @@ object Bench {
     heapSampler.interrupt()
     val detail =
       s"""{"protocol":"min-of-two-v5-adj","warmup":${num(warmup, 3)},"warmup_sf":${num(warmupSf, 3)},${
-        warmupEnd.fold("")(w => s""""warmup_end":${num(w, 3)},""")}"peak_heap_pools_mb":$peakHeapPoolsMb,"peak_heap_sampled_mb":${heapSampledPeak.get() >> 20},"peak_task_exec_mb":${peakTaskExec.get() >> 20},"queries_min":${jmap(results.map(r => r.name -> graded(r)), 3)},"queries_t0":${jmap(results.map(r => r.name -> r.t0), 1)},"queries_first_run":${jmap(results.map(r => r.name -> r.first), 3)},"queries_second_run":${jmap(results.map(r => r.name -> r.second), 3)},"adjudicated":${jmap(results.collect { case QSample(n, _, _, _, Some(t)) => n -> t }, 3)},"post":${jmap(preSurvivors.map(r => r.name -> post(r.name)), 3)},"sf":${BenchFormat.jstr(sfDir)}}"""
+        warmupEnd.fold("")(w => s""""warmup_end":${num(w, 3)},""")}${
+        if (mismatch) s""""post_skipped":"guard-sf-mismatch (${allSurvivors.size}/${results.size} tripped)",""" else ""}"peak_heap_pools_mb":$peakHeapPoolsMb,"peak_heap_sampled_mb":${heapSampledPeak.get() >> 20},"peak_task_exec_mb":${peakTaskExec.get() >> 20},"queries_min":${jmap(results.map(r => r.name -> graded(r)), 3)},"queries_t0":${jmap(results.map(r => r.name -> r.t0), 1)},"queries_first_run":${jmap(results.map(r => r.name -> r.first), 3)},"queries_second_run":${jmap(results.map(r => r.name -> r.second), 3)},"adjudicated":${jmap(results.collect { case QSample(n, _, _, _, Some(t)) => n -> t }, 3)},"post":${jmap(preSurvivors.map(r => r.name -> post(r.name)), 3)},"sf":${BenchFormat.jstr(sfDir)}}"""
     // best-effort side file: an unwritable cwd must not discard the
     // graded line below after a full timed run
     scala.util.Try {
@@ -320,6 +336,18 @@ private[graft] object BenchFormat {
     * box (not any one plan) is the story — the full list rides in
     * BENCH_DETAIL.json's "adjudicated" map. */
   val AdjCap = 8
+
+  /** Guard-SF mismatch rule (round 14): the v5 settle+post pass runs
+    * only when adjudication survivors are a MINORITY (< 1/4 of the
+    * surface). Guards are recorded at the graded SF (sf0.1), so a
+    * decade run trips most queries by construction — the first v5
+    * sf1 campaign line ran 50 thirds + a 37-query post pass, and the
+    * sf10 line OOM'd re-running its heaviest queries a 4th time for
+    * alarms bench/INDEX.md already calls "expected, not alarming".
+    * Contention bursts hit a few queries; a mis-SF'd guard file trips
+    * the majority — the ratio itself diagnoses which case this is. */
+  def guardSfMismatch(survivors: Int, surface: Int): Boolean =
+    survivors * 4 >= surface
 
   /** The graded line's adjudication flag: sorted "qNN:R" entries —
     * 3-char prefix plus the FINAL-vs-GUARD ratio at one decimal

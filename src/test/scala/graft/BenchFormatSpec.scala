@@ -100,4 +100,16 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(many == """{"q01":9.99,"q02":9.99,"q03":9.99,"q04":9.99,"q05":9.99,"q06":9.99,"q07":9.99,"q08":9.99}""")
     assert(BenchFormat.postMap((1 to 500).map(i => f"q$i%03d" -> 99.99)).length <= 115)
   }
+
+  test("guardSfMismatch: settle+post runs for minority trips, skips for a mis-SF'd guard file") {
+    // contention-burst shapes (a few survivors) settle and re-probe
+    assert(!BenchFormat.guardSfMismatch(0, 99))
+    assert(!BenchFormat.guardSfMismatch(5, 99))   // the r13 driver line's shape
+    assert(!BenchFormat.guardSfMismatch(24, 99))  // just under 1/4
+    // guard-SF mismatch shapes (decade runs against sf0.1 guards) skip:
+    // the r14 sf1 line tripped 50/99, the sf10 post pass OOM'd
+    assert(BenchFormat.guardSfMismatch(25, 99))
+    assert(BenchFormat.guardSfMismatch(50, 99))
+    assert(BenchFormat.guardSfMismatch(99, 99))
+  }
 }
