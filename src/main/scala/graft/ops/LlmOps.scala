@@ -120,6 +120,55 @@ object LlmOps {
       .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"), col("jaccard"))
   }
 
+  /** Driver-side union-find over a collected edge list: the small-
+    * graph fast path of [[connectedComponents]]. Path-compressed,
+    * min-root union — node ids are sorted+deduped into a dense index
+    * first, and unions always attach the LARGER root under the
+    * smaller, so at the end each root index is its component's
+    * minimum id and the labeling is bit-identical to the HashMin
+    * fixpoint's (min member id per component). O(m α(n)) time, two
+    * int arrays + one long array — ~28 MB at the 1M-pair gate.
+    * Output: one (node, min-member) row per distinct node. */
+  private[graft] def unionFindLabels(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val m = edges.length
+    val endpoints = new Array[Long](2 * m)
+    var i = 0
+    while (i < m) {
+      endpoints(2 * i) = edges(i)._1
+      endpoints(2 * i + 1) = edges(i)._2
+      i += 1
+    }
+    java.util.Arrays.sort(endpoints)
+    var n = 0
+    i = 0
+    while (i < endpoints.length) {
+      if (n == 0 || endpoints(i) != endpoints(n - 1)) {
+        endpoints(n) = endpoints(i); n += 1
+      }
+      i += 1
+    }
+    val ids = java.util.Arrays.copyOf(endpoints, n) // sorted distinct node ids
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    i = 0
+    while (i < m) {
+      val ra = find(java.util.Arrays.binarySearch(ids, 0, n, edges(i)._1))
+      val rb = find(java.util.Arrays.binarySearch(ids, 0, n, edges(i)._2))
+      // ids is ascending, so the smaller root INDEX is the smaller id:
+      // min-root union keeps every tree rooted at its min member
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+      i += 1
+    }
+    Array.tabulate(n)(j => (ids(j), ids(find(j))))
+  }
+
   /** Connected components over an undirected pair stream by min-label
     * propagation (HashMin): every node starts labeled with its own id;
     * each round every node takes the min of its own and its neighbors'
@@ -136,9 +185,28 @@ object LlmOps {
     * labeling is indistinguishable from a converged one downstream.
     *
     * Input: (d1, d2) pairs. Output: (doc_id, cluster_id) for every
-    * node that appears in at least one pair. */
+    * node that appears in at least one pair.
+    *
+    * Small-graph fast path: when the pair count (already measured by
+    * the sizing job below) is at most `maxDriverPairs` AND both key
+    * columns are longs AND no durability dir was requested, the edge
+    * list is collected and resolved by a driver-side union-find
+    * ([[unionFindLabels]]) instead of running the fixpoint at all.
+    * This is the AQE-broadcast trade applied to iteration: a diameter-
+    * d graph costs d scheduler round-trips distributed (each one pure
+    * scheduling floor on a few-thousand-row label table) versus ONE
+    * bounded collect — ≤16 MB of long pairs at the default gate, the
+    * same order as a broadcast-join small side. The gate is measured,
+    * not assumed (it keys on the actual pair count, so a pathological
+    * 100 TB corpus whose collision stream explodes routes to the
+    * distributed fixpoint automatically), and `maxDriverPairs = 0`
+    * forces the distributed path (specs exercising the loop pin it).
+    * checkpointDir implies the caller wants a cluster-durable FIXPOINT,
+    * so it also routes distributed — which keeps the durability specs
+    * meaningful and gives callers a second forcing knob. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50,
-                          checkpointDir: Option[String] = None): DataFrame = {
+                          checkpointDir: Option[String] = None,
+                          maxDriverPairs: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
     // scoped persists, NOT Caches: these must not outlive this call, so
     // they are released in the finally below even when a mid-fixpoint
@@ -157,6 +225,33 @@ object LlmOps {
     // 34 pairs). ~1M edge rows per partition, capped at the session
     // setting so a 100 TB edge stream still fans out fully.
     val nPairs = p.count()
+    val longKeys = p.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType)
+    if (longKeys && checkpointDir.isEmpty && nPairs <= maxDriverPairs) {
+      try {
+        val enc = org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
+        val labeled = unionFindLabels(
+          p.selectExpr("d1 as _1", "d2 as _2").as[(Long, Long)](enc).collect())
+        // parallelize (not a LocalRelation): the result rides back as
+        // an RDD-backed frame exactly like the distributed path's
+        // return below, so downstream planning is identical either way
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_id",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        val slices = math.max(1, math.min(
+          spark.sparkContext.defaultParallelism, labeled.length / 100000 + 1))
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            labeled.toIndexedSeq.map(t => org.apache.spark.sql.Row(t._1, t._2)), slices),
+          schema)
+      } finally {
+        p.unpersist()
+        ()
+      }
+    }
     val sessionParts = spark.sessionState.conf.numShufflePartitions
     val loopParts =
       math.max(1L, math.min(sessionParts.toLong, 2 * nPairs / 1000000L + 1L)).toInt

@@ -90,6 +90,8 @@ class LlmOpsSpec extends SparkSpec {
     // genuinely partitioned shuffles (the 100 TB code path) — every
     // other spec stays in the 1-partition fast path. Triangle chains
     // (3i, 3i+1) (3i+1, 3i+2): 600k pairs, 300k components.
+    // maxDriverPairs = 0 pins the DISTRIBUTED path: 600k pairs would
+    // otherwise take the driver union-find and never touch the loop.
     val n = 900000L
     val s2 = spark
     import s2.implicits._
@@ -97,7 +99,7 @@ class LlmOpsSpec extends SparkSpec {
       .select((col("id") - col("id") % 3).as("base"), (col("id") % 3).as("off"))
       .filter(col("off") < 2)
       .select((col("base") + col("off")).as("d1"), (col("base") + col("off") + 1).as("d2"))
-    val comp = LlmOps.connectedComponents(pairs)
+    val comp = LlmOps.connectedComponents(pairs, maxDriverPairs = 0L)
     val bad = comp.filter(col("cluster_id") =!= col("doc_id") - col("doc_id") % 3).count()
     val total = comp.count()
     assert(bad == 0L, s"$bad nodes got a wrong component label")
@@ -138,10 +140,37 @@ class LlmOpsSpec extends SparkSpec {
   }
 
   test("connectedComponents throws when maxIters is below the diameter") {
+    // maxDriverPairs = 0: maxIters bounds the DISTRIBUTED fixpoint (the
+    // driver union-find has no rounds), so the guard under test needs
+    // the loop path forced
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("d1", "d2")
     intercept[IllegalStateException] {
-      LlmOps.connectedComponents(pairs, maxIters = 1)
+      LlmOps.connectedComponents(pairs, maxIters = 1, maxDriverPairs = 0L)
     }
+  }
+
+  test("connectedComponents: driver union-find equals the distributed fixpoint") {
+    // cross-path identity on an adversarial graph: long chains (deep
+    // diameter), a star (dense shallow), singleton-free random unions —
+    // deterministic LCG so the spec is stable. The fast path's gate is
+    // the pair count, so the SAME input runs both paths via the knob.
+    var seed = 0x5DEECE66DL
+    def nextLong(bound: Long): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 16, bound)
+    }
+    val chain = (0 until 40).map(i => (100L + i, 101L + i))
+    val star = (1 to 30).map(i => (5000L, 5000L + i))
+    val rand = (1 to 400).map(_ => (nextLong(300), nextLong(300)))
+    val pairs = (chain ++ star ++ rand).toDF("d1", "d2")
+    def rel(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val driver = rel(LlmOps.connectedComponents(pairs))
+    val dist = rel(LlmOps.connectedComponents(pairs, maxDriverPairs = 0L))
+    assert(driver === dist)
+    // and each component label really is its min member
+    val byCluster = driver.groupBy(_._2).view.mapValues(_.keys.min).toMap
+    byCluster.foreach { case (label, minMember) => assert(label === minMember) }
   }
 
   test("connectedComponents releases every scoped persist, also on the throw paths") {
