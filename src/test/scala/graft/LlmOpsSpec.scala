@@ -204,6 +204,10 @@ class LlmOpsSpec extends SparkSpec {
       LlmOps.connectedComponents(pairs, maxIters = 0, checkpointDir = Some(ckptDir))
     }
     assert((persistedIds -- before).isEmpty, "pre-loop throw leaked a scoped persist")
+    // the driver fast path (no checkpointDir, tiny graph) has its own
+    // scoped pair persist + finally — it must release too
+    LlmOps.connectedComponents(pairs).collect()
+    assert((persistedIds -- before).isEmpty, "driver fast path leaked the pair persist")
   }
 
   test("nearDupClusters: duplicate cluster keeps min doc_id, singletons survive") {
