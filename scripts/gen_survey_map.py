@@ -134,7 +134,10 @@ def main():
         "entries). `sf1→sf10` = second-decade min-of-two ratio from the\n"
         "newest campaign (%s / %s; the linear-ish band at 100× bench SF is\n"
         "~3-10×, data-growth ≈ 10× against fixed per-query overhead; the\n"
-        ">15× entries are the three definitional pinned-config baselines).\n"
+        ">15× entries are the three definitional pinned-config baselines\n"
+        "plus, since the r14 union-find, cluster-resolution members whose\n"
+        "sf1 BASE collapsed to the candidate-generation floor — their sf10\n"
+        "cost is the generator's, see the SCALING_r14.md addendum).\n"
         "First-decade ratios and analysis: the SCALING_r{N}.md reports.\n"
         "Regenerate: `python3 scripts/gen_survey_map.py <sf1 detail> <sf10 detail>`.\n"
         % (os.path.basename(sf1), os.path.basename(sf10)))
