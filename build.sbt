@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // G1 GCLocker allocation-retry headroom: one sf10 decade attempt died
+  // with "Retried waiting for GCLocker too often" + SparkOOM while 32
+  // tasks allocated large execution pages near the heap ceiling
+  // (bench/SCALING_r14.md union-find addendum). Retrying the stalled
+  // allocation more times is a robustness knob, not a sizing change —
+  // the default heap stays 8g and a genuinely oversized plan still OOMs.
+  "-XX:+UnlockDiagnosticVMOptions", "-XX:GCLockerRetryAllocationCount=8",
 )
