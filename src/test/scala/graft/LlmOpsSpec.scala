@@ -149,6 +149,36 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("unionFindLabels matches a plain-Scala BFS model on random graphs") {
+    // pure unit test of the fast path's kernel, no Spark: 60 seeded
+    // random graphs of varying density vs an obviously-correct BFS
+    // labeler (min member per component)
+    var seed = 42L
+    def next(bound: Int): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      math.floorMod(seed >>> 17, bound.toLong)
+    }
+    for (trial <- 1 to 60) {
+      val nNodes = 2 + next(40).toInt
+      val nEdges = 1 + next(60).toInt
+      // sparse ids (×1000 + offset) so dense-index remapping is exercised
+      val edges = Array.fill(nEdges)((next(nNodes) * 1000 + 7, next(nNodes) * 1000 + 7))
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      def bfsLabel(start: Long): Long = {
+        var frontier = Set(start); var seen = Set(start)
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+          seen ++= frontier
+        }
+        seen.min
+      }
+      val expected = adj.keys.map(k => k -> bfsLabel(k)).toMap
+      val got = LlmOps.unionFindLabels(edges).toMap
+      assert(got === expected, s"trial $trial: ${edges.toSeq}")
+    }
+  }
+
   test("connectedComponents: driver union-find equals the distributed fixpoint") {
     // cross-path identity on an adversarial graph: long chains (deep
     // diameter), a star (dense shallow), singleton-free random unions —
