@@ -46,6 +46,7 @@ object GraftExtensions {
     ("winnow_minima", "graft.functions.WinnowMinima", functions.WinnowMinima.builder),
     ("vec_dot", "graft.functions.VecDot", functions.VecDot.builder),
     ("shingle_set", "graft.functions.ShingleSetExpr", functions.ShingleSet.builder),
+    ("term_counts", "graft.functions.TermCountsExpr", functions.TermCounts.builder),
     ("shingle_list", "graft.functions.ShingleListExpr", functions.ShingleList.builder),
     ("remove_spans", "graft.functions.RemoveSpansExpr", functions.RemoveSpans.builder),
     ("nfc", "graft.functions.NfcNormalizeExpr", functions.NfcNormalize.builder),

@@ -39,21 +39,24 @@ object Retrieval {
   private def termsOf(c: org.apache.spark.sql.Column) =
     filter(split(lower(c), "\\s+"), t => length(t) > 0)
 
-  /** Build the index in one corpus pass: row-local tokenization and
-    * doc length, one (term, doc_id) aggregate for tf, one term
-    * aggregate for df → idf, idf joined back onto the postings
-    * (term-keyed, build-time only). The postings are CACHED via
-    * [[Caches]] (the df aggregate and every serve re-read them);
-    * `N`/`avgdl` funnel to the driver as one row (scalar corpus
-    * stats, the quantizer-collect contract). */
+  /** Build the index in one corpus pass: row-local tokenization AND
+    * row-local term-frequency counting (the codegen
+    * [[graft.functions.TermCounts]] expression — tf is per-document
+    * state, so the previous `explode → groupBy(term, doc_id)` paid a
+    * full corpus-token exchange for an aggregation that needs no
+    * cross-row data movement), one term aggregate for df → idf, idf
+    * joined back onto the postings (term-keyed, build-time only).
+    * The postings are CACHED via [[Caches]] (the df aggregate and
+    * every serve re-read them); `N`/`avgdl` funnel to the driver as
+    * one row (scalar corpus stats, the quantizer-collect contract). */
   def bm25Build(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75): Bm25Index = {
     require(k1 >= 0 && b >= 0 && b <= 1, "k1 must be >= 0 and b in [0,1]")
-    val toks = docs.select(col("doc_id"), termsOf(col("text")).as("terms"))
-      .select(col("doc_id"), size(col("terms")).as("dl"), col("terms"))
-    val tf = Caches.persist(toks
-      .select(col("doc_id"), col("dl"), explode(col("terms")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
-      .agg(count(lit(1)).as("tf")))
+    graft.functions.TermCounts.register(docs.sparkSession)
+    val tf = Caches.persist(docs
+      .select(col("doc_id"), expr("term_counts(text)").as("tc"))
+      .select(col("doc_id"), col("tc.dl").as("dl"), explode(col("tc.pairs")).as("p"))
+      .select(col("p.term").as("term"), col("doc_id"), col("dl"),
+        col("p.tf").cast("long").as("tf")))
     // corpus stats WITHOUT a second tokenization pass (round 9):
     // Σdl folds off the cached tf relation's per-doc (doc_id, dl)
     // rows — zero-term docs have no tf rows but contribute 0 to the
@@ -98,13 +101,13 @@ object Retrieval {
   def bm25BuildFrozen(docs: DataFrame, isBase: org.apache.spark.sql.Column,
                       k1: Double = 1.2, b: Double = 0.75): Bm25Index = {
     require(k1 >= 0 && b >= 0 && b <= 1, "k1 must be >= 0 and b in [0,1]")
-    val toks = docs.select(col("doc_id"), isBase.as("is_base"),
-        termsOf(col("text")).as("terms"))
-      .select(col("doc_id"), col("is_base"), size(col("terms")).as("dl"), col("terms"))
-    val tf = Caches.persist(toks
-      .select(col("doc_id"), col("is_base"), col("dl"), explode(col("terms")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("is_base"), col("dl"))
-      .agg(count(lit(1)).as("tf")))
+    graft.functions.TermCounts.register(docs.sparkSession)
+    val tf = Caches.persist(docs
+      .select(col("doc_id"), isBase.as("is_base"), expr("term_counts(text)").as("tc"))
+      .select(col("doc_id"), col("is_base"), col("tc.dl").as("dl"),
+        explode(col("tc.pairs")).as("p"))
+      .select(col("p.term").as("term"), col("doc_id"), col("is_base"), col("dl"),
+        col("p.tf").cast("long").as("tf")))
     val nDocs = docs.filter(isBase).count()
     val sumDl = tf.filter(col("is_base")).select(col("doc_id"), col("dl")).distinct()
       .agg(coalesce(sum(col("dl")), lit(0L)).as("s")).collect()(0).getLong(0)

@@ -399,4 +399,31 @@ class RetrievalSpec extends SparkSpec {
     // ingest made them retrievable
     assert(frozen.exists(_._3 % 5 == 4), "no delta doc retrieved — ingest vacuous")
   }
+
+  test("term_counts tf relation ≡ the replaced explode/groupBy plan on real documents") {
+    // the r14 build rewrite (row-local tf via the term_counts
+    // expression) against the declarative formulation it replaced,
+    // row-for-row on the sf0.001 documents table — this pins the
+    // UTF8String lowercase kernel and the \s byte classes on real
+    // text, where TermCountsProperties pins them on generated text
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(dir).isDirectory, "testdata not present")
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.Tables.documents(spark, dir)
+    graft.functions.TermCounts.register(spark)
+    val neu = docs
+      .select(col("doc_id"), expr("term_counts(text)").as("tc"))
+      .select(col("doc_id"), col("tc.dl").as("dl"), explode(col("tc.pairs")).as("p"))
+      .select(col("p.term").as("term"), col("doc_id"), col("dl"),
+        col("p.tf").cast("long").as("tf"))
+    val legacyTerms = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    val old = docs.select(col("doc_id"), legacyTerms.as("terms"))
+      .select(col("doc_id"), size(col("terms")).as("dl"), explode(col("terms")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("doc_id"), col("dl"), col("tf"))
+    assert(neu.count() > 0)
+    assert(neu.exceptAll(old).count() == 0L, "rows only in the term_counts build")
+    assert(old.exceptAll(neu).count() == 0L, "rows only in the legacy build")
+  }
 }
