@@ -131,15 +131,28 @@ object Bench {
     // sample rides in BENCH_DETAIL under "adjudicated" — the bench
     // artifact now carries its own contention adjudication. Guard
     // file absent/unparseable → empty map, plain min-of-two.
-    val guards: Map[String, Double] = scala.util.Try {
-      val txt = new String(
+    val baselineTxt: String = scala.util.Try {
+      new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("BASELINE.json")),
         java.nio.charset.StandardCharsets.UTF_8)
+    }.getOrElse("")
+    val guards: Map[String, Double] = {
       val body = """"bench_per_query_steady_sec"\s*:\s*\{([^}]*)\}""".r
-        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        .findFirstMatchIn(baselineTxt).map(_.group(1)).getOrElse("")
       """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    }.getOrElse(Map.empty)
+    }
+    // The SF the guard minima were recorded at (BASELINE.json;
+    // default = the graded sf0.1 dir). At THIS SF the settle+post
+    // pass always runs — the majority-trip skip below exists for
+    // decade runs read against wrong-SF guards, and the guards are
+    // now aggressive cross-sample minima, so a genuinely hot box at
+    // the graded SF could trip a quarter of the surface and must
+    // still self-clear rather than skip with a mismatch message.
+    val guardSfName: String =
+      """"bench_guard_sf_name"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(baselineTxt).map(_.group(1)).getOrElse("sf0.1")
+    val atGuardSf = new java.io.File(sfDir).getName == guardSfName
     // tBase anchors the per-query start offsets ("t0" in BENCH_DETAIL,
     // VERDICT r13 #2): the r13 burst diagnosis had to reconstruct WHEN
     // each flagged query ran from the adjudicated map's accidental
@@ -190,7 +203,7 @@ object Bench {
     // measurement-SF mismatch, adj rides as-is (decade reports read
     // it against the SF ratio), and the pass is skipped — recorded in
     // BENCH_DETAIL as post_skipped.
-    val mismatch = BenchFormat.guardSfMismatch(allSurvivors.size, results.size)
+    val mismatch = BenchFormat.guardSfMismatch(allSurvivors.size, results.size, atGuardSf)
     val preSurvivors = if (mismatch) Seq.empty else allSurvivors
     val (warmupEnd, post) = if (preSurvivors.isEmpty) (None, Map.empty[String, Double]) else {
       val we0 = System.nanoTime()
@@ -346,8 +359,15 @@ private[graft] object BenchFormat {
     * alarms bench/INDEX.md already calls "expected, not alarming".
     * Contention bursts hit a few queries; a mis-SF'd guard file trips
     * the majority — the ratio itself diagnoses which case this is. */
-  def guardSfMismatch(survivors: Int, surface: Int): Boolean =
-    survivors * 4 >= surface
+  /** True when the trip pattern says the guard file was recorded at
+    * a DIFFERENT SF than this run (majority of the surface tripped),
+    * in which case the settle+post pass is skipped. Never true at
+    * the guard SF itself (`atGuardSf`): there, any trip count is box
+    * heat and must self-clear — a post pass over even a quarter of
+    * the sf0.1 surface costs seconds, while the skip's mismatch
+    * message would be a wrong diagnosis. */
+  def guardSfMismatch(survivors: Int, surface: Int, atGuardSf: Boolean): Boolean =
+    !atGuardSf && survivors * 4 >= surface
 
   /** The graded line's adjudication flag: sorted "qNN:R" entries —
     * 3-char prefix plus the FINAL-vs-GUARD ratio at one decimal

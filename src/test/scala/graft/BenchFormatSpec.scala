@@ -103,13 +103,19 @@ class BenchFormatSpec extends AnyFunSuite {
 
   test("guardSfMismatch: settle+post runs for minority trips, skips for a mis-SF'd guard file") {
     // contention-burst shapes (a few survivors) settle and re-probe
-    assert(!BenchFormat.guardSfMismatch(0, 99))
-    assert(!BenchFormat.guardSfMismatch(5, 99))   // the r13 driver line's shape
-    assert(!BenchFormat.guardSfMismatch(24, 99))  // just under 1/4
+    assert(!BenchFormat.guardSfMismatch(0, 99, atGuardSf = false))
+    assert(!BenchFormat.guardSfMismatch(5, 99, atGuardSf = false))   // the r13 driver line's shape
+    assert(!BenchFormat.guardSfMismatch(24, 99, atGuardSf = false))  // just under 1/4
     // guard-SF mismatch shapes (decade runs against sf0.1 guards) skip:
     // the r14 sf1 line tripped 50/99, the sf10 post pass OOM'd
-    assert(BenchFormat.guardSfMismatch(25, 99))
-    assert(BenchFormat.guardSfMismatch(50, 99))
-    assert(BenchFormat.guardSfMismatch(99, 99))
+    assert(BenchFormat.guardSfMismatch(25, 99, atGuardSf = false))
+    assert(BenchFormat.guardSfMismatch(50, 99, atGuardSf = false))
+    assert(BenchFormat.guardSfMismatch(99, 99, atGuardSf = false))
+    // AT the guard SF the pass NEVER skips: guards are aggressive
+    // cross-sample minima since r14d, so a hot box at sf0.1 can trip
+    // a quarter of the surface — that is heat, and it must self-clear
+    // on the line instead of skipping with a mismatch message
+    assert(!BenchFormat.guardSfMismatch(25, 99, atGuardSf = true))
+    assert(!BenchFormat.guardSfMismatch(99, 99, atGuardSf = true))
   }
 }
