@@ -140,7 +140,8 @@ object Bench {
       val body = """"bench_per_query_steady_sec"\s*:\s*\{([^}]*)\}""".r
         .findFirstMatchIn(baselineTxt).map(_.group(1)).getOrElse("")
       """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(body)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+        .toMap
     }
     // The SF the guard minima were recorded at (BASELINE.json;
     // default = the graded sf0.1 dir). At THIS SF the settle+post

@@ -13,8 +13,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * and every session — including ones the user builds themselves, and
   * SQL-only clients that never touch the Scala API — has
   * `simhash60` / `text_stats` / `bigram_stats` / `winnow_minima` /
-  * `vec_dot` / `shingle_set` / `shingle_list` / `remove_spans` /
-  * `nfc` / `char_pairs` available in SQL without any
+  * `vec_dot` / `shingle_set` / `term_counts` / `shingle_list` /
+  * `remove_spans` / `nfc` / `char_pairs` available in SQL without any
   * per-operator `register()` call. The operator objects keep their own idempotent `register`
   * methods (used internally) — both paths share one builder per
   * function, so the SQL surface cannot diverge.

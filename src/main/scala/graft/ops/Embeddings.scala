@@ -745,10 +745,25 @@ object Embeddings {
     * c_v, c_n) candidate rows from WHATEVER candidate generation ran
     * upstream; this applies the self-filter (only when the query ids
     * ARE corpus ids — see [[serveQueryBatch]]), the codegen
-    * dot/cosine, and the per-query window top-k. ONE definition — the
-    * cosine expression and the (cosine DESC, neighbor_id) tie-break
-    * are a bit-exact contract with three DuckDB oracles and must
-    * never diverge between variants. */
+    * dot/cosine, a bounded per-partition top-k prune, and the
+    * per-query window top-k. ONE definition — the cosine expression
+    * and the (cosine DESC, neighbor_id) tie-break are a bit-exact
+    * contract with three DuckDB oracles and must never diverge
+    * between variants.
+    *
+    * The prune (round 15, VERDICT r14 #1): the final window must
+    * exchange by q_id and SORT each query's full candidate list —
+    * for q45's definitional all-pairs stream that sort buffers
+    * |corpus|·|queries|/parts rows per task (~25M rows/task at the
+    * sf10 federation; the one-in-three r14 decade OOM was exactly
+    * this WindowGroupLimit stage). [[partitionTopK]] streams each
+    * scan partition through a bounded per-query heap FIRST, so the
+    * window's input collapses to ≤ parts·|queries|·k rows and its
+    * sort state is trivially bounded at ANY corpus size. Keeping a
+    * partition's per-query top-k is exact (any global top-k row is
+    * top-k within its own partition), and the UNCHANGED final window
+    * re-ranks the survivors, so the oracle contract is untouched by
+    * construction. */
   private def scoreTopK(joined: DataFrame, k: Int,
                         excludeSelf: Boolean = true): DataFrame = {
     val scored = (if (excludeSelf) joined.filter(col("neighbor_id") =!= col("q_id"))
@@ -756,12 +771,72 @@ object Embeddings {
       .withColumn("dot", expr("vec_dot(q_v, c_v)"))
       .withColumn("cosine",
         col("dot").cast("double") / sqrt(col("q_n").cast("double") * col("c_n").cast("double")))
+      .select(col("q_id"), col("neighbor_id"), col("dot"), col("cosine"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
+    partitionTopK(scored, k).withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("dot"), col("cosine"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Per-partition bounded top-k pre-prune for [[scoreTopK]]: within
+    * each input partition keep, for every q_id, the k best candidates
+    * by (cosine DESC, neighbor_id ASC) — a hash of per-query
+    * insertion-sorted arrays, O(|queries in partition|·k) state, ONE
+    * streaming pass, NO sort. Emits a SUPERSET of the global top-k
+    * (per-partition winners), so the caller's window re-rank is
+    * bit-identical to ranking the unpruned stream.
+    *
+    * mapPartitions is the documented Dataset seam for bounded
+    * imperative per-partition state (the [[Mmr]] flatMapGroups /
+    * Multimodal decode judgment call): no built-in aggregate keeps a
+    * bounded k-heap — collect_list+slice buffers whole groups, a
+    * typed UDAF falls back to a full sort past 128 hash keys
+    * (ObjectHashAggregate's fallback), and the raw window is the
+    * unbounded sort this exists to remove. The double comparison
+    * replicates Spark's SQLOrderingUtil semantics (`x == y → 0`,
+    * else `Double.compare`) so the prune can never disagree with the
+    * window's ORDER BY on -0.0/NaN edge values. */
+  private def partitionTopK(scored: DataFrame, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.as[(Long, Long, Long, Double)].mapPartitions { it =>
+      // per q_id: parallel arrays insertion-sorted by (cosine DESC,
+      // neighbor_id ASC); most rows reject on one compare vs the
+      // current worst entry
+      final class Top {
+        val cos = new Array[Double](k)
+        val nb = new Array[Long](k)
+        val dt = new Array[Long](k)
+        var n = 0
+        def beats(c: Double, id: Long, i: Int): Boolean = {
+          val cc = if (c == cos(i)) 0 else java.lang.Double.compare(c, cos(i))
+          cc > 0 || (cc == 0 && id < nb(i))
+        }
+        def offer(id: Long, d: Long, c: Double): Unit = {
+          if (n == k && !beats(c, id, n - 1)) return
+          var pos = if (n == k) n - 1 else n
+          if (n < k) n += 1
+          while (pos > 0 && beats(c, id, pos - 1)) {
+            cos(pos) = cos(pos - 1); nb(pos) = nb(pos - 1); dt(pos) = dt(pos - 1)
+            pos -= 1
+          }
+          cos(pos) = c; nb(pos) = id; dt(pos) = d
+        }
+      }
+      val tops = new java.util.HashMap[Long, Top]()
+      it.foreach { case (q, id, d, c) =>
+        var t = tops.get(q)
+        if (t == null) { t = new Top; tops.put(q, t) }
+        t.offer(id, d, c)
+      }
+      import scala.jdk.CollectionConverters._
+      tops.entrySet().iterator().asScala.flatMap { e =>
+        val q = e.getKey; val t = e.getValue
+        (0 until t.n).iterator.map(i => (q, t.nb(i), t.dt(i), t.cos(i)))
+      }
+    }.toDF("q_id", "neighbor_id", "dot", "cosine")
   }
 
   /** q45 — brute-force exact cosine top-k: the BASELINE the ANN

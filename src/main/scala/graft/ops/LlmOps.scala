@@ -126,7 +126,10 @@ object LlmOps {
     * first, and unions always attach the LARGER root under the
     * smaller, so at the end each root index is its component's
     * minimum id and the labeling is bit-identical to the HashMin
-    * fixpoint's (min member id per component). O(m α(n)) time, two
+    * fixpoint's (min member id per component). O(m log n) amortized
+    * (min-root union precludes union-by-rank, so the inverse-Ackermann
+    * bound does not apply; path compression alone gives the log bound,
+    * ample at the 1M-pair gate), two
     * int arrays + one long array — ~28 MB at the 1M-pair gate.
     * Output: one (node, min-member) row per distinct node. */
   private[graft] def unionFindLabels(edges: Array[(Long, Long)]): Array[(Long, Long)] = {
@@ -224,10 +227,19 @@ object LlmOps {
     // are pure scheduling floor (BENCH_r04: q33 spent 11-20 s resolving
     // 34 pairs). ~1M edge rows per partition, capped at the session
     // setting so a 100 TB edge stream still fans out fully.
-    val nPairs = p.count()
+    // The ONE sizing job also counts null endpoints (ADVICE r14): a
+    // null edge would crash the fast path's non-nullable tuple collect,
+    // so inputs that ACTUALLY carry nulls route to the distributed
+    // fixpoint (which treats them as it always has) instead of adding
+    // a new failure mode — while nullable-SCHEMA-but-null-free callers
+    // (every computed pair stream in the repo) keep the fast path.
+    val sizing = p.selectExpr(
+      "count(*) as n", "count(d1) as n1", "count(d2) as n2").head()
+    val nPairs = sizing.getLong(0)
+    val noNulls = sizing.getLong(1) == nPairs && sizing.getLong(2) == nPairs
     val longKeys = p.schema.fields.forall(_.dataType ==
       org.apache.spark.sql.types.LongType)
-    if (longKeys && checkpointDir.isEmpty && nPairs <= maxDriverPairs) {
+    if (longKeys && noNulls && checkpointDir.isEmpty && nPairs <= maxDriverPairs) {
       try {
         val enc = org.apache.spark.sql.Encoders.tuple(
           org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong)
@@ -243,9 +255,17 @@ object LlmOps {
             org.apache.spark.sql.types.LongType, nullable = false)))
         val slices = math.max(1, math.min(
           spark.sparkContext.defaultParallelism, labeled.length / 100000 + 1))
+        // one Row array wrapped in place (ADVICE r14) — no second
+        // full driver copy of the labeling on the way out
+        val rows = new Array[org.apache.spark.sql.Row](labeled.length)
+        var ri = 0
+        while (ri < labeled.length) {
+          rows(ri) = org.apache.spark.sql.Row(labeled(ri)._1, labeled(ri)._2)
+          ri += 1
+        }
         return spark.createDataFrame(
           spark.sparkContext.parallelize(
-            labeled.toIndexedSeq.map(t => org.apache.spark.sql.Row(t._1, t._2)), slices),
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(rows), slices),
           schema)
       } finally {
         p.unpersist()

@@ -132,20 +132,37 @@ object Mmr {
   /** [[mmrSelect]] with an EXPLICIT query relation (q_id, q_v) — the
     * external-query seam ([[graft.stream.StreamingMmrServe]] feeds
     * each micro-batch's own vectors here; the batch q92 derives the
-    * relation from the corpus because its probes ARE corpus rows). */
+    * relation from the corpus because its probes ARE corpus rows).
+    *
+    * CONTRACT (`boundedProbes`, VERDICT r14 #5): the default plan
+    * force-broadcasts BOTH `cands` and `queries` — correct for every
+    * in-repo caller because stage-1 serves cap the candidate list at
+    * [[graft.ops.Pq.ProbeCap]] rows (≤ 1,024 probes × r per batch at
+    * ANY corpus size) and the query relation is the same probe batch.
+    * An EXTERNAL caller feeding an unbounded relation through the
+    * default would OOM the driver on the broadcast build, so callers
+    * that cannot assert the bound must pass `boundedProbes = false`:
+    * the hints drop and AQE sizes both joins at runtime (it still
+    * broadcasts genuinely small sides; a big side gets a shuffle
+    * join instead of a driver OOM). Same results either way —
+    * MmrSpec pins the unbounded-caller path bit-identical. */
   def mmrSelectWith(queries: DataFrame, vecs: DataFrame,
-                    cands: DataFrame, k: Int): DataFrame = {
+                    cands: DataFrame, k: Int,
+                    boundedProbes: Boolean = true): DataFrame = {
     require(k >= 1, "k must be positive")
     val spark = vecs.sparkSession
     graft.functions.VecDot.register(spark)
     import spark.implicits._
-    // candidates join back to the exact grid ONCE (broadcast: the
-    // candidate list is top-list-bounded); rel = exact dist(q, d)
-    // in codegen, before the one shuffle
+    // candidates join back to the exact grid ONCE (broadcast under
+    // the boundedProbes contract: the candidate list is
+    // top-list-bounded); rel = exact dist(q, d) in codegen, before
+    // the one shuffle
+    val hint: DataFrame => DataFrame =
+      if (boundedProbes) df => broadcast(df) else df => df
     val qs = queries.select(col("q_id"), col("q_v"))
     val nb = vecs.select(col("vec_id").as("neighbor_id"), col("qv").as("n_v"))
-    val cand = nb.join(broadcast(cands), Seq("neighbor_id"))
-      .join(broadcast(qs), Seq("q_id"))
+    val cand = nb.join(hint(cands), Seq("neighbor_id"))
+      .join(hint(qs), Seq("q_id"))
       .withColumn("rel", sqDist("q_v", "n_v"))
       .select(col("q_id"), col("neighbor_id"), col("n_v"), col("rel"))
     cand.as[MmrCand]

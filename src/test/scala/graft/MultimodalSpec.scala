@@ -474,6 +474,49 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phashBandKey scalar twin matches the Column banding bit-for-bit") {
+    // the bridge that lets PhashBandProperties pin the pigeonhole
+    // bound against the scalar twin: both forms must extract the same
+    // (band, bits) keys, including sign-bit bands of negative hashes
+    val hs = Seq(0L, -1L, 0xA5C3F0962D4B1E87L, Long.MinValue, Long.MaxValue, 255L)
+    val df = hs.zipWithIndex.map { case (h, i) => (i.toLong, h) }.toDF("media_id", "phash")
+    val got = df.select(col("media_id"), Multimodal.phashBandsCol(col("phash")).as("bk"))
+      .select(col("media_id"), col("bk.band"), col("bk.bits")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = (for {
+      (h, i) <- hs.zipWithIndex
+      b <- 0 until Multimodal.PhashBands
+    } yield (i.toLong, b, Multimodal.phashBandKey(h, b))).toSet
+    assert(got == want)
+  }
+
+  test("curateMedia: exact_dup beats image_near_dup beats kept; non-images pass vacuously") {
+    val (w, h) = (72, 64)
+    val png = patternBytes(w, h, "png")(wave(w, h))
+    val jpg = patternBytes(w, h, "jpg")(wave(w, h))
+    val other = patternBytes(w, h, "png")((x, y) => 220 - wave(w, h)(x, y))
+    val ds = Seq(
+      MediaRecord(0L, "image", png),
+      MediaRecord(1L, "image", jpg),                             // near-dup of 0 → dropped
+      MediaRecord(2L, "image", other),                           // far → kept
+      MediaRecord(3L, "audio", "some audio bytes".getBytes("UTF-8")), // no hash → vacuous pass
+      MediaRecord(4L, "image", "junk bytes".getBytes("UTF-8")),  // undecodable → vacuous pass
+      MediaRecord(5L, "image", png)                              // byte-identical to 0 → exact_dup
+    ).toDS()
+    val rows = Multimodal.curateMedia(ds, maxHamming = 6).collect()
+    graft.ops.Caches.releaseAll(spark)
+    // ordered output, one verdict per asset
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 5L))
+    val got = rows.map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(got == Map(
+      0L -> ((true, "kept")),             // min of both its groups
+      1L -> ((false, "image_near_dup")),  // phash cluster {0,1,5}, 0 survives
+      2L -> ((true, "kept")),
+      3L -> ((true, "kept")),
+      4L -> ((true, "kept")),
+      5L -> ((false, "exact_dup"))))      // also a near-dup; exact wins by precedence
+  }
+
   test("frameSample explodes video payloads into fixed-size windows only") {
     val media = records.toDS().toDF()
     val frames = Multimodal.frameSample(media, frameBytes = 16, stride = 4).collect()
