@@ -45,7 +45,12 @@ object Dsir {
     * 60-bit hash. Adjacency is built INSIDE the row (slice + zip) —
     * the corpus never shuffles to form its features. A zero-token
     * document yields no rows. */
-  private def featureRows(docs: DataFrame, nBuckets: Int): DataFrame = {
+  private def featureRows(docs0: DataFrame, nBuckets: Int): DataFrame = {
+    // fanned out (round 15): tokenize + per-n-gram md5 hashing is the
+    // dominant cost of both model fits and the scoring pass, and ran
+    // serialized on the one-row-group scan — q73 measured 1.89 →
+    // ~1.2 s at sf0.1
+    val docs = Tables.fanOut(docs0)
     val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
     val bigs = zip_with(
       slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),

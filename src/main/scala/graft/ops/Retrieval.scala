@@ -77,6 +77,13 @@ object Retrieval {
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .select(col("term"),
         log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)).as("idf"))
+    // NOT pre-partitioned by doc_id (round 15, tried and reverted):
+    // HashPartitioning(doc_id) would satisfy the serve roll-up's
+    // (query_id, doc_id) clustering and delete the matched-stream
+    // exchange (guide §2.4), but under AQE the cache's declared
+    // partitioning is not visible to the outer planner, so the serve
+    // kept its exchange and the build paid an extra corpus-token
+    // shuffle for nothing — measured pure loss.
     val postings = Caches.persist(tf.join(idf, Seq("term"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("idf")))
     Bm25Index(postings, nDocs, avgdl, k1, b)

@@ -11,8 +11,36 @@ import org.apache.spark.sql.functions._
   * the downstream `select`s).
   */
 object Tables {
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Scale-adaptive scan fan-out (optimization guide §2.5, "input
+    * skew: one huge unsplittable file... repartition immediately
+    * after the read"): the driver testdata ships every table as ONE
+    * parquet row group, so a scan can never parallelize past one task
+    * and heavy per-row map work above it (PII regexes, JSON parses,
+    * shingle/feature explodes, winnowing) serializes on one core of
+    * local[32] — measured 1.5-1.9 s single-task cache-build stages
+    * under six of the ten heaviest bench queries at sf0.1. When the
+    * plan has fewer partitions than the session's default parallelism,
+    * insert one round-robin repartition to defaultParallelism;
+    * otherwise return the input untouched, so on any production
+    * layout with ≥ cores splits this is a no-op and the plan is
+    * unchanged. Row-preserving — no query result changes.
+    *
+    * OPT-IN per call site, deliberately NOT applied inside [[load]]:
+    * a round-15 experiment that fanned out every ≥256 KB table scan
+    * made the whole bench WORSE (82 → 126 s, 61 guard trips) — each
+    * repartition is an AQE stage barrier costing ~100-300 ms of
+    * scheduling at bench SF, which swamps the win everywhere the
+    * serialized map work isn't itself ≫ that (the PQ serves, which
+    * run many small probe jobs, regressed 2×). Callers below are the
+    * measured winners only. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

@@ -262,7 +262,10 @@ object TextOps {
   def winnowFingerprint(spark: SparkSession, dir: String,
                         k: Int = 8, w: Int = 4): DataFrame = {
     graft.functions.WinnowMinima.register(spark)
-    Tables.documents(spark, dir)
+    // fanned out (round 15): the per-char winnowing pass is the whole
+    // cost and ran serialized on the one-row-group scan — measured
+    // 1.41 → 0.58 s at sf0.1
+    Tables.fanOut(Tables.documents(spark, dir))
       .filter(length(col("text")) >= k)
       .select(col("doc_id"),
         array_join(array_sort(array_distinct(expr(s"winnow_minima(text, $k, $w)")))
