@@ -185,8 +185,13 @@ object Embeddings {
     if (bands == 1) {
       // single band: score inside the bucket join, one pass
       val vecs = Caches.persist(quantized(spark, dir).withColumn("bucket", bucketCol(planes)))
-      val a = vecs.select(col("vec_id").as("d1"), col("qv").as("v1"),
-        col("nrm").as("n1"), col("bucket"))
+      // probe-side fan-out (round 16): the within-bucket pair
+      // expansion + scoring otherwise runs on the single cached
+      // partition — the q20-family finding applied to the vector
+      // modality; cache layout untouched, no-op on ≥ cores splits
+      val a = Tables.fanOutBy(vecs, col("vec_id"))
+        .select(col("vec_id").as("d1"), col("qv").as("v1"),
+          col("nrm").as("n1"), col("bucket"))
       val b = vecs.select(col("vec_id").as("d2"), col("qv").as("v2"),
         col("nrm").as("n2"), col("bucket"))
       scorePairs(a.join(b, Seq("bucket")).filter(col("d1") < col("d2")), threshold)
@@ -963,8 +968,12 @@ object Embeddings {
     // sides of the within-cell self-join
     val cells = Caches.persist(
       vecs.withColumn("cell", nearestCellTwoLevel(vecs.sparkSession, cents, nSuper)))
-    val a = cells.select(col("vec_id").as("d1"), col("qv").as("v1"),
-      col("nrm").as("n1"), col("cell"))
+    // probe-side fan-out (round 16): the within-cell pair expansion
+    // — the q20-family single-task finding, same rationale as
+    // cosineNearDupPairsRaw; cache layout untouched
+    val a = Tables.fanOutBy(cells, col("vec_id"))
+      .select(col("vec_id").as("d1"), col("qv").as("v1"),
+        col("nrm").as("n1"), col("cell"))
     val b = cells.select(col("vec_id").as("d2"), col("qv").as("v2"),
       col("nrm").as("n2"), col("cell"))
     val pairs = scorePairs(a.join(b, Seq("cell")).filter(col("d1") < col("d2")), threshold)

@@ -125,7 +125,19 @@ object LlmOps {
   private[graft] def jaccardPairsRaw(spark: SparkSession, dir: String,
                                      n: Int, threshold: Double, maxDf: Int): DataFrame = {
     val (sh, sizes) = cappedShingles(spark, dir, n, maxDf)
-    val pairs = sh.as("a")
+    // Probe-side fan-out (round 16, guide §2.5 input skew): on the
+    // single-split driver layout the cached shingle relation has ONE
+    // partition, the self-join plans as a broadcast hash join, and the
+    // ENTIRE quadratic candidate expansion + (d1,d2) partial
+    // aggregation runs on one task — StageProfile measured 1.4-1.8 s
+    // single-threaded (shW = 1.13M pair rows) under every steady run
+    // of q20/q32/q35/q42/q44/q97. Hash-repartitioning the PROBE side
+    // by doc_id parallelizes the expansion without touching the cache
+    // layout (the round-15 build-side fan-out regressed the small
+    // shingle consumers ~3× via a 32-partition cache — reverted; this
+    // leaves q38/q50/q75 plans byte-identical) and without the
+    // round-robin local sort. No-op on any ≥ cores-split layout.
+    val pairs = Tables.fanOutBy(sh, col("doc_id")).as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

@@ -338,7 +338,15 @@ object Pq {
     // codegen dot product; an explicit (vec_id, qv) relation has not
     graft.functions.VecDot.register(vecs.sparkSession)
     val books = trainCodebooks(vecs, iters, nCodes)
-    val codes = encode(vecs, books)
+    // Production-K encode fan-out (round 16, guide §2.5): the serve's
+    // encode rides the codes scan, and per-row cost is M fused argmin
+    // loops ∝ nCodes — at the kFor-derived K = 128-256 (q80) that
+    // stage measured 1.2 s on ONE task over the single-split layout
+    // (StageProfile st2142). Fan the encode input out only past the
+    // pinned K (q77/q83/q91 stay byte-identical — their encode is
+    // 8-16× cheaper and the extra exchange was the measured r15 loss
+    // on small serves); size-aware width, no-op on ≥ cores splits.
+    val codes = encode(if (nCodes > K) Tables.fanOut(vecs) else vecs, books)
     val probes = vecs
       .filter(col("vec_id") % queryMod === 0 && col("vec_id") < ProbeCap)
       .select(col("vec_id").as("q_id"), col("qv"))
@@ -519,7 +527,10 @@ object Pq {
                    nCodes: Int = K): DataFrame = {
     val vecs = Caches.persist(Embeddings.quantized(spark, dir))
     val books = trainCodebooks(vecs, iters, nCodes)
-    val codes = encode(vecs, books)
+    // same production-K encode fan-out as pqTopKOn (q98's stage-1 ADC
+    // serve at kFor-K measured 1.25 s single-task — StageProfile
+    // st2329); the pinned-K q83 path is untouched
+    val codes = encode(if (nCodes > K) Tables.fanOut(vecs) else vecs, books)
     val probes = vecs
       .filter(col("vec_id") % queryMod === 0 && col("vec_id") < ProbeCap)
       .select(col("vec_id").as("q_id"), col("qv"))

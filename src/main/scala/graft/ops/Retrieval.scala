@@ -77,14 +77,25 @@ object Retrieval {
     val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .select(col("term"),
         log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)).as("idf"))
-    // NOT pre-partitioned by doc_id (round 15, tried and reverted):
-    // HashPartitioning(doc_id) would satisfy the serve roll-up's
-    // (query_id, doc_id) clustering and delete the matched-stream
-    // exchange (guide §2.4), but under AQE the cache's declared
-    // partitioning is not visible to the outer planner, so the serve
-    // kept its exchange and the build paid an extra corpus-token
-    // shuffle for nothing — measured pure loss.
+    // DOC-CLUSTERED postings layout (round 16, guide §2.3 "aggregate
+    // before you shuffle"). Round 15 tried DECLARING the cache
+    // hash-partitioned to delete the serve exchange (§2.4) — AQE can't
+    // see InMemoryRelation partitioning, exchange stayed, reverted.
+    // This is the weaker but REAL win the layout still owns: the
+    // serve's (query_id, doc_id) roll-up keeps its exchange, but its
+    // map-side PARTIAL aggregation collapses fully only when all of a
+    // doc's term rows sit in one partition. On the term-clustered
+    // layout the idf join leaves behind, they never do — StageProfile
+    // measured the matched-stream exchange carrying 1.3M rows/17 MB
+    // (q71/q95, ≈ zero collapse over 250k (q,d) groups) and 2.9M/40 MB
+    // (q93 pass 2). One doc_id repartition at BUILD time (the index
+    // build already pays a term-keyed corpus shuffle; build cost is
+    // amortized over every serve — the index contract) makes every
+    // downstream partial agg exact: the exchange then carries one row
+    // per (query_id, doc_id) candidate. Row-preserving; the q71/q88/
+    // q93/q95 oracles are untouched.
     val postings = Caches.persist(tf.join(idf, Seq("term"))
+      .repartition(col("doc_id"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("idf")))
     Bm25Index(postings, nDocs, avgdl, k1, b)
   }
@@ -123,7 +134,10 @@ object Retrieval {
       .agg(count(lit(1)).as("df"))
       .select(col("term"),
         log(lit(1.0) + (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)).as("idf"))
+    // doc-clustered like bm25Build — the same partial-agg-collapse
+    // rationale, one repartition at (re)build time
     val postings = Caches.persist(tf.join(idf, Seq("term"))
+      .repartition(col("doc_id"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"), col("idf")))
     Bm25Index(postings, nDocs, avgdl, k1, b)
   }

@@ -38,8 +38,60 @@ object Tables {
     * run many small probe jobs, regressed 2×). Callers below are the
     * measured winners only. */
   def fanOut(df: DataFrame): DataFrame = {
+    val target = fanOutWidth(df)
+    if (target <= 1) df
+    else if (numPartitionsOf(df) >= target) df
+    else df.repartition(target)
+  }
+
+  /** Floor on input bytes per fan-out task. The fanned call sites run
+    * CPU-heavy per-row work (regex passes, JSON parsing, feature
+    * hashing) at single-digit MB/s/core, so 64 KB of input is tens of
+    * milliseconds of compute — under that, task scheduling dominates
+    * and extra width is pure overhead (round-15 scaling block: all
+    * four fanned queries ran FASTER at 8 cores than at
+    * defaultParallelism = 32 on the sf0.1 inputs, i.e. unconditional
+    * cores-width over-partitions small inputs; VERDICT r15 #7). */
+  val FanOutBytesPerTask: Long = 64L << 10
+
+  /** Size-aware fan-out width (VERDICT r15 #7): wide enough to use the
+    * cores, never wider than the input justifies —
+    * min(defaultParallelism, ceil(inputBytes / 64 KB)). Input bytes
+    * come from the optimizer's plan statistics (for the scan-rooted
+    * frames every call site passes, that is the parquet file size —
+    * no job runs). At the oracle SFs this derives width ≤ 1 and the
+    * gate no-ops without even planning the RDD. */
+  private def fanOutWidth(df: DataFrame): Int = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes = (bytes + FanOutBytesPerTask - 1) / FanOutBytesPerTask
+    byBytes.min(BigInt(cores)).max(BigInt(1)).toInt
+  }
+
+  /** Physical partition count WITHOUT the `df.rdd` deserialized-RDD
+    * conversion the round-15 version paid (VERDICT r15 #4): `toRdd`
+    * is the internal-row RDD the physical plan already owns. Safe on
+    * the scan-/cache-rooted frames fanOut sees — no exchange below,
+    * so building the RDD executes nothing. */
+  private def numPartitionsOf(df: DataFrame): Int =
+    df.queryExecution.toRdd.getNumPartitions
+
+  /** [[fanOut]] with HASH partitioning on `key` instead of round-robin
+    * — for fanning out the probe side of a candidate-expansion join
+    * (the q20-family self-join, round 16): keyless `repartition(n)`
+    * pays a local sort of its input (`sortBeforeRepartition`, kept on
+    * for retry determinism) which on a single-partition cache is one
+    * more serialized pass over the whole relation; a deterministic
+    * hash key sidesteps the sort and the SPARK-38388 retry hazard at
+    * once. Width = the full core count, NOT byte-derived: these sites
+    * are measured quadratic-expansion hot spots where per-row output
+    * (candidate pairs), not input bytes, is the cost. No-ops whenever
+    * the input already has ≥ cores partitions — any production
+    * multi-split layout. */
+  def fanOutBy(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    if (target <= 1 || numPartitionsOf(df) >= target) df
+    else df.repartition(target, key)
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")

@@ -58,7 +58,10 @@ object TextOps {
     * evaluates text_stats once per row). */
   def textStats(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextStats.register(spark)
-    Tables.documents(spark, dir)
+    // fanned out (round 16, the r15 q26/q99 pattern at the remaining
+    // single-split text kernels — VERDICT r15 #7): the per-row byte
+    // scan serialized on one task; size-aware width, no-op at scale
+    Tables.fanOut(Tables.documents(spark, dir))
       .withColumn("st", expr("text_stats(text)"))
       .select(
         col("doc_id"),
@@ -85,7 +88,9 @@ object TextOps {
     * Plan: scan → per-row scores → explode(4) → window rank → count:
     * one shuffle by doc, one by (lang, pred). */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // fanned out (round 16): four marker-array scans per row over a
+    // single-split scan — the q23 rationale
+    val docs = Tables.fanOut(Tables.documents(spark, dir))
       .withColumn("ws", filter(split(col("text"), " "), x => length(x) > 0))
     val scored = docs.select(col("doc_id"), col("lang"), explode(array(
       LangMarkers.map { case (l, marks) =>
@@ -111,7 +116,9 @@ object TextOps {
   /** q25 — token counting: whitespace tokens vs BPE-ish regex tokens
     * per doc. No shuffle; linear in the scan. */
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    // fanned out (round 16): the regex_extract_all pass is the
+    // heaviest per-row text kernel — the q23 rationale
+    Tables.fanOut(Tables.documents(spark, dir))
       .select(
         col("doc_id"),
         size(filter(split(col("text"), " "), x => length(x) > 0)).cast("long").as("ws_tokens"),
