@@ -77,20 +77,35 @@ object Tables {
     df.queryExecution.toRdd.getNumPartitions
 
   /** [[fanOut]] with HASH partitioning on `key` instead of round-robin
-    * — for fanning out the probe side of a candidate-expansion join
-    * (the q20-family self-join, round 16): keyless `repartition(n)`
-    * pays a local sort of its input (`sortBeforeRepartition`, kept on
-    * for retry determinism) which on a single-partition cache is one
-    * more serialized pass over the whole relation; a deterministic
-    * hash key sidesteps the sort and the SPARK-38388 retry hazard at
-    * once. Width = the full core count, NOT byte-derived: these sites
-    * are measured quadratic-expansion hot spots where per-row output
-    * (candidate pairs), not input bytes, is the cost. No-ops whenever
-    * the input already has ≥ cores partitions — any production
-    * multi-split layout. */
+    * — for fanning out the probe side of a candidate-expansion
+    * SELF-join (the q20-family shape, round 16): keyless
+    * `repartition(n)` pays a local sort of its input
+    * (`sortBeforeRepartition`, kept on for retry determinism) which on
+    * a single-partition cache is one more serialized pass over the
+    * whole relation; a deterministic hash key sidesteps the sort and
+    * the SPARK-38388 retry hazard at once. Width = the full core
+    * count, NOT byte-derived: these sites are measured
+    * quadratic-expansion hot spots where per-row output (candidate
+    * pairs), not input bytes, is the cost.
+    *
+    * Fires ONLY when the relation is small enough that the self-join
+    * will plan as a BROADCAST hash join (plan-stats size ≤ the
+    * session's autoBroadcastJoinThreshold): under a broadcast join the
+    * probe side streams with NO exchange, so a single-split input
+    * serializes the whole pair expansion on one task — the measured
+    * q20-family pathology this exists for. Past the threshold the
+    * planner shuffle-joins and the join's own exchange already fans
+    * the expansion out — there an extra probe repartition is a pure
+    * full-relation shuffle tax (measured +5-9 s per shingle-family
+    * query at sf10, round-16 campaign c2). Also no-ops when the input
+    * already has ≥ cores partitions. */
   def fanOutBy(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (target <= 1 || numPartitionsOf(df) >= target) df
+    val bcThreshold = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (target <= 1 ||
+        bcThreshold <= 0 ||
+        df.queryExecution.optimizedPlan.stats.sizeInBytes > bcThreshold ||
+        numPartitionsOf(df) >= target) df
     else df.repartition(target, key)
   }
 
